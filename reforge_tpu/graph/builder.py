@@ -1,0 +1,150 @@
+"""Graph synthesis: Config + kernel reflection -> validated node graph.
+
+The analog of the reference's ``synthesize_config`` + topo-sort
+(src/vulkan/vkutils.rs:140-196, src/vulkan/pipeline_graph.rs:429-497):
+
+  1. Resolve each node's kernel (source file or builtin) and match the
+     config's descriptor names against the kernel's declared bindings;
+     unknown names warn and fail the build (keep-last-good).
+  2. Resolve static parameters against declared params.
+  3. Kahn-layer the nodes by resource dependencies; independent nodes share
+     a layer (the reference executes layers with barriers between them —
+     command.rs:220-241; for us layers are purely informational since XLA
+     schedules the fused program, but they drive per-node timing order and
+     the dependency validation, including cycle detection).
+
+The reference hand-rolls an image-aliasing pass to reuse freed images
+(pipeline_graph.rs:358-427); XLA's buffer assignment performs the same
+optimization on the fused program, so no analog is needed here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+from ..config import Config, FILE_INPUT, FINAL_OUTPUT
+from ..kernels.base import KernelSpec
+from ..kernels.loader import resolve_kernel
+from ..utils import warnln
+
+
+@dataclasses.dataclass
+class PipelineNode:
+    name: str
+    spec: KernelSpec
+    # (resource_name, descriptor_name) pairs, in config order.
+    inputs: list[tuple[str, str]]
+    outputs: list[tuple[str, str]]
+    params: dict[str, Any]
+
+    @property
+    def halo(self) -> Optional[int]:
+        return self.spec.halo_for(self.params)
+
+
+@dataclasses.dataclass
+class BuiltGraph:
+    nodes: dict[str, PipelineNode]
+    layers: list[list[PipelineNode]]  # topological layers, execution order
+
+    @property
+    def ordered_nodes(self) -> list[PipelineNode]:
+        return [n for layer in self.layers for n in layer]
+
+    def uses_file_input(self) -> bool:
+        return any(
+            res == FILE_INPUT for n in self.nodes.values() for res, _ in n.inputs
+        )
+
+
+def build_graph(config: Config) -> Optional[BuiltGraph]:
+    nodes: dict[str, PipelineNode] = {}
+    for name, gp in config.graph_pipelines.items():
+        ptype = config.pipeline_type_of(name)
+        spec = resolve_kernel(ptype, gp.file_path)
+        if spec is None:
+            return None
+
+        # Match config descriptor names against reflected kernel bindings
+        # (vkutils.rs:160-183: unknown names are a build error).
+        for desc in (d.descriptor_name for d in gp.inputs):
+            if desc not in spec.images_in:
+                warnln(
+                    f"Unable to find input descriptor '{desc}' in kernel "
+                    f"'{spec.name}' (declares: {', '.join(spec.images_in) or 'none'})"
+                )
+                return None
+        for desc in (d.descriptor_name for d in gp.outputs):
+            if desc not in spec.images_out:
+                warnln(
+                    f"Unable to find output descriptor '{desc}' in kernel "
+                    f"'{spec.name}' (declares: {', '.join(spec.images_out) or 'none'})"
+                )
+                return None
+
+        # Every declared input binding must be wired or the kernel would read
+        # undefined memory (the reference leaves such descriptors unbound and
+        # relies on validation-layer noise; we reject up front).
+        wired = {d.descriptor_name for d in gp.inputs}
+        missing = [d for d in spec.images_in if d not in wired]
+        if missing:
+            warnln(
+                f"Input binding(s) {', '.join(repr(m) for m in missing)} of node "
+                f"'{name}' are not connected in the graph"
+            )
+            return None
+
+        params = spec.resolve_params(config.parameters_of(name))
+        nodes[name] = PipelineNode(
+            name=name,
+            spec=spec,
+            inputs=list((d.resource_name, d.descriptor_name) for d in gp.inputs),
+            outputs=list((d.resource_name, d.descriptor_name) for d in gp.outputs),
+            params=params,
+        )
+
+    layers = _order_by_execution(nodes)
+    if layers is None:
+        return None
+    return BuiltGraph(nodes=nodes, layers=layers)
+
+
+def _order_by_execution(
+    nodes: dict[str, PipelineNode]
+) -> Optional[list[list[PipelineNode]]]:
+    """Kahn-style layering with cycle detection (pipeline_graph.rs:429-497)."""
+    producers: dict[str, str] = {}
+    for n in nodes.values():
+        for res, _ in n.outputs:
+            if res != FINAL_OUTPUT:
+                producers[res] = n.name
+
+    deps: dict[str, set[str]] = {name: set() for name in nodes}
+    for n in nodes.values():
+        for res, _ in n.inputs:
+            if res == FILE_INPUT:
+                continue
+            producer = producers.get(res)
+            if producer is None:
+                warnln(
+                    f"Node '{n.name}' reads resource '{res}' which no node produces"
+                )
+                return None
+            if producer != n.name:
+                deps[n.name].add(producer)
+
+    layers: list[list[PipelineNode]] = []
+    remaining = dict(deps)
+    done: set[str] = set()
+    while remaining:
+        ready = sorted(name for name, d in remaining.items() if d <= done)
+        if not ready:
+            cyclic = ", ".join(sorted(remaining))
+            warnln(f"Pipeline graph has a cycle involving: {cyclic}")
+            return None
+        layers.append([nodes[name] for name in ready])
+        done.update(ready)
+        for name in ready:
+            del remaining[name]
+    return layers

@@ -1,0 +1,366 @@
+"""Builtin kernel library.
+
+The reference ships a single ``passthrough.comp`` shader and demonstrates
+blur/edge/sharpen graphs in its README gifs without shipping them
+(reference: shaders/passthrough.comp, README.md:11-23).  This library
+provides those filters and more as first-class TPU kernels so stock configs
+work out of the box; any of them can be overridden by a same-named ``.comp``
+or ``.py`` file in the shader path (semantics.add_file_paths probes files
+before the registry).
+
+All kernels operate on linear-light planar ``f32[4, H, W]`` and are pure jnp
+— XLA fuses chains of them into single programs.  Hot separable
+convolutions additionally have Pallas TPU implementations (pallas_ops.py),
+selected at graph-compile time on TPU backends.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import kernel
+from . import ops
+from .ops import (
+    AXIS_H,
+    AXIS_W,
+    box_weights,
+    conv1d,
+    conv2d,
+    gaussian_blur,
+    gaussian_radius,
+    luma,
+    map_rgb,
+    pixel_coords,
+    sample_bilinear,
+    sep_conv,
+    smoothstep,
+)
+
+
+# ---- identity / color ---------------------------------------------------
+
+
+@kernel("passthrough", doc="Identity copy (reference: shaders/passthrough.comp).")
+def passthrough(ctx, input_image):
+    return input_image
+
+
+@kernel("invert")
+def invert(ctx, input_image):
+    return map_rgb(input_image, lambda rgb: 1.0 - rgb)
+
+
+@kernel("grayscale")
+def grayscale(ctx, input_image):
+    y = luma(input_image)
+    return map_rgb(input_image, lambda rgb: jnp.broadcast_to(y[None], rgb.shape))
+
+
+@kernel("brightness_contrast")
+def brightness_contrast(ctx, input_image, *, brightness=0.0, contrast=1.0):
+    return map_rgb(input_image, lambda rgb: (rgb - 0.5) * contrast + 0.5 + brightness)
+
+
+@kernel("saturation")
+def saturation(ctx, input_image, *, amount=1.0):
+    y = luma(input_image)[None]
+    return map_rgb(input_image, lambda rgb: y + (rgb - y) * amount)
+
+
+@kernel("gamma")
+def gamma(ctx, input_image, *, value=2.2):
+    inv = 1.0 / max(value, 1e-6)
+    return map_rgb(input_image, lambda rgb: jnp.power(jnp.maximum(rgb, 0.0), inv))
+
+
+@kernel("exposure")
+def exposure(ctx, input_image, *, stops=0.0):
+    return map_rgb(input_image, lambda rgb: rgb * (2.0 ** stops))
+
+
+@kernel("threshold")
+def threshold(ctx, input_image, *, value=0.5):
+    y = luma(input_image)
+    mask = (y > value).astype(input_image.dtype)[None]
+    return map_rgb(input_image, lambda rgb: jnp.broadcast_to(mask, rgb.shape))
+
+
+@kernel("white_balance")
+def white_balance(ctx, input_image, *, temperature=0.0, tint=0.0):
+    """Simple linear-light white-balance nudge: temperature shifts R/B, tint G."""
+
+    def f(rgb):
+        r = rgb[0] * (1.0 + temperature)
+        g = rgb[1] * (1.0 + tint)
+        b = rgb[2] * (1.0 - temperature)
+        return jnp.stack([r, g, b], axis=0)
+
+    return map_rgb(input_image, f)
+
+
+# ---- tonemapping --------------------------------------------------------
+
+
+def _aces(rgb: jnp.ndarray) -> jnp.ndarray:
+    # Narkowicz 2015 ACES filmic approximation.
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((rgb * (a * rgb + b)) / (rgb * (c * rgb + d) + e), 0.0, 1.0)
+
+
+def _reinhard(rgb: jnp.ndarray) -> jnp.ndarray:
+    return rgb / (1.0 + rgb)
+
+
+@kernel("tonemap")
+def tonemap(ctx, input_image, *, exposure=1.0, aces=True):
+    f = _aces if aces else _reinhard
+    return map_rgb(input_image, lambda rgb: f(rgb * exposure))
+
+
+# ---- convolutions -------------------------------------------------------
+
+
+def _sigma_halo(p):
+    return gaussian_radius(p["sigma"]) if p["sigma"] > 0 else 0
+
+
+@kernel("gaussian", halo=_sigma_halo, doc="Separable gaussian blur.")
+def gaussian(ctx, input_image, *, sigma=4.0):
+    return gaussian_blur(input_image, sigma)
+
+
+# "blur" is the name the reference README configs use.
+@kernel("blur", halo=_sigma_halo)
+def blur(ctx, input_image, *, sigma=4.0):
+    return gaussian_blur(input_image, sigma)
+
+
+@kernel("box_blur", halo=lambda p: int(p["radius"]))
+def box_blur(ctx, input_image, *, radius=4):
+    w = box_weights(radius)
+    return sep_conv(input_image, w, w)
+
+
+@kernel("sharpen", halo=lambda p: 1)
+def sharpen(ctx, input_image, *, amount=1.0):
+    """Laplacian unsharp: x + amount * (x - local mean)."""
+    taps = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], dtype=np.float32)
+    high = conv2d(input_image, taps)
+    return ops.map_rgb(input_image, lambda rgb: rgb + amount * high[:3])
+
+
+@kernel("unsharp", halo=_sigma_halo)
+def unsharp(ctx, input_image, *, sigma=2.0, amount=0.8):
+    blurred = gaussian_blur(input_image, sigma)
+    return map_rgb(input_image, lambda rgb: rgb + amount * (rgb - blurred[:3]))
+
+
+@kernel("sobel", halo=lambda p: 1)
+def sobel(ctx, input_image, *, amount=1.0):
+    """Sobel gradient magnitude of luminance."""
+    y = luma(input_image)[None]
+    gx = conv2d(y, np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32))
+    gy = conv2d(y, np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.float32))
+    mag = jnp.sqrt(gx * gx + gy * gy) * amount
+    return map_rgb(input_image, lambda rgb: jnp.broadcast_to(mag, rgb.shape))
+
+
+@kernel("emboss", halo=lambda p: 1)
+def emboss(ctx, input_image, *, amount=1.0):
+    taps = np.array([[-2, -1, 0], [-1, 1, 1], [0, 1, 2]], dtype=np.float32)
+    return map_rgb(input_image, lambda rgb: conv2d(rgb, taps * amount))
+
+
+@kernel("median3", halo=lambda p: 1)
+def median3(ctx, input_image):
+    """3x3 median via a 9-element sorting network per pixel (pure VPU)."""
+    c, h, w = input_image.shape
+    xp = ops.pad_edge(input_image, 1, 1)
+    taps = [
+        jax.lax.dynamic_slice(xp, (0, dy, dx), (c, h, w))
+        for dy in range(3)
+        for dx in range(3)
+    ]
+
+    def sort2(a, b):
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    # Batcher-style network for median-of-9 (Smith's 19-exchange network).
+    v = taps
+    pairs = [
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ]
+    for i, j in pairs:
+        v[i], v[j] = sort2(v[i], v[j])
+    return ops.map_rgb(input_image, lambda rgb: v[4][:3])
+
+
+@kernel("bloom", halo=lambda p: gaussian_radius(p["sigma"]))
+def bloom(ctx, input_image, *, threshold=0.7, sigma=8.0, intensity=0.6):
+    y = luma(input_image)
+    glow_mask = smoothstep(threshold, threshold + 0.2, y)[None]
+    glow = gaussian_blur(input_image[:3] * glow_mask, sigma)
+    return map_rgb(input_image, lambda rgb: rgb + intensity * glow)
+
+
+# ---- multi-input ---------------------------------------------------------
+
+
+@kernel("blend")
+def blend(ctx, input_image, input_image2, *, factor=0.5):
+    return input_image + (input_image2 - input_image) * factor
+
+
+@kernel("mix")
+def mix(ctx, input_image, input_image2, *, factor=0.5):
+    return input_image + (input_image2 - input_image) * factor
+
+
+@kernel("add")
+def add(ctx, input_image, input_image2, *, scale=1.0):
+    return map_rgb(input_image, lambda rgb: rgb + scale * input_image2[:3])
+
+
+@kernel("multiply")
+def multiply(ctx, input_image, input_image2):
+    return map_rgb(input_image, lambda rgb: rgb * input_image2[:3])
+
+
+@kernel("screen")
+def screen(ctx, input_image, input_image2):
+    return map_rgb(
+        input_image, lambda rgb: 1.0 - (1.0 - rgb) * (1.0 - input_image2[:3])
+    )
+
+
+@kernel("overlay")
+def overlay(ctx, input_image, input_image2):
+    def f(rgb):
+        b = input_image2[:3]
+        return jnp.where(rgb < 0.5, 2.0 * rgb * b, 1.0 - 2.0 * (1.0 - rgb) * (1.0 - b))
+
+    return map_rgb(input_image, f)
+
+
+@kernel("difference")
+def difference(ctx, input_image, input_image2):
+    return map_rgb(input_image, lambda rgb: jnp.abs(rgb - input_image2[:3]))
+
+
+# ---- spatial / generative ----------------------------------------------
+
+
+@kernel("vignette")
+def vignette(ctx, input_image, *, strength=0.5, radius=0.75):
+    h, w = ctx.height, ctx.width
+    ys, xs = pixel_coords(h, w)
+    ny = (ys.astype(jnp.float32) / max(h - 1, 1)) * 2.0 - 1.0
+    nx = (xs.astype(jnp.float32) / max(w - 1, 1)) * 2.0 - 1.0
+    d = jnp.sqrt(nx * nx + ny * ny)
+    fade = 1.0 - strength * smoothstep(radius, 1.42, d)
+    return map_rgb(input_image, lambda rgb: rgb * fade[None])
+
+
+@kernel("pixelate", halo=lambda p: None)
+def pixelate(ctx, input_image, *, size=8):
+    size = max(int(size), 1)
+    h, w = ctx.height, ctx.width
+    ys, xs = pixel_coords(h, w)
+    return ops.sample_nearest(input_image, (ys // size) * size, (xs // size) * size)
+
+
+@kernel("chromatic_aberration", halo=lambda p: None)
+def chromatic_aberration(ctx, input_image, *, shift=2.0):
+    h, w = ctx.height, ctx.width
+    ys, xs = pixel_coords(h, w)
+    yf = ys.astype(jnp.float32)
+    xf = xs.astype(jnp.float32)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    dy = (yf - cy) / max(h, 1)
+    dx = (xf - cx) / max(w, 1)
+    r = sample_bilinear(input_image[0:1], yf + dy * shift, xf + dx * shift)[0]
+    b = sample_bilinear(input_image[2:3], yf - dy * shift, xf - dx * shift)[0]
+    return jnp.stack([r, input_image[1], b, input_image[3]], axis=0)
+
+
+@kernel("swirl", halo=lambda p: None)
+def swirl(ctx, input_image, *, angle=2.0, radius=0.5):
+    h, w = ctx.height, ctx.width
+    ys, xs = pixel_coords(h, w)
+    yf = ys.astype(jnp.float32)
+    xf = xs.astype(jnp.float32)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    dy, dx = yf - cy, xf - cx
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    rad = radius * min(h, w)
+    theta = angle * jnp.maximum(0.0, 1.0 - dist / rad) ** 2
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    sy = cy + dy * cos_t - dx * sin_t
+    sx = cx + dy * sin_t + dx * cos_t
+    return sample_bilinear(input_image, sy, sx)
+
+
+@kernel("scanlines")
+def scanlines(ctx, input_image, *, period=3, darkness=0.35):
+    h, w = ctx.height, ctx.width
+    ys, _ = pixel_coords(h, w)
+    period = max(int(period), 1)
+    fade = jnp.where((ys % period) == 0, 1.0 - darkness, 1.0)
+    return map_rgb(input_image, lambda rgb: rgb * fade[None])
+
+
+@kernel("wave", halo=lambda p: None)
+def wave(ctx, input_image, *, amplitude=8.0, frequency=0.02, speed=1.0):
+    """Animated horizontal wave distortion driven by _rf_time."""
+    h, w = ctx.height, ctx.width
+    ys, xs = pixel_coords(h, w)
+    yf = ys.astype(jnp.float32)
+    xf = xs.astype(jnp.float32)
+    phase = ctx.time * speed * 2.0 * math.pi
+    offset = amplitude * jnp.sin(yf * (frequency * 2.0 * math.pi) + phase)
+    return sample_bilinear(input_image, yf, xf + offset)
+
+
+@kernel("noise")
+def noise(ctx, input_image, *, amount=0.1, seed=0, animate=False):
+    key = jax.random.PRNGKey(int(seed))
+    if animate:
+        # Fold the frame clock into the key so grain changes per frame.
+        key = jax.random.fold_in(key, (ctx.time * 1000.0).astype(jnp.int32))
+    grain = jax.random.uniform(
+        key, (1, ctx.height, ctx.width), minval=-0.5, maxval=0.5
+    )
+    return map_rgb(input_image, lambda rgb: rgb + amount * grain)
+
+
+@kernel("checkerboard", images_in=(), doc="Generator: checkerboard test pattern.")
+def checkerboard(ctx, *, size=32):
+    size = max(int(size), 1)
+    ys, xs = pixel_coords(ctx.height, ctx.width)
+    v = (((ys // size) + (xs // size)) % 2).astype(jnp.float32)
+    v = jnp.broadcast_to(v[None], (3, ctx.height, ctx.width))
+    return jnp.concatenate([v, jnp.ones((1, ctx.height, ctx.width), v.dtype)], axis=0)
+
+
+@kernel("solid", images_in=(), doc="Generator: constant color.")
+def solid(ctx, *, red=0.0, green=0.0, blue=0.0, alpha=1.0):
+    shape = (ctx.height, ctx.width)
+    return jnp.stack(
+        [jnp.full(shape, c, jnp.float32) for c in (red, green, blue, alpha)], axis=0
+    )
+
+
+@kernel("flip", halo=lambda p: None)
+def flip(ctx, input_image, *, horizontal=True, vertical=False):
+    out = input_image
+    if horizontal:
+        out = out[:, :, ::-1]
+    if vertical:
+        out = out[:, ::-1, :]
+    return out

@@ -1,0 +1,165 @@
+"""Shared image math for kernels: padding, separable convolution, sampling.
+
+All functions operate on planar ``f32[4, H, W]`` (or ``f32[C, H, W]``)
+arrays.  Convolutions are written as static unrolled shifted-adds over
+padded arrays: XLA fuses the tap loop into a single VPU pass over memory,
+which beats a general conv lowering for the small 1-D kernels typical of
+image filters.  Border policy is clamp-to-edge throughout (the visual
+convention of the reference's demo shaders).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+AXIS_H = 1
+AXIS_W = 2
+
+
+def pad_edge(x: jnp.ndarray, rh: int, rw: int) -> jnp.ndarray:
+    """Clamp-to-edge padding of the spatial dims of (C, H, W)."""
+    if rh == 0 and rw == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (rh, rh), (rw, rw)), mode="edge")
+
+
+def conv1d(x: jnp.ndarray, weights: np.ndarray, axis: int) -> jnp.ndarray:
+    """1-D correlation along a spatial axis with clamp-to-edge borders.
+
+    ``weights`` must be a static numpy array of odd length; taps unroll at
+    trace time.
+    """
+    weights = np.asarray(weights, dtype=np.float32)
+    r = (len(weights) - 1) // 2
+    if r == 0:
+        return x * float(weights[0])
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(x, pad, mode="edge")
+    size = x.shape[axis]
+    acc = None
+    for i, w in enumerate(weights):
+        if w == 0.0:
+            continue
+        tap = jax.lax.slice_in_dim(xp, i, i + size, axis=axis)
+        acc = tap * float(w) if acc is None else acc + tap * float(w)
+    return acc if acc is not None else jnp.zeros_like(x)
+
+
+def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
+    """Separable 2-D convolution: 1-D pass along H then along W."""
+    return conv1d(conv1d(x, wh, AXIS_H), ww, AXIS_W)
+
+
+def conv2d(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Small dense 2-D correlation (static odd-sized kernel, edge clamp)."""
+    taps = np.asarray(taps, dtype=np.float32)
+    rh, rw = taps.shape[0] // 2, taps.shape[1] // 2
+    xp = pad_edge(x, rh, rw)
+    h, w = x.shape[AXIS_H], x.shape[AXIS_W]
+    acc = None
+    for dy in range(taps.shape[0]):
+        for dx in range(taps.shape[1]):
+            wgt = float(taps[dy, dx])
+            if wgt == 0.0:
+                continue
+            tap = jax.lax.dynamic_slice(
+                xp, (0, dy, dx), (x.shape[0], h, w)
+            )
+            acc = tap * wgt if acc is None else acc + tap * wgt
+    return acc if acc is not None else jnp.zeros_like(x)
+
+
+def gaussian_weights(sigma: float, radius: int | None = None) -> np.ndarray:
+    """Normalized 1-D gaussian taps; radius defaults to ceil(3*sigma)."""
+    sigma = max(float(sigma), 1e-6)
+    if radius is None:
+        radius = gaussian_radius(sigma)
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    w = np.exp(-0.5 * (xs / sigma) ** 2)
+    return (w / w.sum()).astype(np.float32)
+
+
+MAX_GAUSSIAN_RADIUS = 96
+
+
+def gaussian_radius(sigma: float) -> int:
+    return int(min(MAX_GAUSSIAN_RADIUS, max(1, math.ceil(3.0 * float(sigma)))))
+
+
+def gaussian_blur(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    if float(sigma) <= 0.0:
+        return x
+    w = gaussian_weights(sigma)
+    return sep_conv(x, w, w)
+
+
+def box_weights(radius: int) -> np.ndarray:
+    n = 2 * int(radius) + 1
+    return np.full((n,), 1.0 / n, dtype=np.float32)
+
+
+LUMA_WEIGHTS = (0.2126, 0.7152, 0.0722)  # Rec.709, linear light
+
+
+def luma(x: jnp.ndarray) -> jnp.ndarray:
+    """(4,H,W) -> (H,W) relative luminance."""
+    r, g, b = x[0], x[1], x[2]
+    lr, lg, lb = LUMA_WEIGHTS
+    return r * lr + g * lg + b * lb
+
+
+def with_alpha(rgb: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Stack (3,H,W) color with an (H,W) alpha plane into (4,H,W)."""
+    return jnp.concatenate([rgb, alpha[None]], axis=0)
+
+
+def map_rgb(x: jnp.ndarray, f) -> jnp.ndarray:
+    """Apply f to the color planes, passing alpha through unchanged."""
+    return jnp.concatenate([f(x[:3]), x[3:4]], axis=0)
+
+
+def pixel_coords(h: int, w: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(y, x) integer coordinate planes, each (H, W) int32."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return ys, xs
+
+
+def sample_nearest(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Gather pixels at integer coords (clamped to edge).
+
+    ``ys``/``xs`` are (H', W') int arrays; result is (C, H', W').  This is
+    the general data-dependent path (swirl, pixelate, ...); kernels using it
+    are not halo-shardable and fall back to gathered execution.
+    """
+    c, h, w = x.shape
+    ys = jnp.clip(ys, 0, h - 1)
+    xs = jnp.clip(xs, 0, w - 1)
+    return x[:, ys, xs]
+
+
+def sample_bilinear(x: jnp.ndarray, yf: jnp.ndarray, xf: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample at float pixel coords (edge clamp); (C, H', W')."""
+    y0 = jnp.floor(yf)
+    x0 = jnp.floor(xf)
+    ty = yf - y0
+    tx = xf - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    p00 = sample_nearest(x, y0, x0)
+    p01 = sample_nearest(x, y0, x0 + 1)
+    p10 = sample_nearest(x, y0 + 1, x0)
+    p11 = sample_nearest(x, y0 + 1, x0 + 1)
+    top = p00 + (p01 - p00) * tx
+    bot = p10 + (p11 - p10) * tx
+    return top + (bot - top) * ty
+
+
+def smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)

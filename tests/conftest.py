@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-selects the TPU backend; override it so tests
+# run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import reforge_tpu.utils as utils  # noqa: E402
 
 # Don't spam stderr with expected warnings during negative-path tests;
