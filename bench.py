@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Headline benchmark: 4K frames/sec through the 5-node flagship graph.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is measured against the real-time target the reference aspires
+to ("real-time vulkan compute shader utility", reference README.md:3): 60
+fps at 4K through a 5-node graph.  The reference publishes no numbers
+(BASELINE.md), so 60 fps 4K — comfortably what its Vulkan pipeline
+achieves on a desktop GPU for simple filter chains — is the bar to beat.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+from reforge_tpu.benchmarks import bench_program, build_flagship, make_test_image
+
+BASELINE_FPS_4K = 60.0
+
+
+def main() -> int:
+    width, height = 3840, 2160
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+
+    program = build_flagship(width, height)
+    img = make_test_image(height, width)
+
+    t0 = time.perf_counter()
+    result = bench_program(program, img, frames=frames)
+    compile_and_run = time.perf_counter() - t0
+
+    print(
+        f"# backend={jax.default_backend()} devices={len(jax.devices())} "
+        f"4K 5-node graph: {result['fps']:.2f} fps "
+        f"({result['ms_per_frame']:.2f} ms/frame), "
+        f"total {compile_and_run:.1f}s incl. warmup/compile",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "4k_fps_5node_graph",
+                "value": round(result["fps"], 2),
+                "unit": "fps",
+                "vs_baseline": round(result["fps"] / BASELINE_FPS_4K, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

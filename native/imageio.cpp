@@ -1,0 +1,252 @@
+// Native host image I/O for reforge-tpu.
+//
+// The TPU-native counterpart of the reference's ffmpeg FFI layer
+// (reference: src/imagefileio.rs): decode the first frame of any
+// libav-supported image/video, Lanczos-resize + pixel-format-convert it
+// straight into a caller-provided RGBA8 buffer (imagefileio.rs:129-184),
+// and encode RGBA8 buffers to PNG with maximum compression (the reference
+// uses AV_CODEC_ID_PNG at max compression — imagefileio.rs:217-271) or to
+// JPEG by file extension.
+//
+// Exposed as a plain C ABI consumed from Python via ctypes
+// (reforge_tpu/io/imagefile.py); build with `make -C native`.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+void set_err(char *err, int errlen, const std::string &msg) {
+  if (err && errlen > 0) {
+    std::snprintf(err, (size_t)errlen, "%s", msg.c_str());
+  }
+}
+
+std::string av_errstr(int code) {
+  char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+  av_strerror(code, buf, sizeof(buf));
+  return std::string(buf);
+}
+
+}  // namespace
+
+extern "C" {
+
+struct RfDecoder {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *codec = nullptr;
+  int stream_index = -1;
+  int width = 0;
+  int height = 0;
+};
+
+// Open a file and prepare its best video stream for decoding.
+// Returns nullptr on failure with a message in err.
+RfDecoder *rf_decoder_open(const char *path, char *err, int errlen) {
+  RfDecoder *d = new RfDecoder();
+  int ret = avformat_open_input(&d->fmt, path, nullptr, nullptr);
+  if (ret < 0) {
+    set_err(err, errlen, "Failed to open '" + std::string(path) + "': " + av_errstr(ret));
+    delete d;
+    return nullptr;
+  }
+  ret = avformat_find_stream_info(d->fmt, nullptr);
+  if (ret < 0) {
+    set_err(err, errlen, "No stream info: " + av_errstr(ret));
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  const AVCodec *dec = nullptr;
+  ret = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (ret < 0 || !dec) {
+    set_err(err, errlen, "No decodable video/image stream in '" + std::string(path) + "'");
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->stream_index = ret;
+  d->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(d->codec, d->fmt->streams[d->stream_index]->codecpar);
+  ret = avcodec_open2(d->codec, dec, nullptr);
+  if (ret < 0) {
+    set_err(err, errlen, "Failed to open codec: " + av_errstr(ret));
+    avcodec_free_context(&d->codec);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->width = d->codec->width;
+  d->height = d->codec->height;
+  return d;
+}
+
+void rf_decoder_dims(RfDecoder *d, int *w, int *h) {
+  *w = d->width;
+  *h = d->height;
+}
+
+// Decode the first frame, Lanczos-rescale to (out_w, out_h) RGBA8 and write
+// tightly packed rows into `out` (out_w*out_h*4 bytes). Returns 0 on
+// success.
+int rf_decoder_decode(RfDecoder *d, uint8_t *out, int out_w, int out_h,
+                      char *err, int errlen) {
+  AVPacket *pkt = av_packet_alloc();
+  AVFrame *frame = av_frame_alloc();
+  int ret = 0;
+  bool got = false;
+
+  while (!got && (ret = av_read_frame(d->fmt, pkt)) >= 0) {
+    if (pkt->stream_index != d->stream_index) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    ret = avcodec_send_packet(d->codec, pkt);
+    av_packet_unref(pkt);
+    if (ret < 0) break;
+    ret = avcodec_receive_frame(d->codec, frame);
+    if (ret == 0) {
+      got = true;
+    } else if (ret != AVERROR(EAGAIN)) {
+      break;
+    }
+  }
+  if (!got) {
+    // Flush-mode for single-image codecs that buffer.
+    avcodec_send_packet(d->codec, nullptr);
+    got = avcodec_receive_frame(d->codec, frame) == 0;
+  }
+  if (!got) {
+    set_err(err, errlen, "Failed to decode a frame: " + av_errstr(ret));
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    return -1;
+  }
+
+  // Lanczos resample + convert to RGBA8, exactly the reference's sws_scale
+  // configuration (imagefileio.rs:156-174).
+  SwsContext *sws = sws_getContext(
+      frame->width, frame->height, (AVPixelFormat)frame->format, out_w, out_h,
+      AV_PIX_FMT_RGBA, SWS_LANCZOS, nullptr, nullptr, nullptr);
+  if (!sws) {
+    set_err(err, errlen, "sws_getContext failed");
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    return -1;
+  }
+  uint8_t *dst_planes[4] = {out, nullptr, nullptr, nullptr};
+  int dst_strides[4] = {out_w * 4, 0, 0, 0};
+  sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_planes,
+            dst_strides);
+  sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return 0;
+}
+
+void rf_decoder_close(RfDecoder *d) {
+  if (!d) return;
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
+}
+
+// Encode a tightly packed RGBA8 buffer to `path`. Codec chosen by
+// extension: .png -> PNG (max compression, like the reference's encoder at
+// imagefileio.rs:237-241), .jpg/.jpeg -> MJPEG at high quality.
+int rf_encode(const char *path, const uint8_t *rgba, int w, int h, char *err,
+              int errlen) {
+  const char *dot = std::strrchr(path, '.');
+  std::string ext = dot ? std::string(dot + 1) : "png";
+  for (auto &c : ext) c = (char)std::tolower(c);
+  bool jpeg = (ext == "jpg" || ext == "jpeg");
+
+  AVCodecID codec_id = jpeg ? AV_CODEC_ID_MJPEG : AV_CODEC_ID_PNG;
+  const AVCodec *enc = avcodec_find_encoder(codec_id);
+  if (!enc) {
+    set_err(err, errlen, "Encoder not available");
+    return -1;
+  }
+  AVCodecContext *ctx = avcodec_alloc_context3(enc);
+  ctx->width = w;
+  ctx->height = h;
+  ctx->time_base = {1, 25};
+  if (jpeg) {
+    ctx->pix_fmt = AV_PIX_FMT_YUVJ444P;
+    ctx->flags |= AV_CODEC_FLAG_QSCALE;
+    ctx->global_quality = FF_QP2LAMBDA * 2;  // high quality
+  } else {
+    ctx->pix_fmt = AV_PIX_FMT_RGBA;
+    ctx->compression_level = 9;  // max compression, reference parity
+  }
+
+  int ret = avcodec_open2(ctx, enc, nullptr);
+  if (ret < 0) {
+    set_err(err, errlen, "Failed to open encoder: " + av_errstr(ret));
+    avcodec_free_context(&ctx);
+    return -1;
+  }
+
+  AVFrame *frame = av_frame_alloc();
+  frame->format = ctx->pix_fmt;
+  frame->width = w;
+  frame->height = h;
+  av_frame_get_buffer(frame, 0);
+
+  if (jpeg) {
+    SwsContext *sws =
+        sws_getContext(w, h, AV_PIX_FMT_RGBA, w, h, ctx->pix_fmt,
+                       SWS_POINT, nullptr, nullptr, nullptr);
+    const uint8_t *src_planes[4] = {rgba, nullptr, nullptr, nullptr};
+    int src_strides[4] = {w * 4, 0, 0, 0};
+    sws_scale(sws, src_planes, src_strides, 0, h, frame->data,
+              frame->linesize);
+    sws_freeContext(sws);
+    frame->quality = ctx->global_quality;
+  } else {
+    for (int y = 0; y < h; y++) {
+      std::memcpy(frame->data[0] + (size_t)y * frame->linesize[0],
+                  rgba + (size_t)y * w * 4, (size_t)w * 4);
+    }
+  }
+
+  AVPacket *pkt = av_packet_alloc();
+  ret = avcodec_send_frame(ctx, frame);
+  if (ret >= 0) ret = avcodec_send_frame(ctx, nullptr);
+  if (ret >= 0) ret = avcodec_receive_packet(ctx, pkt);
+  if (ret < 0) {
+    set_err(err, errlen, "Encode failed: " + av_errstr(ret));
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+    avcodec_free_context(&ctx);
+    return -1;
+  }
+
+  FILE *f = std::fopen(path, "wb");
+  if (!f) {
+    set_err(err, errlen, "Cannot open output file '" + std::string(path) + "'");
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+    avcodec_free_context(&ctx);
+    return -1;
+  }
+  std::fwrite(pkt->data, 1, pkt->size, f);
+  std::fclose(f);
+
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  avcodec_free_context(&ctx);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,199 @@
+"""CLI and frame driver.
+
+Flag-compatible with the reference binary (reference: src/main.rs:43-71):
+positional single-shader path, -i/--input-file, -o/--output-file,
+--width/--height, --shader-format {rgba8,rgba32f}, --config, --shader-path,
+--num-frames — plus TPU-era extensions (--frames benchmark cap, --timing,
+--preview backend, --shard for spatial sharding, --backend).
+
+Headless mode (an --output-file given) runs one frame and encodes it
+(main.rs:220-224); otherwise the live loop previews frames, polling config
+and kernel files for live reload each frame and printing the
+``Frame: Xms, Frame-Avg: Yms, GPU: {...}`` status line (main.rs:152-157).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as _time
+from typing import Optional
+
+import numpy as np
+
+from . import utils
+from .engine import Engine, RenderInfo
+from .io import ImageFileDecoder, ImageFileError, encode
+from .utils import TERM_CLEAR, warnln
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="reforge-tpu",
+        description="TPU-native image-processing graph engine",
+    )
+    p.add_argument(
+        "shader",
+        nargs="?",
+        default=None,
+        help="A single kernel file (.comp GLSL or .py) to execute instead of a config",
+    )
+    p.add_argument("-i", "--input-file", help="File to read from")
+    p.add_argument("-o", "--output-file", help="Image file to write to (png/jpg)")
+    p.add_argument("--width", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument(
+        "--shader-format",
+        choices=["rgba8", "rgba32f"],
+        default="rgba32f",
+        help="Intermediate image format (rgba8 quantizes between nodes)",
+    )
+    p.add_argument("--config", help="Path to the pipeline configuration file")
+    p.add_argument(
+        "--shader-path",
+        default="shaders",
+        help="Path to the kernel directory (.comp / .py files)",
+    )
+    p.add_argument(
+        "--num-frames",
+        type=int,
+        default=2,
+        help="Frames in flight for the live loop",
+    )
+    p.add_argument(
+        "--frames",
+        type=int,
+        default=0,
+        help="Stop after N frames (0 = run until quit); useful for benchmarks",
+    )
+    p.add_argument(
+        "--timing",
+        choices=["fused", "per-node"],
+        default="fused",
+        help="per-node disables fusion to time each kernel like the reference's GPU timestamps",
+    )
+    p.add_argument(
+        "--preview",
+        choices=["auto", "window", "kitty", "none"],
+        default="auto",
+    )
+    p.add_argument(
+        "--shard",
+        type=int,
+        default=0,
+        help="Row-shard the graph across N devices (0 = single device)",
+    )
+    p.add_argument(
+        "--backend",
+        choices=["auto", "tpu", "cpu"],
+        default="auto",
+        help="Force the JAX platform (auto = default device selection)",
+    )
+    return p
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    if args.backend != "auto":
+        import jax
+
+        # Must win over environment-pinned platform selection (e.g. a
+        # sitecustomize that forces a remote TPU backend).
+        jax.config.update("jax_platforms", args.backend)
+
+    if args.config and args.shader:
+        warnln("Cannot specify both a config and shader file")
+        return 1
+
+    headless = args.output_file is not None
+    num_frames = 1 if headless else args.num_frames
+
+    decoder = None
+    if args.input_file:
+        try:
+            decoder = ImageFileDecoder(args.input_file)
+        except ImageFileError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+
+    if decoder is not None:
+        width, height = utils.get_dim(
+            decoder.width, decoder.height, args.width, args.height
+        )
+    else:
+        width, height = utils.get_dim(800, 600, args.width, args.height)
+
+    info = RenderInfo(
+        width=width,
+        height=height,
+        num_frames=num_frames,
+        config_path=args.config,
+        shader_path=args.shader_path,
+        fmt=args.shader_format,
+        has_input_image=args.input_file is not None,
+        shader_file_path=args.shader,
+        timing=args.timing,
+    )
+
+    try:
+        engine = Engine(info)
+    except RuntimeError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    if decoder is not None:
+        t0 = _time.perf_counter()
+        rgba = decoder.decode(width, height)
+        engine.load_input(rgba)
+        print(f"File Decode and resize: {utils.get_elapsed_ms(t0):.2f}ms")
+
+    if headless:
+        out = engine.render_frame_blocking()
+        encode(args.output_file, engine.read_output(out))
+        return 0
+
+    return _run_live_loop(engine, args)
+
+
+def _run_live_loop(engine: Engine, args) -> int:
+    from .window import create_preview
+
+    preview = create_preview(args.preview, engine.info.width, engine.info.height)
+    avg_ms = 0.0
+    frame_timer = _time.perf_counter()
+    frames_run = 0
+    try:
+        while True:
+            if preview.poll_quit():
+                break
+            if engine.trigger_reloads():
+                sys.stderr.write(TERM_CLEAR)
+
+            elapsed_ms = utils.get_elapsed_ms(frame_timer)
+            avg_ms = utils.moving_avg(avg_ms, elapsed_ms)
+            frame_timer = _time.perf_counter()
+            sys.stderr.write(
+                f"\rFrame: {elapsed_ms:5.2f}ms, Frame-Avg: {avg_ms:5.2f}ms, "
+                f"GPU: {{{engine.gpu_times_str()}}}"
+            )
+            sys.stderr.flush()
+
+            out = engine.render_frame()
+            if not isinstance(preview, type(None)) and preview is not None:
+                rgba = engine.read_output(out)
+                preview.show(rgba)
+
+            frames_run += 1
+            if args.frames and frames_run >= args.frames:
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        sys.stderr.write("\n")
+        preview.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

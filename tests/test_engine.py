@@ -1,0 +1,185 @@
+"""Engine lifecycle tests: frame loop, live reload, keep-last-good."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from reforge_tpu import utils
+from reforge_tpu.engine import Engine, RenderInfo
+
+
+def write(path, text, bump_from=None):
+    with open(path, "w") as f:
+        f.write(text)
+    if bump_from is not None:
+        # mtime_ns resolution is fine, but make strictly increasing to be safe.
+        st = os.stat(path)
+        os.utime(path, ns=(st.st_atime_ns, bump_from + 1_000_000))
+
+
+def make_engine(tmp_path, config_text, w=24, h=16, **kw):
+    cfg = tmp_path / "graph.rf"
+    write(str(cfg), config_text)
+    info = RenderInfo(
+        width=w,
+        height=h,
+        config_path=str(cfg),
+        shader_path=str(tmp_path),
+        has_input_image=True,
+        **kw,
+    )
+    eng = Engine(info)
+    rgba = np.random.default_rng(0).integers(0, 256, (h, w, 4), dtype=np.uint8)
+    eng.load_input(rgba)
+    return eng, str(cfg)
+
+
+class TestEngine:
+    def test_render_frame(self, tmp_path):
+        eng, _ = make_engine(tmp_path, "input -> invert -> output")
+        out = eng.render_frame_blocking(0.0)
+        assert out.shape == (4, 16, 24)
+
+    def test_config_reload_swaps_program(self, tmp_path):
+        eng, cfg = make_engine(tmp_path, "input -> invert -> output")
+        out1 = np.asarray(eng.render_frame_blocking(0.0))
+        old_mtime = utils.get_modified_time(cfg)
+        write(cfg, "input -> passthrough -> output", bump_from=old_mtime)
+        assert eng.trigger_reloads() is True
+        out2 = np.asarray(eng.render_frame_blocking(0.0))
+        assert not np.allclose(out1, out2)
+        # passthrough output == linearized input
+        inp = np.asarray(eng._input_planar)
+        np.testing.assert_allclose(out2, inp, atol=1e-6)
+
+    def test_bad_edit_keeps_last_good(self, tmp_path):
+        eng, cfg = make_engine(tmp_path, "input -> invert -> output")
+        out1 = np.asarray(eng.render_frame_blocking(0.0))
+        old = utils.get_modified_time(cfg)
+        write(cfg, "input -> invert -> @@@garbage", bump_from=old)
+        assert eng.trigger_reloads() is False
+        assert any("Invalid token" in w for w in utils.recent_warnings())
+        out2 = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_array_equal(out1, out2)
+        # Fixing the file swaps again.
+        old = utils.get_modified_time(cfg)
+        write(cfg, "input -> passthrough -> output", bump_from=old)
+        assert eng.trigger_reloads() is True
+
+    def test_unchanged_config_no_reload(self, tmp_path):
+        eng, _ = make_engine(tmp_path, "input -> invert -> output")
+        assert eng.trigger_reloads() is False
+
+    def test_py_kernel_file_and_reload(self, tmp_path):
+        kpath = tmp_path / "doubler.py"
+        kpath.write_text(
+            "from reforge_tpu.kernels import kernel\n"
+            "@kernel('doubler', register=False)\n"
+            "def doubler(ctx, input_image, *, gain=2.0):\n"
+            "    return input_image * gain\n"
+        )
+        eng, _ = make_engine(tmp_path, "input -> doubler -> output")
+        inp = np.asarray(eng._input_planar)
+        out = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_allclose(out, inp * 2.0, atol=1e-6)
+
+        # Edit the kernel file -> program rebuilds with new code.
+        old = utils.get_modified_time(str(kpath))
+        kpath.write_text(
+            "from reforge_tpu.kernels import kernel\n"
+            "@kernel('doubler', register=False)\n"
+            "def doubler(ctx, input_image, *, gain=3.0):\n"
+            "    return input_image * gain\n"
+        )
+        os.utime(str(kpath), ns=(old + 1_000_000, old + 1_000_000))
+        assert eng.trigger_reloads() is True
+        out2 = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_allclose(out2, inp * 3.0, atol=1e-6)
+
+    def test_broken_kernel_edit_keeps_last_good(self, tmp_path):
+        kpath = tmp_path / "mykern.py"
+        kpath.write_text(
+            "from reforge_tpu.kernels import kernel\n"
+            "@kernel('mykern', register=False)\n"
+            "def mykern(ctx, input_image):\n"
+            "    return input_image * 0.5\n"
+        )
+        eng, _ = make_engine(tmp_path, "input -> mykern -> output")
+        out1 = np.asarray(eng.render_frame_blocking(0.0))
+        old = utils.get_modified_time(str(kpath))
+        kpath.write_text("this is not python !!!")
+        os.utime(str(kpath), ns=(old + 1_000_000, old + 1_000_000))
+        assert eng.trigger_reloads() is False
+        assert any("Error loading kernel" in w for w in utils.recent_warnings())
+        out2 = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_per_node_timing_mode(self, tmp_path):
+        eng, _ = make_engine(
+            tmp_path, "input -> blur -> sobel -> output", timing="per-node"
+        )
+        eng.render_frame_blocking(0.0)
+        assert set(eng.last_gpu_times) == {"blur", "sobel"}
+        s = eng.gpu_times_str()
+        assert "blur:" in s and "ms" in s
+
+    def test_single_shader_mode(self, tmp_path):
+        kpath = tmp_path / "half.py"
+        kpath.write_text(
+            "from reforge_tpu.kernels import kernel\n"
+            "@kernel('half', register=False)\n"
+            "def half(ctx, input_image):\n"
+            "    return input_image * 0.5\n"
+        )
+        info = RenderInfo(
+            width=24,
+            height=16,
+            shader_file_path=str(kpath),
+            has_input_image=True,
+        )
+        eng = Engine(info)
+        rgba = np.random.default_rng(0).integers(0, 256, (16, 24, 4), np.uint8)
+        eng.load_input(rgba)
+        out = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_allclose(out, np.asarray(eng._input_planar) * 0.5, atol=1e-6)
+
+
+class TestCli:
+    def test_headless_end_to_end(self, tmp_path):
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+
+        rgba = np.random.default_rng(3).integers(0, 256, (32, 48, 4), np.uint8)
+        rgba[..., 3] = 255
+        inp = str(tmp_path / "in.png")
+        outp = str(tmp_path / "out.png")
+        encode(inp, rgba)
+        rc = main(["-i", inp, "-o", outp])
+        assert rc == 0
+        out = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(outp))
+        np.testing.assert_array_equal(out, rgba)  # default passthrough, lossless
+
+    def test_headless_with_config(self, tmp_path):
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+
+        rgba = np.full((16, 16, 4), 100, np.uint8)
+        inp = str(tmp_path / "in.png")
+        outp = str(tmp_path / "out.png")
+        cfgp = str(tmp_path / "g.rf")
+        encode(inp, rgba)
+        write(cfgp, "input -> invert -> output")
+        rc = main(["-i", inp, "-o", outp, "--config", cfgp])
+        assert rc == 0
+
+    def test_conflicting_args(self):
+        from reforge_tpu.cli import main
+
+        assert main(["shader.comp", "--config", "x.rf"]) == 1
+
+    def test_missing_input_file(self):
+        from reforge_tpu.cli import main
+
+        assert main(["-i", "/nonexistent/x.png", "-o", "/tmp/y.png"]) == 1

@@ -1,0 +1,98 @@
+"""Host I/O and sRGB conversion tests (native libav backend + PIL fallback)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reforge_tpu.io import (
+    ImageFileDecoder,
+    encode,
+    native_backend_available,
+)
+from reforge_tpu.io import imagefile, srgb
+
+
+def make_rgba(h=40, w=56, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+
+
+class TestSrgb:
+    def test_round_trip_u8_exact(self):
+        """u8 -> linear f32 -> u8 must be lossless for all 256 code values."""
+        codes = np.arange(256, dtype=np.uint8)
+        rgba = np.zeros((1, 256, 4), np.uint8)
+        rgba[0, :, 0] = codes
+        rgba[0, :, 3] = 255
+        planar = srgb.decode_image_to_planar(jnp.asarray(rgba))
+        back = np.asarray(srgb.encode_planar_to_image(planar))
+        np.testing.assert_array_equal(back[0, :, 0], codes)
+
+    def test_curves_match_numpy(self):
+        x = np.linspace(0, 1, 1001, dtype=np.float32)
+        np.testing.assert_allclose(
+            np.asarray(srgb.srgb_to_linear(jnp.asarray(x))),
+            srgb.np_srgb_to_linear(x),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(srgb.linear_to_srgb(jnp.asarray(x))),
+            srgb.np_linear_to_srgb(x),
+            atol=1e-6,
+        )
+
+    def test_known_values(self):
+        # sRGB 0.5 -> linear ~0.2140
+        lin = float(srgb.srgb_to_linear(jnp.float32(0.5)))
+        assert abs(lin - 0.21404) < 1e-4
+
+
+class TestImageFile:
+    def test_png_round_trip(self, tmp_path):
+        rgba = make_rgba()
+        path = str(tmp_path / "x.png")
+        encode(path, rgba)
+        dec = ImageFileDecoder(path)
+        assert (dec.width, dec.height) == (56, 40)
+        out = dec.decode(56, 40)
+        np.testing.assert_array_equal(out, rgba)
+
+    def test_resize(self, tmp_path):
+        rgba = make_rgba(64, 64)
+        path = str(tmp_path / "x.png")
+        encode(path, rgba)
+        out = ImageFileDecoder(path).decode(32, 32)
+        assert out.shape == (32, 32, 4)
+
+    def test_jpeg_encode_decode(self, tmp_path):
+        rgba = make_rgba(48, 48, seed=2)
+        rgba[..., 3] = 255
+        path = str(tmp_path / "x.jpg")
+        encode(path, rgba)
+        out = ImageFileDecoder(path).decode(48, 48)
+        assert out.shape == (48, 48, 4)
+        # Lossy but in the ballpark.
+        assert np.abs(out[..., :3].astype(int) - rgba[..., :3].astype(int)).mean() < 40
+
+    def test_missing_file_raises(self):
+        with pytest.raises(imagefile.ImageFileError):
+            ImageFileDecoder("/nonexistent/nope.png")
+
+    def test_native_backend_builds(self):
+        # The native .so should be present in this repo's CI environment
+        # (make -C native); if not, the PIL fallback silently covers, but we
+        # want to know.
+        if not native_backend_available():
+            pytest.skip("native backend not built")
+
+    def test_pil_fallback_round_trip(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(imagefile, "_lib", None)
+        monkeypatch.setattr(imagefile, "_lib_tried", True)
+        rgba = make_rgba()
+        path = str(tmp_path / "y.png")
+        encode(path, rgba)
+        dec = ImageFileDecoder(path)
+        out = dec.decode(56, 40)
+        np.testing.assert_array_equal(out, rgba)
