@@ -1,0 +1,1057 @@
+"""Vectorizing GLSL interpreter: per-pixel programs -> whole-image jnp ops.
+
+This is the execution engine of the GLSL-subset compiler: instead of
+generating code, it *interprets* the shader AST once with whole-image
+arrays standing in for per-pixel scalars; running it under ``jax.jit``
+traces the interpretation into a single fused XLA program.  (The reference
+compiles GLSL to SPIR-V with shaderc and lets the GPU run it per-pixel —
+src/vulkan/shader.rs:73-93; here the vectorized trace is the compiled
+form.)
+
+Semantics of the mapping:
+  * a GLSL ``float``/``int``/``bool`` value is a Python scalar when uniform
+    (constant-foldable: literals, UBO params, imageSize) or an (H, W) jnp
+    array when it varies per pixel; vectors are lists of such components.
+  * ``gl_GlobalInvocationID.xy`` is a pair of broadcasted iotas carrying a
+    symbolic *origin* tag; integer arithmetic with uniform values and
+    bounds-clamping propagate the tag, so ``imageLoad(img, pos + ivec2(dx,
+    dy))`` (the universal convolution idiom) lowers to a shifted
+    slice of a zero- or edge-padded image — fusing exactly like the
+    hand-written kernel library.  Arbitrary coordinates fall back to a
+    clamped gather with a zero out-of-bounds mask (GLSL robust-access
+    semantics).
+  * non-uniform ``if``/``return`` predicate all writes with a lane mask
+    (``jnp.where`` merges); uniform control flow (loops over UBO params,
+    which are static in this framework) unrolls in Python.
+  * ``imageStore`` must target untransformed ``gl_GlobalInvocationID``
+    coordinates (scatter stores are rejected at compile time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import ast
+from .lexer import GlslError
+
+SCALAR_TYPES = {"float", "int", "uint", "bool"}
+VEC_TYPES = {
+    "vec2": ("float", 2), "vec3": ("float", 3), "vec4": ("float", 4),
+    "ivec2": ("int", 2), "ivec3": ("int", 3), "ivec4": ("int", 4),
+    "uvec2": ("uint", 2), "uvec3": ("uint", 3), "uvec4": ("uint", 4),
+    "bvec2": ("bool", 2), "bvec3": ("bool", 3), "bvec4": ("bool", 4),
+}
+SWIZZLE_SETS = ("xyzw", "rgba", "stpq")
+
+
+@dataclasses.dataclass
+class Origin:
+    """Symbolic pixel-coordinate provenance of an int scalar: axis + offset.
+
+    axis 'x' = column index, 'y' = row index.  ``clamped`` marks a value
+    that has been clamped to the exact image bounds (enabling edge-padding
+    instead of zero-padding on load).
+    """
+
+    axis: str
+    offset: int
+    clamped: bool = False
+
+
+@dataclasses.dataclass
+class Val:
+    type: str
+    data: Any  # scalar-like | list of components | list of Vals (arrays)
+    origin: Optional[Origin] = None  # scalar int provenance
+
+    def is_vector(self) -> bool:
+        return self.type in VEC_TYPES
+
+    def comps(self) -> list:
+        assert self.is_vector()
+        return self.data
+
+    @property
+    def elem_type(self) -> str:
+        return VEC_TYPES[self.type][0] if self.is_vector() else self.type
+
+    @property
+    def size(self) -> int:
+        return VEC_TYPES[self.type][1] if self.is_vector() else 1
+
+
+def is_static(x: Any) -> bool:
+    return isinstance(x, (int, float, bool))
+
+
+def val_is_static(v: Val) -> bool:
+    if v.is_vector():
+        return all(is_static(c) for c in v.data)
+    if v.type.startswith("array"):
+        return all(val_is_static(e) for e in v.data)
+    return is_static(v.data)
+
+
+class _BreakSignal(Exception):
+    pass
+
+
+class _ContinueSignal(Exception):
+    pass
+
+
+class _ReturnSignal(Exception):
+    def __init__(self, value: Optional[Val]):
+        self.value = value
+
+
+_MAX_UNROLL = 65536
+
+
+class Interp:
+    """One shader execution over a (height, width) pixel grid."""
+
+    def __init__(
+        self,
+        shader: ast.Shader,
+        height: int,
+        width: int,
+        images_in: dict[str, Any],  # name -> (4, H, W) f32
+        params: dict[str, Any],  # UBO member name -> python scalar
+        time: Any = 0.0,
+        stats: Optional[dict] = None,
+    ):
+        self.shader = shader
+        self.h = height
+        self.w = width
+        self.images_in = images_in
+        self.params = params
+        self.time = time
+        # Output image accumulators, created lazily on first store.
+        self.stores: dict[str, list] = {}
+        # Active lane mask (None = all lanes), combined with function
+        # return masks at write time.
+        self.mask: Optional[Any] = None
+        self.globals: dict[str, Val] = {}
+        # Compilation statistics for halo reflection: max static shift and
+        # whether any general gather was emitted.
+        self.stats = stats if stats is not None else {"max_shift": 0, "gather": False}
+        self._iota_cache: dict[str, Any] = {}
+
+        self._install_builtin_idents()
+        for decl in shader.globals:
+            self.globals[decl.name] = (
+                self.eval_expr(decl.init, self.globals)
+                if decl.init is not None
+                else self._zero_of(decl.type, decl.line)
+            )
+
+    # ---- machinery ------------------------------------------------------
+
+    def _iota(self, axis: str) -> Any:
+        got = self._iota_cache.get(axis)
+        if got is None:
+            dim = 1 if axis == "x" else 0
+            got = jax.lax.broadcasted_iota(jnp.int32, (self.h, self.w), dim)
+            self._iota_cache[axis] = got
+        return got
+
+    def _install_builtin_idents(self) -> None:
+        def pixel(axis: str) -> Any:
+            return self._iota(axis)
+
+        gx = Val("uint", pixel("x"), Origin("x", 0))
+        gy = Val("uint", pixel("y"), Origin("y", 0))
+        gz = Val("uint", 0)
+        self.globals["gl_GlobalInvocationID"] = Val("uvec3", [gx.data, gy.data, gz.data])
+        # Keep per-component origins for the common .xy path by storing the
+        # full Vals separately; Member() consults this.
+        self._gid_comps = [gx, gy, gz]
+        lsx, lsy, lsz = self.shader.local_size
+        self.globals["gl_WorkGroupSize"] = Val("uvec3", [lsx, lsy, lsz])
+        self.globals["gl_NumWorkGroups"] = Val(
+            "uvec3",
+            [-(-self.w // lsx), -(-self.h // lsy), 1],
+        )
+        self.globals["gl_LocalInvocationID"] = Val(
+            "uvec3", [gx.data % lsx, gy.data % lsy, 0]
+        )
+        self.globals["gl_WorkGroupID"] = Val(
+            "uvec3", [gx.data // lsx, gy.data // lsy, 0]
+        )
+        for ubo in self.shader.ubos:
+            for m in ubo.members:
+                self.globals[m.name] = self._ubo_member_val(m)
+
+    def _ubo_member_val(self, m: ast.UboMember) -> Val:
+        if m.name == "_rf_time" or m.name.endswith("_rf_time"):
+            return Val("float", self.time)
+        if m.array_size is not None:
+            raise GlslError(
+                f"UBO array member '{m.name}' is not supported (config "
+                f"parameters are scalars)"
+            )
+        if m.type not in ("float", "int", "uint", "bool"):
+            raise GlslError(
+                f"UBO member '{m.name}' has type {m.type}; only scalar "
+                f"float/int/bool parameters are supported"
+            )
+        raw = self.params.get(m.name, 0)
+        if m.type == "float":
+            return Val("float", float(raw))
+        if m.type == "bool":
+            return Val("bool", bool(raw))
+        return Val(m.type, int(raw))
+
+    def _zero_of(self, type_name: str, line: int) -> Val:
+        if type_name in SCALAR_TYPES:
+            zero = {"float": 0.0, "int": 0, "uint": 0, "bool": False}[type_name]
+            return Val(type_name, zero)
+        if type_name in VEC_TYPES:
+            elem, n = VEC_TYPES[type_name]
+            z = {"float": 0.0, "bool": False}.get(elem, 0)
+            return Val(type_name, [z] * n)
+        raise GlslError(f"cannot default-initialize type '{type_name}'", line)
+
+    def _write_masked(self, old: Any, new: Any) -> Any:
+        """Merge a write under the current lane mask."""
+        if self.mask is None:
+            return new
+        return jnp.where(self.mask, new, old)
+
+    def _as_array(self, x: Any, elem: str) -> Any:
+        dt = {"float": jnp.float32, "int": jnp.int32, "uint": jnp.int32,
+              "bool": jnp.bool_}[elem]
+        if is_static(x):
+            return jnp.full((self.h, self.w), x, dt)
+        return jnp.broadcast_to(jnp.asarray(x, dt), (self.h, self.w))
+
+    # ---- running --------------------------------------------------------
+
+    def run_main(self) -> dict[str, Any]:
+        main = self.shader.functions["main"]
+        try:
+            self.exec_block(main.body, _Scope(self.globals))
+        except _ReturnSignal:
+            pass
+        outputs = {}
+        for name, comps in self.stores.items():
+            outputs[name] = jnp.stack(
+                [self._as_array(c, "float") for c in comps], axis=0
+            )
+        return outputs
+
+    # ---- statements -----------------------------------------------------
+
+    def exec_block(self, stmts: list, scope: "_Scope") -> None:
+        inner = scope.child()
+        for s in stmts:
+            self.exec_stmt(s, inner)
+
+    def exec_stmt(self, s: Any, scope: "_Scope") -> None:
+        if isinstance(s, ast.Decl):
+            if s.array_size is not None:
+                size_v = self.eval_expr(s.array_size, scope)
+                if not is_static(size_v.data):
+                    raise GlslError("array size must be constant", s.line)
+                if s.init is not None:
+                    init = self.eval_expr(s.init, scope)
+                    if not init.type.startswith("array"):
+                        raise GlslError("array initializer expected", s.line)
+                    scope.declare(s.name, init)
+                else:
+                    elems = [self._zero_of(s.type, s.line) for _ in range(int(size_v.data))]
+                    scope.declare(s.name, Val(f"array:{s.type}", elems))
+                return
+            if s.init is not None:
+                v = self.convert(self.eval_expr(s.init, scope), s.type, s.line)
+            else:
+                v = self._zero_of(s.type, s.line)
+            scope.declare(s.name, v)
+            return
+        if isinstance(s, ast.ExprStmt):
+            self.eval_expr(s.expr, scope)
+            return
+        if isinstance(s, ast.Block):
+            self.exec_block(s.body, scope)
+            return
+        if isinstance(s, ast.If):
+            self.exec_if(s, scope)
+            return
+        if isinstance(s, ast.For):
+            self.exec_for(s, scope)
+            return
+        if isinstance(s, ast.While):
+            self.exec_while(s, scope)
+            return
+        if isinstance(s, ast.Return):
+            value = self.eval_expr(s.value, scope) if s.value is not None else None
+            if self.mask is None:
+                raise _ReturnSignal(value)
+            # Non-uniform return: deactivate these lanes for the remainder
+            # of the activation.
+            scope.activation.note_return(self.mask, value)
+            return
+        if isinstance(s, ast.Break):
+            if self.mask is not None:
+                raise GlslError("break under non-uniform condition is not supported", s.line)
+            raise _BreakSignal()
+        if isinstance(s, ast.Continue):
+            if self.mask is not None:
+                raise GlslError("continue under non-uniform condition is not supported", s.line)
+            raise _ContinueSignal()
+        raise GlslError(f"unsupported statement {type(s).__name__}", getattr(s, "line", 0))
+
+    def exec_if(self, s: ast.If, scope: "_Scope") -> None:
+        cond = self.eval_expr(s.cond, scope)
+        if cond.type != "bool":
+            raise GlslError("if condition must be bool", s.line)
+        if is_static(cond.data):
+            if cond.data:
+                self.exec_block(s.then, scope)
+            elif s.other is not None:
+                self.exec_block(s.other, scope)
+            return
+        # Vectorized predication.
+        outer = self.mask
+        live = scope.activation.live_mask()
+        base = cond.data if live is None else jnp.logical_and(cond.data, live)
+        self.mask = base if outer is None else jnp.logical_and(outer, base)
+        try:
+            self.exec_block(s.then, scope)
+        finally:
+            self.mask = outer
+        if s.other is not None:
+            neg = jnp.logical_not(cond.data)
+            live = scope.activation.live_mask()
+            base = neg if live is None else jnp.logical_and(neg, live)
+            self.mask = base if outer is None else jnp.logical_and(outer, base)
+            try:
+                self.exec_block(s.other, scope)
+            finally:
+                self.mask = outer
+
+    def exec_for(self, s: ast.For, scope: "_Scope") -> None:
+        loop_scope = scope.child()
+        if s.init is not None:
+            self.exec_stmt(s.init, loop_scope)
+        iters = 0
+        while True:
+            if s.cond is not None:
+                cond = self.eval_expr(s.cond, loop_scope)
+                if not is_static(cond.data):
+                    raise GlslError(
+                        "loop bounds must be uniform (constants or UBO "
+                        "parameters); data-dependent loops are not supported",
+                        s.line,
+                    )
+                if not cond.data:
+                    break
+            try:
+                self.exec_block(s.body, loop_scope)
+            except _BreakSignal:
+                break
+            except _ContinueSignal:
+                pass
+            if s.update is not None:
+                self.eval_expr(s.update, loop_scope)
+            iters += 1
+            if iters > _MAX_UNROLL:
+                raise GlslError("loop exceeds unroll limit", s.line)
+
+    def exec_while(self, s: ast.While, scope: "_Scope") -> None:
+        iters = 0
+        while True:
+            cond = self.eval_expr(s.cond, scope)
+            if not is_static(cond.data):
+                raise GlslError("while condition must be uniform", s.line)
+            if not cond.data:
+                break
+            try:
+                self.exec_block(s.body, scope)
+            except _BreakSignal:
+                break
+            except _ContinueSignal:
+                pass
+            iters += 1
+            if iters > _MAX_UNROLL:
+                raise GlslError("loop exceeds unroll limit", s.line)
+
+    # ---- expression evaluation -----------------------------------------
+
+    def eval_expr(self, e: Any, scope: "_Scope") -> Val:
+        method = getattr(self, f"_eval_{type(e).__name__}", None)
+        if method is None:
+            raise GlslError(f"unsupported expression {type(e).__name__}", getattr(e, "line", 0))
+        return method(e, scope)
+
+    def _eval_Num(self, e: ast.Num, scope) -> Val:
+        return Val("float" if e.is_float else "int", e.value)
+
+    def _eval_BoolLit(self, e: ast.BoolLit, scope) -> Val:
+        return Val("bool", e.value)
+
+    def _eval_Ident(self, e: ast.Ident, scope) -> Val:
+        v = scope.lookup(e.name)
+        if v is None:
+            raise GlslError(f"undeclared identifier '{e.name}'", e.line)
+        return v
+
+    def _eval_Member(self, e: ast.Member, scope) -> Val:
+        # Special-case gl_GlobalInvocationID components to keep origins.
+        if isinstance(e.expr, ast.Ident) and e.expr.name == "gl_GlobalInvocationID":
+            return self._swizzle_gid(e.name, e.line)
+        base = self.eval_expr(e.expr, scope)
+        return self._swizzle(base, e.name, e.line)
+
+    def _swizzle_gid(self, name: str, line: int) -> Val:
+        comps = {"x": 0, "y": 1, "z": 2}
+        idxs = [comps.get(c) for c in name]
+        if any(i is None for i in idxs):
+            raise GlslError(f"bad swizzle '.{name}' on gl_GlobalInvocationID", line)
+        vals = [self._gid_comps[i] for i in idxs]
+        if len(vals) == 1:
+            return vals[0]
+        v = Val(f"uvec{len(vals)}", [c.data for c in vals])
+        v._comp_origins = [c.origin for c in vals]  # type: ignore[attr-defined]
+        return v
+
+    def _swizzle(self, base: Val, name: str, line: int) -> Val:
+        if not base.is_vector():
+            raise GlslError(f"cannot swizzle non-vector type {base.type}", line)
+        for letters in SWIZZLE_SETS:
+            if all(c in letters for c in name):
+                idxs = [letters.index(c) for c in name]
+                break
+        else:
+            raise GlslError(f"bad swizzle '.{name}'", line)
+        if max(idxs) >= base.size:
+            raise GlslError(f"swizzle '.{name}' out of range for {base.type}", line)
+        elem = base.elem_type
+        base_origins = getattr(base, "_comp_origins", None)
+        if len(idxs) == 1:
+            origin = base_origins[idxs[0]] if base_origins else None
+            return Val(elem, base.data[idxs[0]], origin)
+        prefix = {"float": "", "int": "i", "uint": "u", "bool": "b"}[elem]
+        v = Val(f"{prefix}vec{len(idxs)}", [base.data[i] for i in idxs])
+        if base_origins:
+            v._comp_origins = [base_origins[i] for i in idxs]  # type: ignore[attr-defined]
+        return v
+
+    def _eval_Index(self, e: ast.Index, scope) -> Val:
+        base = self.eval_expr(e.expr, scope)
+        idx = self.eval_expr(e.index, scope)
+        if base.type.startswith("array"):
+            if not is_static(idx.data):
+                raise GlslError("array index must be uniform", e.line)
+            return base.data[int(idx.data)]
+        if base.is_vector():
+            if not is_static(idx.data):
+                raise GlslError("vector index must be uniform", e.line)
+            return Val(base.elem_type, base.data[int(idx.data)])
+        raise GlslError(f"cannot index type {base.type}", e.line)
+
+    def _eval_Unary(self, e: ast.Unary, scope) -> Val:
+        if e.op in ("++pre", "--pre", "++post", "--post"):
+            old = self.eval_expr(e.expr, scope)
+            delta = 1 if "++" in e.op else -1
+            one = Val(old.type, delta) if not old.is_vector() else None
+            new = self._arith("+", old, Val("int", delta), e.line)
+            self._assign_to(e.expr, new, scope, e.line)
+            return old if e.op.endswith("post") else new
+        v = self.eval_expr(e.expr, scope)
+        if e.op == "-":
+            if v.is_vector():
+                return Val(v.type, [self._neg(c) for c in v.data], None)
+            out = Val(v.type, self._neg(v.data))
+            return out
+        if e.op == "!":
+            if v.type != "bool":
+                raise GlslError("'!' needs bool", e.line)
+            data = (not v.data) if is_static(v.data) else jnp.logical_not(v.data)
+            return Val("bool", data)
+        if e.op == "~":
+            data = ~v.data if is_static(v.data) else jnp.invert(v.data)
+            return Val(v.type, data)
+        raise GlslError(f"unsupported unary '{e.op}'", e.line)
+
+    @staticmethod
+    def _neg(x):
+        return -x
+
+    def _eval_Ternary(self, e: ast.Ternary, scope) -> Val:
+        cond = self.eval_expr(e.cond, scope)
+        if cond.type != "bool":
+            raise GlslError("?: condition must be bool", e.line)
+        if is_static(cond.data):
+            return self.eval_expr(e.then if cond.data else e.other, scope)
+        a = self.eval_expr(e.then, scope)
+        b = self.eval_expr(e.other, scope)
+        a, b = self._usual_convert(a, b, e.line)
+        if a.is_vector():
+            return Val(a.type, [jnp.where(cond.data, x, y) for x, y in zip(a.data, b.data)])
+        return Val(a.type, jnp.where(cond.data, a.data, b.data))
+
+    def _eval_Binary(self, e: ast.Binary, scope) -> Val:
+        if e.op in ("&&", "||"):
+            a = self.eval_expr(e.left, scope)
+            if a.type != "bool":
+                raise GlslError(f"'{e.op}' needs bool operands", e.line)
+            if is_static(a.data):
+                # Short-circuit on uniform left operand.
+                if e.op == "&&" and not a.data:
+                    return Val("bool", False)
+                if e.op == "||" and a.data:
+                    return Val("bool", True)
+                return self.eval_expr(e.right, scope)
+            b = self.eval_expr(e.right, scope)
+            fn = jnp.logical_and if e.op == "&&" else jnp.logical_or
+            bb = b.data if not is_static(b.data) else bool(b.data)
+            return Val("bool", fn(a.data, bb))
+        a = self.eval_expr(e.left, scope)
+        b = self.eval_expr(e.right, scope)
+        if e.op in ("==", "!=", "<", ">", "<=", ">="):
+            return self._compare(e.op, a, b, e.line)
+        return self._arith(e.op, a, b, e.line)
+
+    def _eval_Assign(self, e: ast.Assign, scope) -> Val:
+        value = self.eval_expr(e.value, scope)
+        if e.op != "=":
+            old = self.eval_expr(e.target, scope)
+            value = self._arith(e.op[:-1], old, value, e.line)
+        self._assign_to(e.target, value, scope, e.line)
+        return value
+
+    def _eval_Call(self, e: ast.Call, scope) -> Val:
+        return self.call(e.name, e.args, scope, e.line)
+
+    def _eval_ArrayLit(self, e: ast.ArrayLit, scope) -> Val:
+        elems = [
+            self.convert(self.eval_expr(x, scope), e.elem_type, e.line)
+            for x in e.elems
+        ]
+        return Val(f"array:{e.elem_type}", elems)
+
+    # ---- assignment targets --------------------------------------------
+
+    def _assign_to(self, target: Any, value: Val, scope: "_Scope", line: int) -> None:
+        if isinstance(target, ast.Ident):
+            old = scope.lookup(target.name)
+            if old is None:
+                raise GlslError(f"assignment to undeclared '{target.name}'", line)
+            value = self.convert(value, old.type, line)
+            m = self._effective_mask(scope)
+            if m is None:
+                merged = value
+            elif value.is_vector():
+                merged = Val(
+                    value.type,
+                    [jnp.where(m, n, o) for n, o in zip(value.data, old.data)],
+                )
+            elif value.type.startswith("array"):
+                merged = value
+            else:
+                merged = Val(value.type, jnp.where(m, value.data, old.data))
+            scope.assign(target.name, merged)
+            return
+        if isinstance(target, ast.Member):
+            base_old = self.eval_expr(target.expr, scope)
+            if not base_old.is_vector():
+                raise GlslError("swizzle store on non-vector", line)
+            for letters in SWIZZLE_SETS:
+                if all(c in letters for c in target.name):
+                    idxs = [letters.index(c) for c in target.name]
+                    break
+            else:
+                raise GlslError(f"bad swizzle '.{target.name}'", line)
+            new_comps = list(base_old.data)
+            if len(idxs) == 1:
+                value = self.convert(value, base_old.elem_type, line)
+                new_comps[idxs[0]] = self._write_masked_scoped(
+                    scope, base_old.data[idxs[0]], value.data
+                )
+            else:
+                if not value.is_vector() or value.size != len(idxs):
+                    raise GlslError("swizzle store size mismatch", line)
+                for slot, comp in zip(idxs, value.data):
+                    new_comps[slot] = self._write_masked_scoped(
+                        scope, new_comps[slot], comp
+                    )
+            self._assign_to(
+                target.expr, Val(base_old.type, new_comps), scope, line
+            )
+            return
+        if isinstance(target, ast.Index):
+            base_old = self.eval_expr(target.expr, scope)
+            idx = self.eval_expr(target.index, scope)
+            if not is_static(idx.data):
+                raise GlslError("store through non-uniform index", line)
+            i = int(idx.data)
+            if base_old.type.startswith("array"):
+                elems = list(base_old.data)
+                elem_t = base_old.type.split(":", 1)[1]
+                value = self.convert(value, elem_t, line)
+                elems[i] = Val(elem_t, self._write_masked_scoped(scope, elems[i].data, value.data)) if not value.is_vector() else value
+                self._assign_to(target.expr, Val(base_old.type, elems), scope, line)
+                return
+            if base_old.is_vector():
+                comps = list(base_old.data)
+                value = self.convert(value, base_old.elem_type, line)
+                comps[i] = self._write_masked_scoped(scope, comps[i], value.data)
+                self._assign_to(target.expr, Val(base_old.type, comps), scope, line)
+                return
+            raise GlslError("cannot index-assign this type", line)
+        raise GlslError("unsupported assignment target", line)
+
+    def _write_masked_scoped(self, scope: "_Scope", old: Any, new: Any) -> Any:
+        m = self._effective_mask(scope)
+        if m is None:
+            return new
+        return jnp.where(m, new, old)
+
+    def _effective_mask(self, scope: "_Scope") -> Optional[Any]:
+        live = scope.activation.live_mask()
+        if self.mask is None:
+            return live
+        if live is None:
+            return self.mask
+        return jnp.logical_and(self.mask, live)
+
+    # ---- numeric ops ----------------------------------------------------
+
+    def _usual_convert(self, a: Val, b: Val, line: int) -> tuple[Val, Val]:
+        """Implicit conversions + scalar->vector broadcast for binary ops."""
+        if a.is_vector() and not b.is_vector():
+            b = Val(a.type, [self.convert(b, a.elem_type, line).data] * a.size)
+        elif b.is_vector() and not a.is_vector():
+            a = Val(b.type, [self.convert(a, b.elem_type, line).data] * b.size)
+        elif a.is_vector() and b.is_vector():
+            if a.size != b.size:
+                raise GlslError(f"vector size mismatch {a.type} vs {b.type}", line)
+            if a.elem_type != b.elem_type:
+                if "float" in (a.elem_type, b.elem_type):
+                    a = self.convert(a, f"vec{a.size}", line)
+                    b = self.convert(b, f"vec{b.size}", line)
+        else:
+            if a.type != b.type:
+                if "float" in (a.type, b.type):
+                    a = self.convert(a, "float", line)
+                    b = self.convert(b, "float", line)
+                else:
+                    # int/uint mix
+                    pass
+        return a, b
+
+    def _arith(self, op: str, a: Val, b: Val, line: int) -> Val:
+        a, b = self._usual_convert(a, b, line)
+        if a.is_vector():
+            a_origins = getattr(a, "_comp_origins", None) or [None] * a.size
+            b_origins = getattr(b, "_comp_origins", None) or [None] * a.size
+            comps = [
+                self._arith_scalar(op, a.elem_type, x, y, line, ox, oy)
+                for x, y, ox, oy in zip(a.data, b.data, a_origins, b_origins)
+            ]
+            out = Val(a.type, [c[0] for c in comps])
+            if a.elem_type in ("int", "uint") and any(c[1] for c in comps):
+                out._comp_origins = [c[1] for c in comps]  # type: ignore[attr-defined]
+            return out
+        data, origin = self._arith_scalar(op, a.type, a.data, b.data, line, a.origin, b.origin)
+        return Val(a.type, data, origin)
+
+    def _arith_scalar(
+        self, op, elem, x, y, line, ox: Optional[Origin] = None, oy: Optional[Origin] = None
+    ):
+        is_int = elem in ("int", "uint")
+        static = is_static(x) and is_static(y)
+        if op == "+":
+            data = x + y
+            origin = None
+            if ox is not None and is_static(y):
+                origin = Origin(ox.axis, ox.offset + int(y), False)
+            elif oy is not None and is_static(x):
+                origin = Origin(oy.axis, oy.offset + int(x), False)
+            return data, origin
+        if op == "-":
+            data = x - y
+            origin = None
+            if ox is not None and is_static(y):
+                origin = Origin(ox.axis, ox.offset - int(y), False)
+            return data, origin
+        if op == "*":
+            return x * y, None
+        if op == "/":
+            if is_int:
+                if static:
+                    q = abs(x) // abs(y) if y != 0 else 0
+                    return (q if (x >= 0) == (y >= 0) else -q), None
+                xa, ya = self._as_i32(x), self._as_i32(y)
+                return jax.lax.div(xa, ya), None
+            if static:
+                return (x / y if y != 0 else 0.0), None
+            return jnp.asarray(x) / y if not is_static(x) else x / jnp.asarray(y), None
+        if op == "%":
+            if is_int:
+                if static:
+                    if y == 0:
+                        return 0, None
+                    r = abs(x) % abs(y)
+                    return (r if x >= 0 else -r), None
+                xa, ya = self._as_i32(x), self._as_i32(y)
+                return jax.lax.rem(xa, ya), None
+            raise GlslError("'%' on floats: use mod()", line)
+        if op in ("&", "|", "^", "<<", ">>"):
+            if not is_int and elem != "bool":
+                raise GlslError(f"'{op}' needs integer operands", line)
+            import operator as _op
+
+            fn = {"&": _op.and_, "|": _op.or_, "^": _op.xor,
+                  "<<": _op.lshift, ">>": _op.rshift}[op]
+            if static:
+                return fn(x, y), None
+            return fn(self._as_i32(x), self._as_i32(y)), None
+        raise GlslError(f"unsupported operator '{op}'", line)
+
+    def _as_i32(self, x):
+        return jnp.asarray(x, jnp.int32) if is_static(x) else x
+
+    def _compare(self, op: str, a: Val, b: Val, line: int) -> Val:
+        a, b = self._usual_convert(a, b, line)
+        if a.is_vector():
+            raise GlslError(
+                f"'{op}' on vectors: use lessThan()/equal() etc.", line
+            )
+        x, y = a.data, b.data
+        if is_static(x) and is_static(y):
+            import operator as _op
+
+            fn = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, ">": _op.gt,
+                  "<=": _op.le, ">=": _op.ge}[op]
+            return Val("bool", fn(x, y))
+        fn = {"==": jnp.equal, "!=": jnp.not_equal, "<": jnp.less,
+              ">": jnp.greater, "<=": jnp.less_equal, ">=": jnp.greater_equal}[op]
+        return Val("bool", fn(x, y))
+
+    def convert(self, v: Val, to_type: str, line: int) -> Val:
+        if v.type == to_type:
+            return v
+        if to_type in SCALAR_TYPES:
+            if v.is_vector():
+                raise GlslError(f"cannot convert {v.type} to {to_type}", line)
+            return Val(to_type, self._cast_scalar(v.data, v.type, to_type), v.origin if to_type in ("int", "uint") and v.type in ("int", "uint") else None)
+        if to_type in VEC_TYPES:
+            elem, n = VEC_TYPES[to_type]
+            if v.is_vector():
+                if v.size != n:
+                    raise GlslError(f"cannot convert {v.type} to {to_type}", line)
+                out = Val(to_type, [self._cast_scalar(c, v.elem_type, elem) for c in v.data])
+                # int<->uint vector conversions preserve pixel provenance.
+                if elem in ("int", "uint") and v.elem_type in ("int", "uint"):
+                    origins = getattr(v, "_comp_origins", None)
+                    if origins:
+                        out._comp_origins = list(origins)  # type: ignore[attr-defined]
+                return out
+            return Val(to_type, [self._cast_scalar(v.data, v.type, elem)] * n)
+        raise GlslError(f"cannot convert {v.type} to {to_type}", line)
+
+    def _cast_scalar(self, x, from_t: str, to_t: str):
+        if from_t == to_t:
+            return x
+        if is_static(x):
+            if to_t == "float":
+                return float(x)
+            if to_t in ("int", "uint"):
+                return int(x)
+            if to_t == "bool":
+                return bool(x)
+        if to_t == "float":
+            return jnp.asarray(x).astype(jnp.float32)
+        if to_t in ("int", "uint"):
+            return jnp.asarray(x).astype(jnp.int32)
+        if to_t == "bool":
+            return jnp.asarray(x).astype(jnp.bool_)
+        raise AssertionError(to_t)
+
+    # ---- calls ----------------------------------------------------------
+
+    def call(self, name: str, arg_exprs: list, scope: "_Scope", line: int) -> Val:
+        # Type constructors.
+        if name in SCALAR_TYPES:
+            if len(arg_exprs) != 1:
+                raise GlslError(f"{name}() takes one argument", line)
+            return self.convert(self.eval_expr(arg_exprs[0], scope), name, line)
+        if name in VEC_TYPES:
+            return self._construct_vector(name, arg_exprs, scope, line)
+        if name in ("mat2", "mat3", "mat4"):
+            raise GlslError("matrix types are not supported yet", line)
+        if name == "imageLoad":
+            return self._image_load(arg_exprs, scope, line)
+        if name == "imageStore":
+            return self._image_store(arg_exprs, scope, line)
+        if name == "imageSize":
+            return self._image_size(arg_exprs, scope, line)
+        from .builtins import BUILTIN_FUNCS
+
+        fn = BUILTIN_FUNCS.get(name)
+        if fn is not None:
+            args = [self.eval_expr(a, scope) for a in arg_exprs]
+            return fn(self, args, line)
+        user = self.shader.functions.get(name)
+        if user is not None:
+            return self._call_user(user, arg_exprs, scope, line)
+        raise GlslError(f"unknown function '{name}'", line)
+
+    def _construct_vector(self, name: str, arg_exprs: list, scope, line) -> Val:
+        elem, n = VEC_TYPES[name]
+        args = [self.eval_expr(a, scope) for a in arg_exprs]
+        comps: list = []
+        origins: list = []
+        for a in args:
+            if a.is_vector():
+                a_origins = getattr(a, "_comp_origins", None) or [None] * a.size
+                for c, o in zip(a.data, a_origins):
+                    comps.append(self._cast_scalar(c, a.elem_type, elem))
+                    origins.append(o if elem in ("int", "uint") else None)
+            else:
+                comps.append(self._cast_scalar(a.data, a.type, elem))
+                origins.append(a.origin if elem in ("int", "uint") else None)
+        if len(comps) == 1 and n > 1:
+            comps = comps * n
+            origins = origins * n
+        if len(comps) < n:
+            raise GlslError(f"too few components for {name}", line)
+        comps = comps[:n]
+        origins = origins[:n]
+        v = Val(name, comps)
+        # Keep per-component origin info for ivec2 pixel coords.
+        v._comp_origins = origins  # type: ignore[attr-defined]
+        return v
+
+    def _coord_origin(self, coord: Val) -> Optional[tuple[int, int, bool]]:
+        """(dx, dy, clamped) when coord is pixel+static offset, else None."""
+        origins = getattr(coord, "_comp_origins", None)
+        if origins is None or len(origins) < 2:
+            return None
+        ox, oy = origins[0], origins[1]
+        if ox is None or oy is None or ox.axis != "x" or oy.axis != "y":
+            return None
+        clamped = ox.clamped and oy.clamped
+        if (ox.clamped or oy.clamped) and not clamped:
+            return None
+        return (ox.offset, oy.offset, clamped)
+
+    def _get_image(self, arg: Any, line: int) -> str:
+        if not isinstance(arg, ast.Ident):
+            raise GlslError("image argument must be an image variable", line)
+        names = {img.name for img in self.shader.images}
+        if arg.name not in names:
+            raise GlslError(f"'{arg.name}' is not a declared image", line)
+        return arg.name
+
+    def _image_current(self, name: str) -> list:
+        """Current contents of an image as a 4-component list."""
+        if name in self.stores:
+            return self.stores[name]
+        arr = self.images_in.get(name)
+        if arr is None:
+            # Writable image never loaded/stored yet: zeros.
+            z = jnp.zeros((self.h, self.w), jnp.float32)
+            return [z, z, z, jnp.ones((self.h, self.w), jnp.float32)]
+        return [arr[i] for i in range(4)]
+
+    def _image_load(self, arg_exprs: list, scope, line: int) -> Val:
+        if len(arg_exprs) != 2:
+            raise GlslError("imageLoad(image, ivec2)", line)
+        name = self._get_image(arg_exprs[0], line)
+        coord = self.eval_expr(arg_exprs[1], scope)
+        if not coord.is_vector() or coord.size != 2:
+            raise GlslError("imageLoad coordinate must be ivec2", line)
+        comps = self._image_current(name)
+        origin = self._coord_origin(coord)
+        if origin is not None:
+            dx, dy, clamped = origin
+            self.stats["max_shift"] = max(self.stats["max_shift"], abs(dx), abs(dy))
+            if dx == 0 and dy == 0:
+                return Val("vec4", list(comps))
+            return Val("vec4", [self._shift(c, dx, dy, clamped) for c in comps])
+        # General gather.
+        self.stats["gather"] = True
+        xs = self._as_i32(coord.data[0])
+        ys = self._as_i32(coord.data[1])
+        if is_static(coord.data[0]) and is_static(coord.data[1]):
+            xs = jnp.full((self.h, self.w), int(coord.data[0]), jnp.int32)
+            ys = jnp.full((self.h, self.w), int(coord.data[1]), jnp.int32)
+        inb = (
+            (xs >= 0) & (xs < self.w) & (ys >= 0) & (ys < self.h)
+        )
+        xc = jnp.clip(xs, 0, self.w - 1)
+        yc = jnp.clip(ys, 0, self.h - 1)
+        out = []
+        for c in comps:
+            arr = self._as_array(c, "float")
+            g = arr[yc, xc]
+            out.append(jnp.where(inb, g, 0.0))
+        return Val("vec4", out)
+
+    def _shift(self, plane: Any, dx: int, dy: int, clamped: bool) -> Any:
+        """Read plane at (x+dx, y+dy): pad (zero or edge) then slice."""
+        arr = self._as_array(plane, "float")
+        px0, px1 = max(dx, 0), max(-dx, 0)
+        py0, py1 = max(dy, 0), max(-dy, 0)
+        mode = "edge" if clamped else "constant"
+        padded = jnp.pad(arr, ((py1, py0), (px1, px0)), mode=mode)
+        return jax.lax.dynamic_slice(
+            padded, (py1 + dy, px1 + dx), (self.h, self.w)
+        )
+
+    def _image_store(self, arg_exprs: list, scope, line: int) -> Val:
+        if len(arg_exprs) != 3:
+            raise GlslError("imageStore(image, ivec2, vec4)", line)
+        name = self._get_image(arg_exprs[0], line)
+        coord = self.eval_expr(arg_exprs[1], scope)
+        value = self.convert(self.eval_expr(arg_exprs[2], scope), "vec4", line)
+        origin = self._coord_origin(coord)
+        if origin is None or origin[:2] != (0, 0):
+            raise GlslError(
+                "imageStore must write at gl_GlobalInvocationID (scatter "
+                "stores are not supported)",
+                line,
+            )
+        old = self._image_current(name)
+        m = self._effective_mask(scope)
+        if m is None:
+            self.stores[name] = list(value.data)
+        else:
+            self.stores[name] = [
+                jnp.where(m, self._as_array(nw, "float"), self._as_array(od, "float"))
+                for nw, od in zip(value.data, old)
+            ]
+        return Val("void", None)
+
+    def _image_size(self, arg_exprs: list, scope, line: int) -> Val:
+        self._get_image(arg_exprs[0], line)
+        v = Val("ivec2", [self.w, self.h])
+        v._comp_origins = [None, None]  # type: ignore[attr-defined]
+        return v
+
+    def _call_user(self, fn: ast.FuncDecl, arg_exprs: list, scope: "_Scope", line: int) -> Val:
+        args = [self.eval_expr(a, scope) for a in arg_exprs]
+        if len(args) != len(fn.params):
+            raise GlslError(
+                f"{fn.name}() expects {len(fn.params)} args, got {len(args)}", line
+            )
+        activation = _Activation(self, parent_live=scope.activation.live_mask())
+        fscope = _Scope(self.globals, activation)
+        for p, a in zip(fn.params, args):
+            if p.array_size is not None:
+                fscope.declare(p.name, a)
+            else:
+                fscope.declare(p.name, self.convert(a, p.type, line))
+        ret: Optional[Val] = None
+        try:
+            self.exec_block(fn.body, fscope)
+        except _ReturnSignal as r:
+            ret = r.value
+        # Copy back out/inout parameters.
+        for p, a_expr in zip(fn.params, arg_exprs):
+            if p.qualifier in ("out", "inout"):
+                self._assign_to(a_expr, fscope.lookup(p.name), scope, line)
+        if activation.returned_mask is not None:
+            merged = activation.merged_return()
+            if merged is not None:
+                if ret is None:
+                    ret = merged
+                else:
+                    rm = activation.returned_mask
+                    ret = self.convert(ret, merged.type, line)
+                    if merged.is_vector():
+                        ret = Val(
+                            merged.type,
+                            [jnp.where(rm, mv, rv) for mv, rv in zip(merged.data, ret.data)],
+                        )
+                    else:
+                        ret = Val(merged.type, jnp.where(rm, merged.data, ret.data))
+        if ret is None:
+            if fn.return_type == "void":
+                return Val("void", None)
+            ret = self._zero_of(fn.return_type, line)
+        return self.convert(ret, fn.return_type, line) if fn.return_type != "void" else ret
+
+
+class _Activation:
+    """Per-function-call state: non-uniform return tracking."""
+
+    def __init__(self, interp: Optional[Interp] = None, parent_live=None):
+        self.interp = interp
+        self.returned_mask = None
+        self.return_value: Optional[Val] = None
+        self.parent_live = parent_live
+
+    def live_mask(self):
+        combined = None
+        if self.parent_live is not None:
+            combined = self.parent_live
+        if self.returned_mask is not None:
+            not_ret = jnp.logical_not(self.returned_mask)
+            combined = not_ret if combined is None else jnp.logical_and(combined, not_ret)
+        return combined
+
+    def note_return(self, mask, value: Optional[Val]) -> None:
+        if value is not None:
+            if self.return_value is None:
+                self.return_value = value
+            else:
+                old = self.return_value
+                if value.is_vector():
+                    self.return_value = Val(
+                        value.type,
+                        [jnp.where(mask, n, o) for n, o in zip(value.data, old.data)],
+                    )
+                else:
+                    self.return_value = Val(value.type, jnp.where(mask, value.data, old.data))
+        self.returned_mask = (
+            mask if self.returned_mask is None else jnp.logical_or(self.returned_mask, mask)
+        )
+
+    def merged_return(self) -> Optional[Val]:
+        return self.return_value
+
+
+class _Scope:
+    """Lexical scope chain over the interpreter globals."""
+
+    def __init__(self, globals_: dict, activation: Optional[_Activation] = None, parent: Optional["_Scope"] = None):
+        self.vars: dict[str, Val] = {}
+        self.globals = globals_
+        self.parent = parent
+        self.activation = activation or (parent.activation if parent else _Activation())
+
+    def child(self) -> "_Scope":
+        return _Scope(self.globals, self.activation, self)
+
+    def lookup(self, name: str) -> Optional[Val]:
+        s: Optional[_Scope] = self
+        while s is not None:
+            if name in s.vars:
+                return s.vars[name]
+            s = s.parent
+        return self.globals.get(name)
+
+    def declare(self, name: str, v: Val) -> None:
+        self.vars[name] = v
+
+    def assign(self, name: str, v: Val) -> None:
+        s: Optional[_Scope] = self
+        while s is not None:
+            if name in s.vars:
+                s.vars[name] = v
+                return
+            s = s.parent
+        if name in self.globals:
+            self.globals[name] = v
+            return
+        raise GlslError(f"assignment to undeclared '{name}'")

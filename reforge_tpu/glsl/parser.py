@@ -1,0 +1,467 @@
+"""GLSL recursive-descent parser producing the ast.Shader structure.
+
+Parses the compute-shader subset: layout-qualified image/UBO/SSBO
+declarations (the binding surface the reference discovers via SPIR-V
+reflection — src/vulkan/shader.rs:106-160), const globals, functions, and
+the full C-like statement/expression grammar.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from . import ast
+from .lexer import GlslError, Tok, tokenize
+
+TYPE_NAMES = {
+    "void", "float", "int", "uint", "bool",
+    "vec2", "vec3", "vec4", "ivec2", "ivec3", "ivec4",
+    "uvec2", "uvec3", "uvec4", "bvec2", "bvec3", "bvec4",
+    "mat2", "mat3", "mat4",
+}
+
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<=", ">>="}
+
+# Binary operator precedence, higher binds tighter.
+_BIN_PREC = {
+    "||": 1,
+    "&&": 2,
+    "|": 3,
+    "^": 4,
+    "&": 5,
+    "==": 6, "!=": 6,
+    "<": 7, ">": 7, "<=": 7, ">=": 7,
+    "<<": 8, ">>": 8,
+    "+": 9, "-": 9,
+    "*": 10, "/": 10, "%": 10,
+}
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.pos = 0
+
+    # ---- token helpers --------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> Tok:
+        return self.toks[min(self.pos + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.pos]
+        if t.kind != "eof":
+            self.pos += 1
+        return t
+
+    def at(self, text: str) -> bool:
+        return self.peek().text == text and self.peek().kind in ("op", "id")
+
+    def accept(self, text: str) -> bool:
+        if self.at(text):
+            self.next()
+            return True
+        return False
+
+    def expect(self, text: str) -> Tok:
+        t = self.peek()
+        if t.text != text:
+            raise GlslError(f"expected '{text}', found '{t.text or '<eof>'}'", t.line)
+        return self.next()
+
+    def expect_ident(self) -> Tok:
+        t = self.peek()
+        if t.kind != "id":
+            raise GlslError(f"expected identifier, found '{t.text or '<eof>'}'", t.line)
+        return self.next()
+
+    # ---- top level ------------------------------------------------------
+
+    def parse_shader(self) -> ast.Shader:
+        local_size = (1, 1, 1)
+        images: list[ast.ImageDecl] = []
+        ubos: list[ast.UboDecl] = []
+        ssbos: list[ast.SsboDecl] = []
+        globals_: list[ast.Decl] = []
+        functions: dict[str, ast.FuncDecl] = {}
+
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.text == "layout":
+                result = self.parse_layout_decl()
+                if isinstance(result, tuple):
+                    local_size = result
+                elif isinstance(result, ast.ImageDecl):
+                    images.append(result)
+                elif isinstance(result, ast.UboDecl):
+                    ubos.append(result)
+                elif isinstance(result, ast.SsboDecl):
+                    ssbos.append(result)
+                continue
+            if t.text == "precision":
+                while not self.accept(";"):
+                    self.next()
+                continue
+            if t.text == "shared":
+                raise GlslError("shared memory is not supported", t.line)
+            # const global / global var / function
+            is_const = self.accept("const")
+            type_tok = self.expect_ident()
+            if type_tok.text not in TYPE_NAMES:
+                raise GlslError(f"unknown type '{type_tok.text}'", type_tok.line)
+            name_tok = self.expect_ident()
+            if self.at("(") and not is_const:
+                functions[name_tok.text] = self.parse_function(
+                    type_tok.text, name_tok.text
+                )
+            else:
+                decl = self.finish_var_decl(type_tok.text, name_tok.text, is_const)
+                globals_.append(decl)
+        if "main" not in functions:
+            raise GlslError("shader has no main() function")
+        return ast.Shader(local_size, images, ubos, ssbos, globals_, functions)
+
+    def parse_layout_qualifier(self) -> dict:
+        self.expect("layout")
+        self.expect("(")
+        items: dict = {}
+        while True:
+            key = self.expect_ident().text
+            if self.accept("="):
+                val_tok = self.next()
+                try:
+                    items[key] = int(val_tok.text, 0)
+                except ValueError:
+                    items[key] = val_tok.text
+            else:
+                items[key] = None
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return items
+
+    def parse_layout_decl(self):
+        items = self.parse_layout_qualifier()
+
+        # layout(local_size_x = N, ...) in;
+        if self.accept("in"):
+            self.expect(";")
+            return (
+                int(items.get("local_size_x", 1)),
+                int(items.get("local_size_y", 1)),
+                int(items.get("local_size_z", 1)),
+            )
+
+        quals = set()
+        while self.peek().text in (
+            "readonly", "writeonly", "coherent", "volatile", "restrict",
+            "uniform", "buffer", "highp", "mediump", "lowp",
+        ):
+            quals.add(self.next().text)
+
+        t = self.peek()
+        if t.text == "image2D":
+            self.next()
+            name = self.expect_ident().text
+            self.expect(";")
+            fmt = next(
+                (k for k in items if k in (
+                    "rgba8", "rgba16f", "rgba32f", "r32f", "rg32f", "r8",
+                    "rgba8_snorm",
+                )),
+                None,
+            )
+            if "binding" not in items:
+                raise GlslError(f"image '{name}' has no binding", t.line)
+            return ast.ImageDecl(
+                name=name,
+                binding=int(items["binding"]),
+                format=fmt,
+                readonly="readonly" in quals,
+                writeonly="writeonly" in quals,
+                line=t.line,
+            )
+        if t.text == "sampler2D":
+            raise GlslError("sampler2D is not supported; use image2D", t.line)
+
+        # uniform/buffer block
+        block_name = self.expect_ident().text
+        self.expect("{")
+        members: list[ast.UboMember] = []
+        while not self.accept("}"):
+            mtype = self.expect_ident().text
+            if mtype not in TYPE_NAMES:
+                raise GlslError(f"unknown type '{mtype}' in block", self.peek().line)
+            mname = self.expect_ident().text
+            array_size = None
+            if self.accept("["):
+                array_size = int(self.next().text)
+                self.expect("]")
+            self.expect(";")
+            members.append(ast.UboMember(mtype, mname, array_size))
+        instance = None
+        if self.peek().kind == "id":
+            instance = self.next().text
+        self.expect(";")
+        binding = int(items.get("binding", 0))
+        if "buffer" in quals:
+            return ast.SsboDecl(
+                block_name, binding, members, instance,
+                readonly="readonly" in quals, writeonly="writeonly" in quals,
+                line=t.line,
+            )
+        return ast.UboDecl(block_name, binding, members, instance, line=t.line)
+
+    def parse_function(self, return_type: str, name: str) -> ast.FuncDecl:
+        line = self.peek().line
+        self.expect("(")
+        params: list[ast.Param] = []
+        if not self.at(")"):
+            while True:
+                qual = "in"
+                while self.peek().text in ("in", "out", "inout", "const"):
+                    q = self.next().text
+                    if q in ("in", "out", "inout"):
+                        qual = q
+                ptype = self.expect_ident().text
+                if ptype == "void" and self.at(")"):
+                    break
+                pname = self.expect_ident().text
+                asize = None
+                if self.accept("["):
+                    asize = int(self.next().text)
+                    self.expect("]")
+                params.append(ast.Param(ptype, pname, qual, asize))
+                if not self.accept(","):
+                    break
+        self.expect(")")
+        body = self.parse_block()
+        return ast.FuncDecl(return_type, name, params, body, line)
+
+    def finish_var_decl(self, type_name: str, var_name: str, is_const: bool) -> ast.Decl:
+        """Parse the remainder of `type name ...;` (array suffix, init)."""
+        line = self.peek().line
+        array_size = None
+        if self.accept("["):
+            if not self.at("]"):
+                array_size = self.parse_expr()
+            self.expect("]")
+        init = None
+        if self.accept("="):
+            init = self.parse_expr()
+        self.expect(";")
+        return ast.Decl(type_name, var_name, init, array_size, is_const, line)
+
+    # ---- statements -----------------------------------------------------
+
+    def parse_block(self) -> list:
+        self.expect("{")
+        body = []
+        while not self.accept("}"):
+            body.append(self.parse_stmt())
+        return body
+
+    def parse_stmt(self):
+        t = self.peek()
+        if t.text == "{":
+            return ast.Block(self.parse_block(), t.line)
+        if t.text == "if":
+            self.next()
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(")")
+            then = self.parse_stmt_as_list()
+            other = None
+            if self.accept("else"):
+                other = self.parse_stmt_as_list()
+            return ast.If(cond, then, other, t.line)
+        if t.text == "for":
+            self.next()
+            self.expect("(")
+            init = None
+            if not self.at(";"):
+                init = self.parse_simple_stmt()
+            else:
+                self.next()
+            cond = None
+            if not self.at(";"):
+                cond = self.parse_expr()
+            self.expect(";")
+            update = None
+            if not self.at(")"):
+                update = self.parse_expr()
+            self.expect(")")
+            body = self.parse_stmt_as_list()
+            return ast.For(init, cond, update, body, t.line)
+        if t.text == "while":
+            self.next()
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(")")
+            body = self.parse_stmt_as_list()
+            return ast.While(cond, body, t.line)
+        if t.text == "return":
+            self.next()
+            value = None
+            if not self.at(";"):
+                value = self.parse_expr()
+            self.expect(";")
+            return ast.Return(value, t.line)
+        if t.text == "break":
+            self.next()
+            self.expect(";")
+            return ast.Break(t.line)
+        if t.text == "continue":
+            self.next()
+            self.expect(";")
+            return ast.Continue(t.line)
+        if t.text == "discard":
+            raise GlslError("discard is fragment-only", t.line)
+        return self.parse_simple_stmt()
+
+    def parse_stmt_as_list(self) -> list:
+        s = self.parse_stmt()
+        return s.body if isinstance(s, ast.Block) else [s]
+
+    def parse_simple_stmt(self):
+        """Declaration or expression statement, consuming the ';'."""
+        t = self.peek()
+        is_const = False
+        if t.text == "const":
+            is_const = True
+            self.next()
+            t = self.peek()
+        if (
+            t.kind == "id"
+            and t.text in TYPE_NAMES
+            and self.peek(1).kind == "id"
+        ):
+            self.next()
+            name = self.expect_ident().text
+            return self.finish_var_decl(t.text, name, is_const)
+        expr = self.parse_expr()
+        self.expect(";")
+        return ast.ExprStmt(expr, t.line)
+
+    # ---- expressions ----------------------------------------------------
+
+    def parse_expr(self):
+        return self.parse_assignment()
+
+    def parse_assignment(self):
+        left = self.parse_ternary()
+        t = self.peek()
+        if t.kind == "op" and t.text in _ASSIGN_OPS:
+            self.next()
+            value = self.parse_assignment()
+            return ast.Assign(t.text, left, value, t.line)
+        return left
+
+    def parse_ternary(self):
+        cond = self.parse_binary(0)
+        if self.at("?"):
+            line = self.next().line
+            then = self.parse_assignment()
+            self.expect(":")
+            other = self.parse_assignment()
+            return ast.Ternary(cond, then, other, line)
+        return cond
+
+    def parse_binary(self, min_prec: int):
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            prec = _BIN_PREC.get(t.text) if t.kind == "op" else None
+            if prec is None or prec < min_prec:
+                return left
+            self.next()
+            right = self.parse_binary(prec + 1)
+            left = ast.Binary(t.text, left, right, t.line)
+
+    def parse_unary(self):
+        t = self.peek()
+        if t.kind == "op" and t.text in ("-", "!", "~", "+"):
+            self.next()
+            expr = self.parse_unary()
+            if t.text == "+":
+                return expr
+            return ast.Unary(t.text, expr, t.line)
+        if t.kind == "op" and t.text in ("++", "--"):
+            self.next()
+            expr = self.parse_unary()
+            return ast.Unary(t.text + "pre", expr, t.line)
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        expr = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t.text == ".":
+                self.next()
+                name = self.expect_ident().text
+                expr = ast.Member(expr, name, t.line)
+            elif t.text == "[":
+                self.next()
+                idx = self.parse_expr()
+                self.expect("]")
+                expr = ast.Index(expr, idx, t.line)
+            elif t.text in ("++", "--") and t.kind == "op":
+                self.next()
+                expr = ast.Unary(t.text + "post", expr, t.line)
+            else:
+                return expr
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "int":
+            self.next()
+            text = t.text.rstrip("uU")
+            return ast.Num(int(text, 0), False, t.line)
+        if t.kind == "float":
+            self.next()
+            return ast.Num(float(t.text.rstrip("fF")), True, t.line)
+        if t.text == "(":
+            self.next()
+            expr = self.parse_expr()
+            self.expect(")")
+            return expr
+        if t.kind == "id":
+            if t.text == "true":
+                self.next()
+                return ast.BoolLit(True, t.line)
+            if t.text == "false":
+                self.next()
+                return ast.BoolLit(False, t.line)
+            self.next()
+            # Array constructor: float[5](...) or float[](...)
+            if t.text in TYPE_NAMES and self.at("["):
+                self.next()
+                size = None
+                if not self.at("]"):
+                    size_tok = self.next()
+                    size = int(size_tok.text)
+                self.expect("]")
+                self.expect("(")
+                elems = []
+                if not self.at(")"):
+                    while True:
+                        elems.append(self.parse_assignment())
+                        if not self.accept(","):
+                            break
+                self.expect(")")
+                return ast.ArrayLit(t.text, size, elems, t.line)
+            if self.at("("):
+                self.next()
+                args = []
+                if not self.at(")"):
+                    while True:
+                        args.append(self.parse_assignment())
+                        if not self.accept(","):
+                            break
+                self.expect(")")
+                return ast.Call(t.text, args, t.line)
+            return ast.Ident(t.text, t.line)
+        raise GlslError(f"unexpected token '{t.text or '<eof>'}'", t.line)
+
+
+def parse_shader_source(src: str) -> ast.Shader:
+    return Parser(src).parse_shader()

@@ -1,0 +1,426 @@
+"""GLSL-subset translator tests: reflection, numerics, control flow, errors."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reforge_tpu.glsl import GlslError, translate_shader
+from reforge_tpu.kernels.base import KernelContext
+
+HEADER = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+"""
+
+
+def run_shader(body, img=None, params=None, h=12, w=16, extra_decls="", t=0.0,
+               images=None):
+    src = HEADER + extra_decls + "\nvoid main() {\n" + body + "\n}\n"
+    spec = translate_shader(src, "test")
+    if img is None and images is None:
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+    imgs = images if images is not None else {"input_image": img}
+    ctx = KernelContext(width=w, height=h, time=t)
+    resolved = spec.resolve_params(params or {})
+    return spec(ctx, imgs, resolved)["output_image"], imgs.get("input_image")
+
+
+PASSTHROUGH = """
+    vec4 res = imageLoad(input_image, ivec2(gl_GlobalInvocationID.xy));
+    imageStore(output_image, ivec2(gl_GlobalInvocationID.xy), res);
+"""
+
+
+class TestBasics:
+    def test_passthrough(self):
+        out, img = run_shader(PASSTHROUGH)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+    def test_arithmetic_and_swizzle(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            c.rgb = c.bgr * 2.0 + 0.125;
+            imageStore(output_image, pos, c);
+        """)
+        ref = np.asarray(img).copy()
+        ref[:3] = ref[[2, 1, 0]] * 2.0 + 0.125
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+    def test_builtin_functions(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float y = dot(c.rgb, vec3(0.2126, 0.7152, 0.0722));
+            float v = clamp(pow(y, 2.2), 0.0, 1.0);
+            imageStore(output_image, pos, vec4(v, sqrt(v), mix(0.0, 1.0, v), 1.0));
+        """)
+        i = np.asarray(img)
+        y = 0.2126 * i[0] + 0.7152 * i[1] + 0.0722 * i[2]
+        v = np.clip(y ** 2.2, 0, 1)
+        np.testing.assert_allclose(np.asarray(out)[0], v, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out)[1], np.sqrt(v), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out)[2], v, atol=1e-5)
+
+    def test_shifted_load_zero_pad(self):
+        # GLSL robust OOB semantics: out-of-bounds imageLoad returns 0.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos + ivec2(1, 0));
+            imageStore(output_image, pos, c);
+        """)
+        i = np.asarray(img)
+        ref = np.zeros_like(i)
+        ref[:, :, :-1] = i[:, :, 1:]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+    def test_time_uniform(self):
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            imageStore(output_image, pos, vec4(_rf_time, 0.0, 0.0, 1.0));
+        """
+        decls = "layout(binding=2) uniform U { float _rf_time; };"
+        out, _ = run_shader(body, extra_decls=decls, t=0.75)
+        np.testing.assert_allclose(np.asarray(out)[0], 0.75, atol=1e-6)
+
+    def test_define_macro(self):
+        src = HEADER + """
+#define GAIN 3.0
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    imageStore(output_image, pos, imageLoad(input_image, pos) * GAIN);
+}
+"""
+        spec = translate_shader(src, "macro")
+        img = jnp.full((4, 8, 8), 0.25, jnp.float32)
+        ctx = KernelContext(width=8, height=8)
+        out = spec(ctx, {"input_image": img}, {})["output_image"]
+        np.testing.assert_allclose(np.asarray(out), 0.75, atol=1e-6)
+
+
+class TestControlFlow:
+    def test_static_loop_conv(self):
+        out, img = run_shader(
+            """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            ivec2 size = imageSize(input_image);
+            vec4 acc = vec4(0.0);
+            for (int d = -radius; d <= radius; d++) {
+                ivec2 p = clamp(pos + ivec2(d, 0), ivec2(0), size - ivec2(1));
+                acc += imageLoad(input_image, p);
+            }
+            imageStore(output_image, pos, acc / float(2 * radius + 1));
+            """,
+            extra_decls="layout(binding=2) uniform U { int radius; };",
+            params={"radius": 2},
+        )
+        i = np.pad(np.asarray(img), ((0, 0), (0, 0), (2, 2)), mode="edge")
+        ref = sum(i[:, :, k : k + 16] for k in range(5)) / 5.0
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_nonuniform_if(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            if (c.r > 0.5) {
+                c.g = 1.0;
+            } else {
+                c.g = 0.0;
+            }
+            imageStore(output_image, pos, c);
+        """)
+        i = np.asarray(img)
+        ref = i.copy()
+        ref[1] = (i[0] > 0.5).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+    def test_nonuniform_early_return(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            if (pos.x < 4) {
+                imageStore(output_image, pos, vec4(1.0));
+                return;
+            }
+            imageStore(output_image, pos, c * 0.5);
+        """)
+        i = np.asarray(img)
+        o = np.asarray(out)
+        np.testing.assert_allclose(o[:, :, :4], 1.0, atol=1e-6)
+        np.testing.assert_allclose(o[:, :, 4:], i[:, :, 4:] * 0.5, atol=1e-6)
+
+    def test_ternary(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r > c.g ? c.r : c.g;
+            imageStore(output_image, pos, vec4(v, v, v, 1.0));
+        """)
+        i = np.asarray(img)
+        np.testing.assert_allclose(np.asarray(out)[0], np.maximum(i[0], i[1]), atol=1e-6)
+
+    def test_while_and_break(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            int i = 0;
+            float acc = 0.0;
+            while (true) {
+                if (i >= 4) { break; }
+                acc += 0.125;
+                i++;
+            }
+            imageStore(output_image, pos, vec4(acc, 0.0, 0.0, 1.0));
+        """)
+        np.testing.assert_allclose(np.asarray(out)[0], 0.5, atol=1e-6)
+
+    def test_user_function_with_out_param(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float lo; float hi;
+            minmax(c.r, c.g, lo, hi);
+            imageStore(output_image, pos, vec4(lo, hi, 0.0, 1.0));
+        """, extra_decls="""
+            void minmax(float a, float b, out float lo, out float hi) {
+                lo = min(a, b);
+                hi = max(a, b);
+            }
+        """)
+        i = np.asarray(img)
+        np.testing.assert_allclose(np.asarray(out)[0], np.minimum(i[0], i[1]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out)[1], np.maximum(i[0], i[1]), atol=1e-6)
+
+    def test_function_early_returns(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            imageStore(output_image, pos, vec4(classify(c.r), 0.0, 0.0, 1.0));
+        """, extra_decls="""
+            float classify(float v) {
+                if (v < 0.25) { return 0.0; }
+                if (v < 0.75) { return 0.5; }
+                return 1.0;
+            }
+        """)
+        i = np.asarray(img)[0]
+        ref = np.where(i < 0.25, 0.0, np.where(i < 0.75, 0.5, 1.0))
+        np.testing.assert_allclose(np.asarray(out)[0], ref, atol=1e-6)
+
+    def test_array_weights(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            ivec2 size = imageSize(input_image);
+            float w[3] = float[](0.25, 0.5, 0.25);
+            vec4 acc = vec4(0.0);
+            for (int d = -1; d <= 1; d++) {
+                ivec2 p = clamp(pos + ivec2(0, d), ivec2(0), size - ivec2(1));
+                acc += imageLoad(input_image, p) * w[d + 1];
+            }
+            imageStore(output_image, pos, acc);
+        """)
+        i = np.pad(np.asarray(img), ((0, 0), (1, 1), (0, 0)), mode="edge")
+        ref = 0.25 * i[:, :-2] + 0.5 * i[:, 1:-1] + 0.25 * i[:, 2:]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+class TestGather:
+    def test_mirror_flip_via_gather(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            ivec2 size = imageSize(input_image);
+            vec4 c = imageLoad(input_image, ivec2(size.x - 1 - pos.x, pos.y));
+            imageStore(output_image, pos, c);
+        """)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(img)[:, :, ::-1], atol=1e-6
+        )
+
+    def test_gather_marks_unshardable(self):
+        src = HEADER + """
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 size = imageSize(input_image);
+    imageStore(output_image, pos,
+               imageLoad(input_image, ivec2(size.x - 1 - pos.x, pos.y)));
+}
+"""
+        spec = translate_shader(src, "mirror")
+        assert spec.halo_for({}) is None
+
+    def test_shift_halo_reflection(self):
+        src = HEADER + """
+layout(binding=2) uniform U { int radius; };
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 acc = vec4(0.0);
+    for (int d = -radius; d <= radius; d++) {
+        acc += imageLoad(input_image, pos + ivec2(d, 0));
+    }
+    imageStore(output_image, pos, acc);
+}
+"""
+        spec = translate_shader(src, "blur1d")
+        assert spec.halo_for({"radius": 5}) == 5
+        assert spec.halo_for({"radius": 9}) == 9
+
+
+class TestReflection:
+    def test_multi_image_bindings(self):
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform readonly image2D input_image2;
+layout (binding = 2, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 3) uniform Blend { float factor; };
+void main() {
+    ivec2 p = ivec2(gl_GlobalInvocationID.xy);
+    vec4 a = imageLoad(input_image, p);
+    vec4 b = imageLoad(input_image2, p);
+    imageStore(output_image, p, mix(a, b, factor));
+}
+"""
+        spec = translate_shader(src, "blend2")
+        assert spec.images_in == ("input_image", "input_image2")
+        assert spec.images_out == ("output_image",)
+        assert list(spec.params) == ["factor"]
+
+        a = jnp.zeros((4, 8, 8), jnp.float32)
+        b = jnp.ones((4, 8, 8), jnp.float32)
+        ctx = KernelContext(width=8, height=8)
+        out = spec(ctx, {"input_image": a, "input_image2": b},
+                   spec.resolve_params({"factor": 0.25}))["output_image"]
+        np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-6)
+
+    def test_direction_from_usage_without_qualifiers(self):
+        src = """
+#version 450
+layout (local_size_x = 8, local_size_y = 8) in;
+layout (binding = 0, rgba8) uniform image2D input_image;
+layout (binding = 1, rgba8) uniform image2D output_image;
+void main() {
+    ivec2 p = ivec2(gl_GlobalInvocationID.xy);
+    imageStore(output_image, p, imageLoad(input_image, p));
+}
+"""
+        spec = translate_shader(src, "noqual")
+        assert spec.images_in == ("input_image",)
+        assert spec.images_out == ("output_image",)
+
+
+class TestErrors:
+    def test_scatter_store_rejected(self):
+        with pytest.raises(GlslError, match="scatter"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                imageStore(output_image, ivec2(0, 0), vec4(1.0));
+            """)
+
+    def test_data_dependent_loop_rejected(self):
+        with pytest.raises(GlslError, match="uniform"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                vec4 c = imageLoad(input_image, pos);
+                vec4 acc = vec4(0.0);
+                for (int i = 0; i < int(c.r * 10.0); i++) { acc += c; }
+                imageStore(output_image, pos, acc);
+            """)
+
+    def test_syntax_error_has_line(self):
+        src = HEADER + "void main() {\n    vec4 c = ;\n}\n"
+        with pytest.raises(GlslError) as exc:
+            translate_shader(src, "bad")
+        assert exc.value.line is not None
+
+    def test_unknown_function(self):
+        with pytest.raises(GlslError, match="unknown function"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                imageStore(output_image, pos, bogus(vec4(1.0)));
+            """)
+
+    def test_no_output_binding_rejected(self):
+        src = """
+#version 450
+layout (local_size_x = 8, local_size_y = 8) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+void main() { vec4 c = imageLoad(input_image, ivec2(gl_GlobalInvocationID.xy)); }
+"""
+        with pytest.raises(GlslError, match="never stores"):
+            translate_shader(src, "nostore")
+
+    def test_unwritten_writeonly_image_yields_zeros(self):
+        # Declared-but-unwritten output image: contents are zeros (the
+        # Vulkan analog is undefined contents; zeros is the defined choice).
+        src = HEADER + "void main() { vec4 c = vec4(1.0); }\n"
+        spec = translate_shader(src, "noop")
+        ctx = KernelContext(width=4, height=4)
+        img = jnp.ones((4, 4, 4), jnp.float32)
+        out = spec(ctx, {"input_image": img}, {})["output_image"]
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+class TestRealWorldShaders:
+    def test_separable_gaussian_two_kernels(self):
+        """A realistic two-image shader: gaussian weights computed in-shader."""
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) uniform UBO { float sigma; };
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 size = imageSize(input_image);
+    int radius = int(ceil(3.0 * sigma));
+    float total = 0.0;
+    vec3 acc = vec3(0.0);
+    for (int d = -radius; d <= radius; d++) {
+        float w = exp(-0.5 * float(d * d) / (sigma * sigma));
+        ivec2 p = clamp(pos + ivec2(d, 0), ivec2(0), size - ivec2(1));
+        acc += imageLoad(input_image, p).rgb * w;
+        total += w;
+    }
+    imageStore(output_image, pos, vec4(acc / total, 1.0));
+}
+"""
+        spec = translate_shader(src, "gauss_h")
+        assert spec.halo_for(spec.resolve_params({"sigma": 2.0})) == 6
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.random((4, 10, 20), dtype=np.float32))
+        ctx = KernelContext(width=20, height=10)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({"sigma": 2.0}))[
+            "output_image"
+        ]
+        # numpy reference
+        r = 6
+        xs = np.arange(-r, r + 1)
+        w = np.exp(-0.5 * xs**2 / 4.0)
+        i = np.pad(np.asarray(img)[:3], ((0, 0), (0, 0), (r, r)), mode="edge")
+        ref = sum(w[k] * i[:, :, k : k + 20] for k in range(2 * r + 1)) / w.sum()
+        np.testing.assert_allclose(np.asarray(out)[:3], ref, atol=1e-5)
+
+    def test_jit_compiles_and_fuses(self):
+        """The interpreter output must be jittable end to end."""
+        import jax
+
+        src = HEADER + """
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    imageStore(output_image, pos, 1.0 - c);
+}
+"""
+        spec = translate_shader(src, "inv")
+        ctx = KernelContext(width=16, height=12)
+
+        @jax.jit
+        def f(img):
+            return spec(ctx, {"input_image": img}, {})["output_image"]
+
+        img = jnp.full((4, 12, 16), 0.25, jnp.float32)
+        np.testing.assert_allclose(np.asarray(f(img)), 0.75, atol=1e-6)
