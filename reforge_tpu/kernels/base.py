@@ -87,12 +87,32 @@ class ParamDecl:
 
 @dataclasses.dataclass
 class KernelContext:
-    """Per-trace execution context passed to every kernel."""
+    """Per-trace execution context passed to every kernel.
+
+    ``width``/``height`` are the GLOBAL image extent — what coordinate math
+    (vignette centers, imageSize, checkerboard cells) must use.  Under
+    row-sharded execution a kernel sees only a horizontal slab of the
+    image: ``local_height`` rows starting at global row ``row_offset``
+    (which may be a traced per-device scalar inside shard_map).  On a
+    single device ``local_height == height`` and ``row_offset == 0``.
+    Kernels should derive pixel coordinates via ops.grid_coords(ctx) and
+    shapes via ctx.local_shape so they are shard-correct for free.
+    """
 
     width: int
     height: int
     time: Any = 0.0  # traced f32 scalar: seconds since start (``_rf_time``)
     fmt: str = "rgba32f"  # "rgba8" | "rgba32f"
+    row_offset: Any = 0  # global row index of local row 0 (may be traced)
+    local_height: Optional[int] = None  # rows in the local block
+
+    @property
+    def block_height(self) -> int:
+        return self.local_height if self.local_height is not None else self.height
+
+    @property
+    def local_shape(self) -> tuple[int, int]:
+        return (self.block_height, self.width)
 
     @property
     def extent(self) -> tuple[int, int]:

@@ -34,7 +34,6 @@ from .ops import (
     gaussian_radius,
     luma,
     map_rgb,
-    pixel_coords,
     sample_bilinear,
     sep_conv,
     smoothstep,
@@ -259,7 +258,7 @@ def difference(ctx, input_image, input_image2):
 @kernel("vignette")
 def vignette(ctx, input_image, *, strength=0.5, radius=0.75):
     h, w = ctx.height, ctx.width
-    ys, xs = pixel_coords(h, w)
+    ys, xs = ops.grid_coords(ctx)
     ny = (ys.astype(jnp.float32) / max(h - 1, 1)) * 2.0 - 1.0
     nx = (xs.astype(jnp.float32) / max(w - 1, 1)) * 2.0 - 1.0
     d = jnp.sqrt(nx * nx + ny * ny)
@@ -270,15 +269,14 @@ def vignette(ctx, input_image, *, strength=0.5, radius=0.75):
 @kernel("pixelate", halo=lambda p: None)
 def pixelate(ctx, input_image, *, size=8):
     size = max(int(size), 1)
-    h, w = ctx.height, ctx.width
-    ys, xs = pixel_coords(h, w)
+    ys, xs = ops.grid_coords(ctx)
     return ops.sample_nearest(input_image, (ys // size) * size, (xs // size) * size)
 
 
 @kernel("chromatic_aberration", halo=lambda p: None)
 def chromatic_aberration(ctx, input_image, *, shift=2.0):
     h, w = ctx.height, ctx.width
-    ys, xs = pixel_coords(h, w)
+    ys, xs = ops.grid_coords(ctx)
     yf = ys.astype(jnp.float32)
     xf = xs.astype(jnp.float32)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -292,7 +290,7 @@ def chromatic_aberration(ctx, input_image, *, shift=2.0):
 @kernel("swirl", halo=lambda p: None)
 def swirl(ctx, input_image, *, angle=2.0, radius=0.5):
     h, w = ctx.height, ctx.width
-    ys, xs = pixel_coords(h, w)
+    ys, xs = ops.grid_coords(ctx)
     yf = ys.astype(jnp.float32)
     xf = xs.astype(jnp.float32)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -308,8 +306,7 @@ def swirl(ctx, input_image, *, angle=2.0, radius=0.5):
 
 @kernel("scanlines")
 def scanlines(ctx, input_image, *, period=3, darkness=0.35):
-    h, w = ctx.height, ctx.width
-    ys, _ = pixel_coords(h, w)
+    ys, _ = ops.grid_coords(ctx)
     period = max(int(period), 1)
     fade = jnp.where((ys % period) == 0, 1.0 - darkness, 1.0)
     return map_rgb(input_image, lambda rgb: rgb * fade[None])
@@ -318,8 +315,7 @@ def scanlines(ctx, input_image, *, period=3, darkness=0.35):
 @kernel("wave", halo=lambda p: None)
 def wave(ctx, input_image, *, amplitude=8.0, frequency=0.02, speed=1.0):
     """Animated horizontal wave distortion driven by _rf_time."""
-    h, w = ctx.height, ctx.width
-    ys, xs = pixel_coords(h, w)
+    ys, xs = ops.grid_coords(ctx)
     yf = ys.astype(jnp.float32)
     xf = xs.astype(jnp.float32)
     phase = ctx.time * speed * 2.0 * math.pi
@@ -327,14 +323,14 @@ def wave(ctx, input_image, *, amplitude=8.0, frequency=0.02, speed=1.0):
     return sample_bilinear(input_image, yf, xf + offset)
 
 
-@kernel("noise")
+@kernel("noise", halo=lambda p: None)
 def noise(ctx, input_image, *, amount=0.1, seed=0, animate=False):
     key = jax.random.PRNGKey(int(seed))
     if animate:
         # Fold the frame clock into the key so grain changes per frame.
         key = jax.random.fold_in(key, (ctx.time * 1000.0).astype(jnp.int32))
     grain = jax.random.uniform(
-        key, (1, ctx.height, ctx.width), minval=-0.5, maxval=0.5
+        key, (1,) + ctx.local_shape, minval=-0.5, maxval=0.5
     )
     return map_rgb(input_image, lambda rgb: rgb + amount * grain)
 
@@ -342,15 +338,15 @@ def noise(ctx, input_image, *, amount=0.1, seed=0, animate=False):
 @kernel("checkerboard", images_in=(), doc="Generator: checkerboard test pattern.")
 def checkerboard(ctx, *, size=32):
     size = max(int(size), 1)
-    ys, xs = pixel_coords(ctx.height, ctx.width)
+    ys, xs = ops.grid_coords(ctx)
     v = (((ys // size) + (xs // size)) % 2).astype(jnp.float32)
-    v = jnp.broadcast_to(v[None], (3, ctx.height, ctx.width))
-    return jnp.concatenate([v, jnp.ones((1, ctx.height, ctx.width), v.dtype)], axis=0)
+    v = jnp.broadcast_to(v[None], (3,) + ctx.local_shape)
+    return jnp.concatenate([v, jnp.ones((1,) + ctx.local_shape, v.dtype)], axis=0)
 
 
 @kernel("solid", images_in=(), doc="Generator: constant color.")
 def solid(ctx, *, red=0.0, green=0.0, blue=0.0, alpha=1.0):
-    shape = (ctx.height, ctx.width)
+    shape = ctx.local_shape
     return jnp.stack(
         [jnp.full(shape, c, jnp.float32) for c in (red, green, blue, alpha)], axis=0
     )

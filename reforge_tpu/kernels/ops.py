@@ -31,12 +31,20 @@ def conv1d(x: jnp.ndarray, weights: np.ndarray, axis: int) -> jnp.ndarray:
     """1-D correlation along a spatial axis with clamp-to-edge borders.
 
     ``weights`` must be a static numpy array of odd length; taps unroll at
-    trace time.
+    trace time.  On TPU backends, 3-D (C, H, W) images route to the Pallas
+    kernels (pallas_ops.py) that accumulate all taps in VMEM; elsewhere (or
+    when REFORGE_NO_PALLAS is set) the portable jnp shifted-add path runs.
     """
     weights = np.asarray(weights, dtype=np.float32)
     r = (len(weights) - 1) // 2
     if r == 0:
         return x * float(weights[0])
+    if x.ndim == 3 and axis in (AXIS_H, AXIS_W) and _use_pallas():
+        from . import pallas_ops
+
+        if axis == AXIS_H:
+            return pallas_ops.conv1d_h(x, weights)
+        return pallas_ops.conv1d_w(x, weights)
     pad = [(0, 0)] * x.ndim
     pad[axis] = (r, r)
     xp = jnp.pad(x, pad, mode="edge")
@@ -48,6 +56,16 @@ def conv1d(x: jnp.ndarray, weights: np.ndarray, axis: int) -> jnp.ndarray:
         tap = jax.lax.slice_in_dim(xp, i, i + size, axis=axis)
         acc = tap * float(w) if acc is None else acc + tap * float(w)
     return acc if acc is not None else jnp.zeros_like(x)
+
+
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("REFORGE_NO_PALLAS"):
+        return False
+    from . import pallas_ops
+
+    return pallas_ops.pallas_available()
 
 
 def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
@@ -127,6 +145,20 @@ def pixel_coords(h: int, w: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(y, x) integer coordinate planes, each (H, W) int32."""
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return ys, xs
+
+
+def grid_coords(ctx) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """GLOBAL (y, x) coordinate planes for the local block of ``ctx``.
+
+    Shard-correct: shapes follow the local block, values follow the global
+    image (row_offset may be a traced per-device index inside shard_map).
+    """
+    h, w = ctx.local_shape
+    ys, xs = pixel_coords(h, w)
+    off = ctx.row_offset
+    if not (isinstance(off, int) and off == 0):
+        ys = ys + jnp.asarray(off, jnp.int32)
     return ys, xs
 
 
