@@ -134,6 +134,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         has_input_image=args.input_file is not None,
         shader_file_path=args.shader,
         timing=args.timing,
+        shard=args.shard,
     )
 
     try:

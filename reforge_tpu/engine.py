@@ -61,6 +61,10 @@ class RenderInfo:
     shader_file_path: Optional[str] = None
     timing: str = "fused"  # "fused" | "per-node"
     async_compile: bool = False
+    # Row-shard the graph across N devices with explicit halo exchange
+    # (0 = single device).  The reference has no multi-device mode; this is
+    # the TPU-native scale axis (SURVEY.md §2).
+    shard: int = 0
 
 
 def _enable_persistent_cache() -> None:
@@ -126,7 +130,22 @@ class Engine:
         graph = build_graph(config)
         if graph is None:
             return None
-        return make_program(graph, self.info.width, self.info.height, self.info.fmt)
+        program = make_program(graph, self.info.width, self.info.height, self.info.fmt)
+        if program is None or not self.info.shard:
+            return program
+        from .parallel import HaloShardedProgram, make_row_mesh
+
+        try:
+            mesh = make_row_mesh(self.info.shard)
+            sharded = HaloShardedProgram(program, mesh)
+        except ValueError as e:
+            warnln(f"Cannot shard graph: {e}; running single-device")
+            return program
+        # Wrap: the engine calls program(input, t) and run_per_node for
+        # timing; sharded execution keeps the unsharded program for the
+        # per-node timing path.
+        program.sharded = sharded  # type: ignore[attr-defined]
+        return program
 
     def _kernel_mtimes(self) -> dict[str, int]:
         """Track mtimes of all file-backed kernels (reference: render.rs:225-249)."""
@@ -244,7 +263,9 @@ class Engine:
             self.last_gpu_times = times
         else:
             start = _time.perf_counter()
-            out = self.program(self._file_input(), t)
+            sharded = getattr(self.program, "sharded", None)
+            run = sharded if sharded is not None else self.program
+            out = run(self._file_input(), t)
             self._inflight.append(out)
             if len(self._inflight) >= max(1, self.info.num_frames):
                 # Analog of wait_for_frame_fence (render.rs:328-337): block

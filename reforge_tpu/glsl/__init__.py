@@ -114,11 +114,13 @@ def translate_shader(source: str, name: str, path: Optional[str] = None) -> Kern
         params = {k: v for k, v in kwargs.items() if k not in images}
         interp = Interp(
             shader,
-            height=ctx.height,
+            height=ctx.block_height,
             width=ctx.width,
             images_in=images,
             params=params,
             time=ctx.time,
+            row_offset=ctx.row_offset,
+            global_height=ctx.height,
         )
         outputs = interp.run_main()
         # Every declared output gets a value; unwritten ones pass through

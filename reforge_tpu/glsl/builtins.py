@@ -112,7 +112,7 @@ def _bi_clamp(interp: Interp, args: list[Val], line: int) -> Val:
     )
     # Propagate pixel origins through exact image-bounds clamps.
     if x.elem_type in ("int", "uint"):
-        extents = {"x": interp.w, "y": interp.h}
+        extents = {"x": interp.w, "y": interp.global_h}
         if out.is_vector():
             origins = [
                 _clamp_origin(interp, x, lo, hi, i, extents)

@@ -125,10 +125,14 @@ class Interp:
         params: dict[str, Any],  # UBO member name -> python scalar
         time: Any = 0.0,
         stats: Optional[dict] = None,
+        row_offset: Any = 0,  # global row of local row 0 (may be traced)
+        global_height: Optional[int] = None,  # imageSize/clamp extent
     ):
         self.shader = shader
-        self.h = height
+        self.h = height  # local block height (array shapes)
         self.w = width
+        self.row_offset = row_offset
+        self.global_h = global_height if global_height is not None else height
         self.images_in = images_in
         self.params = params
         self.time = time
@@ -162,11 +166,15 @@ class Interp:
         return got
 
     def _install_builtin_idents(self) -> None:
-        def pixel(axis: str) -> Any:
-            return self._iota(axis)
-
-        gx = Val("uint", pixel("x"), Origin("x", 0))
-        gy = Val("uint", pixel("y"), Origin("y", 0))
+        gx = Val("uint", self._iota("x"), Origin("x", 0))
+        # Globally correct row index on a sharded slab: local iota plus the
+        # slab's global row offset.  The Origin tag stays local-relative —
+        # shifted loads index the local block.
+        gy_data = self._iota("y")
+        off = self.row_offset
+        if not (isinstance(off, int) and off == 0):
+            gy_data = gy_data + jnp.asarray(off, jnp.int32)
+        gy = Val("uint", gy_data, Origin("y", 0))
         gz = Val("uint", 0)
         self.globals["gl_GlobalInvocationID"] = Val("uvec3", [gx.data, gy.data, gz.data])
         # Keep per-component origins for the common .xy path by storing the
@@ -934,7 +942,9 @@ class Interp:
 
     def _image_size(self, arg_exprs: list, scope, line: int) -> Val:
         self._get_image(arg_exprs[0], line)
-        v = Val("ivec2", [self.w, self.h])
+        # Global extent: under row sharding a shader must see the whole
+        # image's size, not the local slab's.
+        v = Val("ivec2", [self.w, self.global_h])
         v._comp_origins = [None, None]  # type: ignore[attr-defined]
         return v
 

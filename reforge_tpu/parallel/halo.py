@@ -1,0 +1,158 @@
+"""Explicit halo-exchange spatial sharding: shard_map + ppermute.
+
+The hand-scheduled alternative to GSPMD auto-partitioning
+(spatial.shard_program): the whole graph runs inside one ``shard_map``
+over a 1-D row mesh, and each node's declared halo drives exactly the
+communication it needs:
+
+  * halo == 0    — pure local compute (pointwise/color nodes): zero
+    communication, the common case.
+  * halo == r    — exchange r boundary rows with each neighbor via
+    ``jax.lax.ppermute`` (the image-domain analog of ring attention's
+    neighbor KV passing), run the unmodified kernel on the padded slab,
+    crop r rows: interior outputs only depend on genuine data, so any
+    translation-invariant kernel with support <= r is exact.
+  * halo is None — data-dependent access (warps, mosaics): all-gather the
+    rows, run on the full image, keep the local slab.  Correct by
+    construction; costs one collective.
+
+Global edges replicate boundary rows (clamp-to-edge) or zero-fill,
+matching the kernel's border convention; ppermute conveniently delivers
+zeros to edge devices that have no neighbor.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import FILE_INPUT, FINAL_OUTPUT
+from ..kernels.base import KernelContext, quantize_rgba8
+from ..graph.program import GraphProgram
+from .mesh import Mesh, ROW_AXIS
+
+
+def halo_pad(
+    x: jnp.ndarray,
+    r: int,
+    n_devices: int,
+    device_idx: Any,
+    axis_name: str = ROW_AXIS,
+    mode: str = "edge",
+) -> jnp.ndarray:
+    """Pad a local (C, h, W) slab with r rows from each neighbor.
+
+    Devices at the global top/bottom get edge-replicated (or zero) rows
+    instead — reproducing the single-device border convention exactly.
+    """
+    bot_send = x[:, -r:, :]  # my bottom rows -> below device's top halo
+    top_send = x[:, :r, :]  # my top rows -> above device's bottom halo
+    from_above = jax.lax.ppermute(
+        bot_send, axis_name, [(i, i + 1) for i in range(n_devices - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        top_send, axis_name, [(i, i - 1) for i in range(1, n_devices)]
+    )
+    if mode == "edge":
+        top_edge = jnp.repeat(x[:, :1, :], r, axis=1)
+        bot_edge = jnp.repeat(x[:, -1:, :], r, axis=1)
+        from_above = jnp.where(device_idx == 0, top_edge, from_above)
+        from_below = jnp.where(device_idx == n_devices - 1, bot_edge, from_below)
+    return jnp.concatenate([from_above, x, from_below], axis=1)
+
+
+class HaloShardedProgram:
+    """A graph program row-sharded with per-node explicit halo exchange."""
+
+    def __init__(self, program: GraphProgram, mesh: Mesh):
+        self.program = program
+        self.mesh = mesh
+        self.n = mesh.shape[ROW_AXIS]
+        h = program.height
+        if h % self.n != 0:
+            raise ValueError(
+                f"image height {h} is not divisible by the {self.n}-device mesh"
+            )
+        self.h_local = h // self.n
+
+        rows = P(None, ROW_AXIS, None)
+        scalar = P()
+        self._fused = jax.jit(
+            shard_map(
+                self._local_forward,
+                mesh=mesh,
+                in_specs=(rows, scalar),
+                out_specs=rows,
+            )
+        )
+
+    # Runs per device on the local slab.
+    def _local_forward(self, file_input_local: jnp.ndarray, t: jnp.ndarray):
+        prog = self.program
+        n, h_local = self.n, self.h_local
+        idx = jax.lax.axis_index(ROW_AXIS)
+        resources: dict[str, Any] = {FILE_INPUT: file_input_local}
+
+        def ctx_for(local_height: int, row0) -> KernelContext:
+            return KernelContext(
+                width=prog.width,
+                height=prog.height,
+                time=t,
+                fmt=prog.fmt,
+                row_offset=row0,
+                local_height=local_height,
+            )
+
+        for layer in prog.graph.layers:
+            for node in layer:
+                ins_local = {desc: resources[res] for res, desc in node.inputs}
+                r = node.halo
+                if r is not None and r > h_local:
+                    # Halo wider than a slab would need multi-hop exchange;
+                    # the all-gather path is simpler and still correct.
+                    r = None
+                if r is None:
+                    full = {
+                        d: jax.lax.all_gather(v, ROW_AXIS, axis=1, tiled=True)
+                        for d, v in ins_local.items()
+                    }
+                    outs = node.spec(ctx_for(prog.height, 0), full, node.params)
+                    crop = lambda v: jax.lax.dynamic_slice_in_dim(
+                        v, idx * h_local, h_local, axis=1
+                    )
+                elif r == 0:
+                    outs = node.spec(
+                        ctx_for(h_local, idx * h_local), ins_local, node.params
+                    )
+                    crop = lambda v: v
+                else:
+                    padded = {
+                        d: halo_pad(v, r, n, idx) for d, v in ins_local.items()
+                    }
+                    outs = node.spec(
+                        ctx_for(h_local + 2 * r, idx * h_local - r),
+                        padded,
+                        node.params,
+                    )
+                    crop = lambda v, _r=r: v[:, _r:-_r, :]
+                for res, desc in node.outputs:
+                    value = crop(outs[desc]).astype(jnp.float32)
+                    if prog.fmt == "rgba8":
+                        value = quantize_rgba8(value)
+                    resources[res] = value
+        return resources[FINAL_OUTPUT]
+
+    def __call__(self, file_input: jnp.ndarray, t) -> jnp.ndarray:
+        return self._fused(file_input, jnp.float32(t))
+
+    def shard_input(self, file_input: jnp.ndarray) -> jnp.ndarray:
+        return jax.device_put(
+            file_input, NamedSharding(self.mesh, P(None, ROW_AXIS, None))
+        )
