@@ -135,6 +135,9 @@ def main(argv: Optional[list[str]] = None) -> int:
         shader_file_path=args.shader,
         timing=args.timing,
         shard=args.shard,
+        # Live loop: compile reloads on a background thread so the old
+        # program keeps producing frames; headless runs compile inline.
+        async_compile=not headless,
     )
 
     try:

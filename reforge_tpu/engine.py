@@ -68,15 +68,28 @@ class RenderInfo:
 
 
 def _enable_persistent_cache() -> None:
-    """Warm-cache jit across processes: critical for reload-to-frame latency."""
-    cache_dir = os.environ.get(
-        "REFORGE_JAX_CACHE", os.path.expanduser("~/.cache/reforge_tpu/jax")
-    )
+    """Warm-cache jit across processes: critical for reload-to-frame latency.
+
+    TPU only: CPU compiles are fast enough not to need it, and remote-
+    compile setups (e.g. tunneled TPU sessions) can deposit CPU executables
+    built for a different host into a shared cache, which then load with
+    mismatched machine features.  Keying the directory by backend avoids
+    cross-backend pollution as well.
+    """
+    if os.environ.get("REFORGE_NO_JIT_CACHE"):
+        return
     try:
+        backend = jax.default_backend()
+        if backend != "tpu":
+            return
+        cache_dir = os.environ.get(
+            "REFORGE_JAX_CACHE",
+            os.path.expanduser(f"~/.cache/reforge_tpu/jax-{backend}"),
+        )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # cache is an optimization; never fail startup over it
 
@@ -91,7 +104,9 @@ class Engine:
         self._inflight: list[Any] = []
         self._input_planar: Optional[jnp.ndarray] = None
         self._compile_lock = threading.Lock()
-        self._pending: Optional[GraphProgram] = None
+        self._pending: Optional[tuple] = None
+        self._build_seq = 0
+        self._pending_seq = 0
 
         config = self._create_config()
         if config is None:
@@ -176,13 +191,70 @@ class Engine:
         Returns True when the program was swapped (the CLI clears its timer
         line, reference main.rs:139-143).  Any failure keeps the last-good
         program (render.rs:121-136).
+
+        With ``async_compile`` the rebuild validates and starts compiling on
+        a background thread while the previous program keeps producing
+        frames; the swap lands on a later poll once the compile finishes —
+        the engine never shows a stalled frame, improving on the
+        reference's device_wait_idle stall during rebuild (render.rs:125).
         """
-        swapped = False
+        swapped = self._adopt_pending()
         if self._config_changed():
             swapped = self._recreate_program() or swapped
         else:
             swapped = self._reload_changed_kernels() or swapped
         return swapped
+
+    def _adopt_pending(self) -> bool:
+        with self._compile_lock:
+            pending = self._pending
+            self._pending = None
+        if pending is None:
+            return False
+        config, program = pending
+        self._swap(config, program)
+        return True
+
+    def _finish_build(self, config: Config) -> bool:
+        """Build (validate) + compile the program: inline, or off-thread.
+
+        The async path runs the WHOLE rebuild — kernel loading, descriptor
+        matching, abstract-eval validation, and XLA compile — on a
+        background thread so the frame loop never blocks; the old program
+        keeps rendering until the new one is ready.  A generation counter
+        makes rapid successive edits last-writer-wins.
+        """
+        if not self.info.async_compile:
+            program = self._build_program(config)
+            if program is None:
+                return False
+            self._swap(config, program)
+            return True
+
+        with self._compile_lock:
+            self._build_seq += 1
+            seq = self._build_seq
+
+        def work():
+            try:
+                program = self._build_program(config)
+                if program is None:
+                    return  # warned already; keep last good
+                sharded = getattr(program, "sharded", None)
+                if sharded is not None:
+                    sharded.compile()
+                else:
+                    program.compile()
+            except Exception as e:  # any failure: keep last good
+                warnln(f"Background rebuild failed: {e}")
+                return
+            with self._compile_lock:
+                if seq >= self._pending_seq:
+                    self._pending = (config, program)
+                    self._pending_seq = seq
+
+        threading.Thread(target=work, daemon=True, name="rf-compile").start()
+        return False
 
     def _config_changed(self) -> bool:
         path = self.info.config_path
@@ -222,18 +294,10 @@ class Engine:
         config = self._create_config()
         if config is None:
             return False
-        program = self._build_program(config)
-        if program is None:
-            return False
-        self._swap(config, program)
-        return True
+        return self._finish_build(config)
 
     def _rebuild_keeping_config(self) -> bool:
-        program = self._build_program(self.config)
-        if program is None:
-            return False
-        self._swap(self.config, program)
-        return True
+        return self._finish_build(self.config)
 
     def _swap(self, config: Config, program: GraphProgram) -> None:
         self._drain()

@@ -49,6 +49,7 @@ class GraphProgram:
         self.fmt = fmt
         self._fused = jax.jit(self._forward)
         self._node_fns: dict[str, Any] = {}
+        self._compiled = None  # AOT executable from compile()
 
     # ---- tracing --------------------------------------------------------
 
@@ -100,14 +101,21 @@ class GraphProgram:
     # ---- execution ------------------------------------------------------
 
     def __call__(self, file_input: jnp.ndarray, t: float | jnp.ndarray) -> jnp.ndarray:
+        if self._compiled is not None:
+            return self._compiled(file_input, jnp.float32(t))
         return self._fused(file_input, jnp.float32(t))
 
-    def compile(self, donate: bool = False) -> None:
-        """Eagerly compile the fused program for this graph's extent."""
+    def compile(self) -> None:
+        """Eagerly AOT-compile the fused program for this graph's extent.
+
+        Safe to run on a background thread: the engine's async reload path
+        compiles the new program here while the previous one keeps
+        rendering (the fused-program analog of the reference rebuilding a
+        pipeline while the old one stays bound, pipeline_graph.rs:329-343).
+        """
         shape = jax.ShapeDtypeStruct((4, self.height, self.width), jnp.float32)
         t = jax.ShapeDtypeStruct((), jnp.float32)
-        self._lowered = self._fused.lower(shape, t)
-        self._compiled = self._lowered.compile()
+        self._compiled = self._fused.lower(shape, t).compile()
 
     def _node_fn(self, node: PipelineNode):
         fn = self._node_fns.get(node.name)

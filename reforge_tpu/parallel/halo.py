@@ -82,6 +82,7 @@ class HaloShardedProgram:
             )
         self.h_local = h // self.n
 
+        self._compiled = None
         rows = P(None, ROW_AXIS, None)
         scalar = P()
         self._fused = jax.jit(
@@ -150,7 +151,21 @@ class HaloShardedProgram:
         return resources[FINAL_OUTPUT]
 
     def __call__(self, file_input: jnp.ndarray, t) -> jnp.ndarray:
+        if self._compiled is not None:
+            return self._compiled(file_input, jnp.float32(t))
         return self._fused(file_input, jnp.float32(t))
+
+    def compile(self) -> None:
+        """Eagerly AOT-compile (usable from a background thread, like
+        GraphProgram.compile)."""
+        prog = self.program
+        shape = jax.ShapeDtypeStruct(
+            (4, prog.height, prog.width),
+            jnp.float32,
+            sharding=NamedSharding(self.mesh, P(None, ROW_AXIS, None)),
+        )
+        t = jax.ShapeDtypeStruct((), jnp.float32)
+        self._compiled = self._fused.lower(shape, t).compile()
 
     def shard_input(self, file_input: jnp.ndarray) -> jnp.ndarray:
         return jax.device_put(

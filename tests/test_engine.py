@@ -183,3 +183,42 @@ class TestCli:
         from reforge_tpu.cli import main
 
         assert main(["-i", "/nonexistent/x.png", "-o", "/tmp/y.png"]) == 1
+
+
+class TestAsyncReload:
+    def test_async_compile_swap(self, tmp_path):
+        eng, cfg = make_engine(
+            tmp_path, "input -> invert -> output", async_compile=True
+        )
+        out1 = np.asarray(eng.render_frame_blocking(0.0))
+        old = utils.get_modified_time(cfg)
+        write(cfg, "input -> passthrough -> output", bump_from=old)
+
+        # First poll starts the background compile; the old program still
+        # renders (no stall, no swap yet necessarily).
+        t0 = time.perf_counter()
+        first = eng.trigger_reloads()
+        poll_latency = time.perf_counter() - t0
+        assert poll_latency < 5.0  # validation+trace only, no full compile
+
+        # Keep rendering while compiling; eventually the swap lands.
+        swapped = first
+        deadline = time.time() + 60
+        while not swapped and time.time() < deadline:
+            eng.render_frame_blocking(0.0)
+            time.sleep(0.02)
+            swapped = eng.trigger_reloads()
+        assert swapped, "async compile never delivered the new program"
+        out2 = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_allclose(out2, np.asarray(eng._input_planar), atol=1e-6)
+
+    def test_async_bad_edit_keeps_rendering(self, tmp_path):
+        eng, cfg = make_engine(
+            tmp_path, "input -> invert -> output", async_compile=True
+        )
+        out1 = np.asarray(eng.render_frame_blocking(0.0))
+        old = utils.get_modified_time(cfg)
+        write(cfg, "totally broken @@@", bump_from=old)
+        assert eng.trigger_reloads() is False
+        out2 = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_array_equal(out1, out2)
