@@ -89,6 +89,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default="auto",
         help="Force the JAX platform (auto = default device selection)",
     )
+    p.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="Abort with a traceback when any kernel produces NaN "
+        "(the validation-layer analog; SURVEY.md §5)",
+    )
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="Write a jax.profiler trace of the run to DIR "
+        "(view with TensorBoard / Perfetto)",
+    )
     return p
 
 
@@ -101,6 +113,10 @@ def main(argv: Optional[list[str]] = None) -> int:
         # Must win over environment-pinned platform selection (e.g. a
         # sitecustomize that forces a remote TPU backend).
         jax.config.update("jax_platforms", args.backend)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     if args.config and args.shader:
         warnln("Cannot specify both a config and shader file")
@@ -152,16 +168,35 @@ def main(argv: Optional[list[str]] = None) -> int:
         engine.load_input(rgba)
         print(f"File Decode and resize: {utils.get_elapsed_ms(t0):.2f}ms")
 
-    if headless:
-        out = engine.render_frame_blocking()
-        encode(args.output_file, engine.read_output(out))
-        return 0
+    profiling = False
+    if args.profile:
+        import jax
 
-    return _run_live_loop(engine, args)
+        try:
+            jax.profiler.start_trace(args.profile)
+            profiling = True
+        except Exception as e:
+            warnln(f"Cannot start profiler trace at {args.profile}: {e}")
+
+    try:
+        if headless:
+            out = engine.render_frame_blocking()
+            encode(args.output_file, engine.read_output(out))
+            return 0
+        return _run_live_loop(engine, args)
+    finally:
+        if profiling:
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+                print(f"Profiler trace written to {args.profile}", file=sys.stderr)
+            except Exception as e:  # trace export failure must not eat the run
+                warnln(f"Profiler trace export failed: {e}")
 
 
 def _run_live_loop(engine: Engine, args) -> int:
-    from .window import create_preview
+    from .window import NullPreview, create_preview
 
     preview = create_preview(args.preview, engine.info.width, engine.info.height)
     avg_ms = 0.0
@@ -184,9 +219,8 @@ def _run_live_loop(engine: Engine, args) -> int:
             sys.stderr.flush()
 
             out = engine.render_frame()
-            if not isinstance(preview, type(None)) and preview is not None:
-                rgba = engine.read_output(out)
-                preview.show(rgba)
+            if not isinstance(preview, NullPreview):
+                preview.show(engine.read_output(out))
 
             frames_run += 1
             if args.frames and frames_run >= args.frames:
