@@ -206,6 +206,9 @@ def _run_live_loop(engine: Engine, args) -> int:
         while True:
             if preview.poll_quit():
                 break
+            resized = preview.poll_resize()
+            if resized is not None:
+                engine.resize(*resized)
             if engine.trigger_reloads():
                 sys.stderr.write(TERM_CLEAR)
 

@@ -299,6 +299,19 @@ class Engine:
     def _rebuild_keeping_config(self) -> bool:
         return self._finish_build(self.config)
 
+    def resize(self, width: int, height: int) -> bool:
+        """Rebuild the graph at a new extent (window resize, no input image).
+
+        With an input image the graph extent stays pinned to it — the
+        preview scales instead (reference render.rs:529-532 semantics).
+        """
+        if self.info.has_input_image:
+            return False
+        if (width, height) == (self.info.width, self.info.height):
+            return False
+        self.info.width, self.info.height = width, height
+        return self._rebuild_keeping_config()
+
     def _swap(self, config: Config, program: GraphProgram) -> None:
         self._drain()
         self.config = config

@@ -34,6 +34,15 @@ class PreviewBackend:
         """True when the user asked to close (Esc / window close)."""
         return False
 
+    def poll_resize(self) -> "tuple[int, int] | None":
+        """New (width, height) if the window was resized since last poll.
+
+        The reference rebuilds the swapchain on resize, and when no input
+        image pins the extent the window size becomes the new graph size
+        (render.rs:500-505, 529-532); the CLI loop mirrors that.
+        """
+        return None
+
     def close(self) -> None:
         pass
 
@@ -51,6 +60,7 @@ class PygameWindow(PreviewBackend):
         import pygame
 
         self._pygame = pygame
+        self._resized = None
         pygame.display.init()
         self._screen = pygame.display.set_mode((width, height), pygame.RESIZABLE)
         pygame.display.set_caption(title)
@@ -79,7 +89,14 @@ class PygameWindow(PreviewBackend):
                 return True
             if event.type == pygame.KEYDOWN and event.key == pygame.K_ESCAPE:
                 return True
+            if event.type == pygame.VIDEORESIZE:
+                self._resized = (event.w, event.h)
         return False
+
+    def poll_resize(self):
+        r = self._resized
+        self._resized = None
+        return r
 
     def close(self) -> None:
         self._pygame.display.quit()

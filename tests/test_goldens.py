@@ -1,0 +1,87 @@
+"""Golden-image regression tests.
+
+Each config renders a fixed 64x64 seeded input on CPU and compares against
+a stored PNG golden (tests/goldens/). Regenerate after INTENTIONAL visual
+changes with: python tests/test_goldens.py --regen
+
+Comparison allows ±1 u8 code value: XLA versions/platforms may reassociate
+float sums, flipping isolated rounding boundaries after sRGB encode.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+CONFIGS = {
+    "passthrough": "input -> passthrough -> output",
+    "gaussian": "input -> gs -> output\ngs: gaussian { sigma: 3.0 }",
+    "chain": "input -> blur -> sobel -> tonemap -> output\nblur: blur { sigma: 1.5 }",
+    "branch": (
+        "input -> gs -> mixit -> output\n"
+        "input -> sharpen -> mixit:input_image2\n"
+        "gs: gaussian { sigma: 2.0 }\nmixit: mix { factor: 0.5 }"
+    ),
+    "warp": "input -> swirl -> vignette -> output\nswirl: swirl { angle: 1.5 }",
+    "generator": (
+        "input -> mixit -> output\ncb -> mixit:input_image2\n"
+        "cb: checkerboard { size: 8 }\nmixit: mix { factor: 0.4 }"
+    ),
+    "rgba8_quantized": "input -> gamma -> output\ngamma: gamma { value: 1.8 }",
+}
+
+
+def render(name: str) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from reforge_tpu.config import parse
+    from reforge_tpu.graph import build_graph, make_program
+    from reforge_tpu.io import decode_image_to_planar, encode_planar_to_image
+
+    rng = np.random.default_rng(42)
+    rgba = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    fmt = "rgba8" if name == "rgba8_quantized" else "rgba32f"
+    cfg = parse(CONFIGS[name], expects_input=True)
+    prog = make_program(build_graph(cfg), 64, 64, fmt)
+    planar = decode_image_to_planar(jnp.asarray(rgba))
+    out = prog(planar, 0.0)
+    return np.asarray(encode_planar_to_image(out))
+
+
+def golden_path(name: str) -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}.png")
+
+
+def test_goldens():
+    from PIL import Image
+
+    missing = [n for n in CONFIGS if not os.path.exists(golden_path(n))]
+    assert not missing, f"missing goldens {missing}; run --regen"
+    for name in CONFIGS:
+        got = render(name)
+        want = np.asarray(Image.open(golden_path(name)).convert("RGBA"))
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, (
+            f"golden mismatch for {name}: max diff {diff.max()}, "
+            f"{(diff > 1).sum()} pixels off"
+        )
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from PIL import Image
+
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for name in CONFIGS:
+            Image.fromarray(render(name), "RGBA").save(golden_path(name))
+            print(f"wrote {golden_path(name)}")
+    else:
+        print("use --regen to regenerate goldens")
