@@ -172,6 +172,7 @@ class ImageDecl:
     format: Optional[str]  # 'rgba8' | 'rgba32f' | ...
     readonly: bool
     writeonly: bool
+    sampled: bool = False  # sampler2D (texture() reads) vs storage image
     line: int = 0
 
 

@@ -40,6 +40,7 @@ from . import ast
 from .lexer import GlslError
 
 SCALAR_TYPES = {"float", "int", "uint", "bool"}
+MAT_TYPES = {"mat2": 2, "mat3": 3, "mat4": 4}
 VEC_TYPES = {
     "vec2": ("float", 2), "vec3": ("float", 3), "vec4": ("float", 4),
     "ivec2": ("int", 2), "ivec3": ("int", 3), "ivec4": ("int", 4),
@@ -224,6 +225,9 @@ class Interp:
             elem, n = VEC_TYPES[type_name]
             z = {"float": 0.0, "bool": False}.get(elem, 0)
             return Val(type_name, [z] * n)
+        if type_name in MAT_TYPES:
+            n = MAT_TYPES[type_name]
+            return Val(type_name, [[0.0] * n for _ in range(n)])
         raise GlslError(f"cannot default-initialize type '{type_name}'", line)
 
     def _write_masked(self, old: Any, new: Any) -> Any:
@@ -462,6 +466,11 @@ class Interp:
             if not is_static(idx.data):
                 raise GlslError("vector index must be uniform", e.line)
             return Val(base.elem_type, base.data[int(idx.data)])
+        if base.type in MAT_TYPES:
+            if not is_static(idx.data):
+                raise GlslError("matrix index must be uniform", e.line)
+            n = MAT_TYPES[base.type]
+            return Val(f"vec{n}", list(base.data[int(idx.data)]))
         raise GlslError(f"cannot index type {base.type}", e.line)
 
     def _eval_Unary(self, e: ast.Unary, scope) -> Val:
@@ -561,6 +570,14 @@ class Interp:
                     value.type,
                     [jnp.where(m, n, o) for n, o in zip(value.data, old.data)],
                 )
+            elif value.type in MAT_TYPES:
+                merged = Val(
+                    value.type,
+                    [
+                        [jnp.where(m, n, o) for n, o in zip(nc, oc)]
+                        for nc, oc in zip(value.data, old.data)
+                    ],
+                )
             elif value.type.startswith("array"):
                 merged = value
             else:
@@ -656,6 +673,8 @@ class Interp:
         return a, b
 
     def _arith(self, op: str, a: Val, b: Val, line: int) -> Val:
+        if a.type in MAT_TYPES or b.type in MAT_TYPES:
+            return self._mat_arith(op, a, b, line)
         a, b = self._usual_convert(a, b, line)
         if a.is_vector():
             a_origins = getattr(a, "_comp_origins", None) or [None] * a.size
@@ -747,6 +766,8 @@ class Interp:
     def convert(self, v: Val, to_type: str, line: int) -> Val:
         if v.type == to_type:
             return v
+        if to_type in MAT_TYPES or v.type in MAT_TYPES:
+            raise GlslError(f"cannot convert {v.type} to {to_type}", line)
         if to_type in SCALAR_TYPES:
             if v.is_vector():
                 raise GlslError(f"cannot convert {v.type} to {to_type}", line)
@@ -794,14 +815,25 @@ class Interp:
             return self.convert(self.eval_expr(arg_exprs[0], scope), name, line)
         if name in VEC_TYPES:
             return self._construct_vector(name, arg_exprs, scope, line)
-        if name in ("mat2", "mat3", "mat4"):
-            raise GlslError("matrix types are not supported yet", line)
+        if name in MAT_TYPES:
+            return self._construct_matrix(name, arg_exprs, scope, line)
+        if name == "transpose":
+            (m,) = [self.eval_expr(a, scope) for a in arg_exprs]
+            if m.type not in MAT_TYPES:
+                raise GlslError("transpose() needs a matrix", line)
+            n = MAT_TYPES[m.type]
+            cols = [[m.data[j][i] for j in range(n)] for i in range(n)]
+            return Val(m.type, cols)
         if name == "imageLoad":
             return self._image_load(arg_exprs, scope, line)
         if name == "imageStore":
             return self._image_store(arg_exprs, scope, line)
-        if name == "imageSize":
+        if name in ("imageSize", "textureSize"):
             return self._image_size(arg_exprs, scope, line)
+        if name == "texture":
+            return self._texture(arg_exprs, scope, line)
+        if name == "texelFetch":
+            return self._image_load(arg_exprs[:2], scope, line)
         from .builtins import BUILTIN_FUNCS
 
         fn = BUILTIN_FUNCS.get(name)
@@ -838,6 +870,157 @@ class Interp:
         # Keep per-component origin info for ivec2 pixel coords.
         v._comp_origins = origins  # type: ignore[attr-defined]
         return v
+
+    def _construct_matrix(self, name: str, arg_exprs: list, scope, line) -> Val:
+        """mat constructors: diagonal from scalar, column vectors, or n*n
+        scalars in column-major order (GLSL convention)."""
+        n = MAT_TYPES[name]
+        args = [self.eval_expr(a, scope) for a in arg_exprs]
+        if len(args) == 1 and not args[0].is_vector() and args[0].type not in MAT_TYPES:
+            s = self._cast_scalar(args[0].data, args[0].type, "float")
+            cols = [[s if i == j else 0.0 for i in range(n)] for j in range(n)]
+            return Val(name, cols)
+        if len(args) == 1 and args[0].type in MAT_TYPES:
+            m = args[0]
+            src_n = MAT_TYPES[m.type]
+            cols = [
+                [
+                    (m.data[j][i] if i < src_n and j < src_n else (1.0 if i == j else 0.0))
+                    for i in range(n)
+                ]
+                for j in range(n)
+            ]
+            return Val(name, cols)
+        if all(a.is_vector() for a in args):
+            if len(args) != n or any(a.size != n for a in args):
+                raise GlslError(f"{name}() needs {n} column vectors of size {n}", line)
+            cols = [
+                [self._cast_scalar(c, a.elem_type, "float") for c in a.data]
+                for a in args
+            ]
+            return Val(name, cols)
+        flat: list = []
+        for a in args:
+            if a.is_vector():
+                flat.extend(self._cast_scalar(c, a.elem_type, "float") for c in a.data)
+            else:
+                flat.append(self._cast_scalar(a.data, a.type, "float"))
+        if len(flat) != n * n:
+            raise GlslError(f"{name}() needs {n * n} components, got {len(flat)}", line)
+        cols = [flat[j * n : (j + 1) * n] for j in range(n)]
+        return Val(name, cols)
+
+    def _mat_arith(self, op: str, a: Val, b: Val, line: int) -> Val:
+        """Matrix involvement in binary ops: linear-algebraic '*', else
+        componentwise."""
+        def vecname(k):
+            return f"vec{k}"
+
+        if op == "*":
+            if a.type in MAT_TYPES and b.is_vector():
+                n = MAT_TYPES[a.type]
+                if b.size != n:
+                    raise GlslError(f"{a.type} * {b.type}: size mismatch", line)
+                bf = self.convert(b, vecname(n), line)
+                out = []
+                for i in range(n):
+                    acc = None
+                    for j in range(n):
+                        term = a.data[j][i] * bf.data[j]
+                        acc = term if acc is None else acc + term
+                    out.append(acc)
+                return Val(vecname(n), out)
+            if a.is_vector() and b.type in MAT_TYPES:
+                n = MAT_TYPES[b.type]
+                if a.size != n:
+                    raise GlslError(f"{a.type} * {b.type}: size mismatch", line)
+                af = self.convert(a, vecname(n), line)
+                out = []
+                for j in range(n):
+                    acc = None
+                    for i in range(n):
+                        term = af.data[i] * b.data[j][i]
+                        acc = term if acc is None else acc + term
+                    out.append(acc)
+                return Val(vecname(n), out)
+            if a.type in MAT_TYPES and b.type in MAT_TYPES:
+                if a.type != b.type:
+                    raise GlslError(f"cannot multiply {a.type} by {b.type}", line)
+                n = MAT_TYPES[a.type]
+                cols = []
+                for j in range(n):
+                    col = []
+                    for i in range(n):
+                        acc = None
+                        for k in range(n):
+                            term = a.data[k][i] * b.data[j][k]
+                            acc = term if acc is None else acc + term
+                        col.append(acc)
+                    cols.append(col)
+                return Val(a.type, cols)
+        # Componentwise with scalar broadcast (+, -, scalar *, /).
+        if a.type in MAT_TYPES and b.type in MAT_TYPES:
+            if a.type != b.type:
+                raise GlslError(f"type mismatch {a.type} vs {b.type}", line)
+            n = MAT_TYPES[a.type]
+            cols = [
+                [
+                    self._arith_scalar(op, "float", a.data[j][i], b.data[j][i], line)[0]
+                    for i in range(n)
+                ]
+                for j in range(n)
+            ]
+            return Val(a.type, cols)
+        mat, scalar, flipped = (
+            (a, b, False) if a.type in MAT_TYPES else (b, a, True)
+        )
+        if scalar.is_vector():
+            raise GlslError(f"cannot combine {a.type} and {b.type} with '{op}'", line)
+        s = self._cast_scalar(scalar.data, scalar.type, "float")
+        n = MAT_TYPES[mat.type]
+        cols = []
+        for j in range(n):
+            col = []
+            for i in range(n):
+                x, y = (mat.data[j][i], s) if not flipped else (s, mat.data[j][i])
+                col.append(self._arith_scalar(op, "float", x, y, line)[0])
+            cols.append(col)
+        return Val(mat.type, cols)
+
+    def _texture(self, arg_exprs: list, scope, line: int) -> Val:
+        """texture(sampler2D, vec2 uv): bilinear sample at normalized
+        coordinates with clamp-to-edge (the reference's one sampler is
+        linear/clamp — vkutils.rs:359-370)."""
+        if len(arg_exprs) != 2:
+            raise GlslError("texture(sampler, vec2)", line)
+        name = self._get_image(arg_exprs[0], line)
+        uv = self.eval_expr(arg_exprs[1], scope)
+        if not uv.is_vector() or uv.size != 2 or uv.elem_type != "float":
+            raise GlslError("texture() coordinate must be vec2", line)
+        self.stats["gather"] = True
+        comps = self._image_current(name)
+        # Pixel centers at (i + 0.5) / size.
+        xf = self._as_array(uv.data[0], "float") * self.w - 0.5
+        yf = self._as_array(uv.data[1], "float") * self.h - 0.5
+        x0 = jnp.floor(xf)
+        y0 = jnp.floor(yf)
+        tx = xf - x0
+        ty = yf - y0
+        x0 = jnp.clip(x0.astype(jnp.int32), 0, self.w - 1)
+        x1 = jnp.clip(x0 + 1, 0, self.w - 1)
+        y0 = jnp.clip(y0.astype(jnp.int32), 0, self.h - 1)
+        y1 = jnp.clip(y0 + 1, 0, self.h - 1)
+        out = []
+        for c in comps:
+            arr = self._as_array(c, "float")
+            p00 = arr[y0, x0]
+            p01 = arr[y0, x1]
+            p10 = arr[y1, x0]
+            p11 = arr[y1, x1]
+            top = p00 + (p01 - p00) * tx
+            bot = p10 + (p11 - p10) * tx
+            out.append(top + (bot - top) * ty)
+        return Val("vec4", out)
 
     def _coord_origin(self, coord: Val) -> Optional[tuple[int, int, bool]]:
         """(dx, dy, clamped) when coord is pixel+static offset, else None."""

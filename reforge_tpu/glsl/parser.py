@@ -159,7 +159,8 @@ class Parser:
             quals.add(self.next().text)
 
         t = self.peek()
-        if t.text == "image2D":
+        if t.text in ("image2D", "sampler2D"):
+            sampled = t.text == "sampler2D"
             self.next()
             name = self.expect_ident().text
             self.expect(";")
@@ -176,12 +177,11 @@ class Parser:
                 name=name,
                 binding=int(items["binding"]),
                 format=fmt,
-                readonly="readonly" in quals,
+                readonly="readonly" in quals or sampled,
                 writeonly="writeonly" in quals,
+                sampled=sampled,
                 line=t.line,
             )
-        if t.text == "sampler2D":
-            raise GlslError("sampler2D is not supported; use image2D", t.line)
 
         # uniform/buffer block
         block_name = self.expect_ident().text

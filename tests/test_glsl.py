@@ -424,3 +424,103 @@ void main() {
 
         img = jnp.full((4, 12, 16), 0.25, jnp.float32)
         np.testing.assert_allclose(np.asarray(f(img)), 0.75, atol=1e-6)
+
+
+class TestMatricesAndSamplers:
+    def test_mat3_color_matrix(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            mat3 sepia = mat3(
+                0.393, 0.349, 0.272,
+                0.769, 0.686, 0.534,
+                0.189, 0.168, 0.131
+            );
+            vec3 graded = sepia * c.rgb;
+            imageStore(output_image, pos, vec4(graded, c.a));
+        """)
+        i = np.asarray(img)
+        m = np.array([[0.393, 0.769, 0.189],
+                      [0.349, 0.686, 0.168],
+                      [0.272, 0.534, 0.131]], np.float32)
+        ref = np.einsum("ij,jhw->ihw", m, i[:3])
+        np.testing.assert_allclose(np.asarray(out)[:3], ref, atol=1e-5)
+
+    def test_mat2_rotation_and_ops(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            mat2 ident = mat2(1.0);
+            mat2 twice = ident * 2.0;
+            vec2 v = twice * vec2(c.r, c.g);
+            mat2 t = transpose(mat2(1.0, 2.0, 3.0, 4.0));
+            imageStore(output_image, pos, vec4(v, t[0][1], 1.0));
+        """)
+        i = np.asarray(img)
+        o = np.asarray(out)
+        np.testing.assert_allclose(o[0], 2.0 * i[0], atol=1e-6)
+        np.testing.assert_allclose(o[1], 2.0 * i[1], atol=1e-6)
+        # transpose of column-major [[1,2],[3,4]] -> t[0] = (1,3); t[0][1]=3
+        np.testing.assert_allclose(o[2], 3.0, atol=1e-6)
+
+    def test_mat_mat_multiply(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            mat2 a = mat2(1.0, 2.0, 3.0, 4.0);
+            mat2 b = mat2(5.0, 6.0, 7.0, 8.0);
+            mat2 c = a * b;
+            imageStore(output_image, pos, vec4(c[0][0], c[0][1], c[1][0], c[1][1]));
+        """)
+        o = np.asarray(out)
+        # column-major: a = [[1,3],[2,4]] (rows), b = [[5,7],[6,8]]
+        # c = a@b = [[23,31],[34,46]] -> cols: c[0]=(23,34), c[1]=(31,46)
+        np.testing.assert_allclose(o[0, 0, 0], 23.0, atol=1e-5)
+        np.testing.assert_allclose(o[1, 0, 0], 34.0, atol=1e-5)
+        np.testing.assert_allclose(o[2, 0, 0], 31.0, atol=1e-5)
+        np.testing.assert_allclose(o[3, 0, 0], 46.0, atol=1e-5)
+
+    def test_sampler2d_texture_bilinear(self):
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0) uniform sampler2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 size = textureSize(input_image, 0);
+    vec2 uv = (vec2(pos) + 0.5) / vec2(size);
+    imageStore(output_image, pos, texture(input_image, uv));
+}
+"""
+        spec = translate_shader(src, "texid")
+        assert spec.images_in == ("input_image",)
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.random((4, 12, 16), np.float32))
+        ctx = KernelContext(width=16, height=12)
+        out = spec(ctx, {"input_image": img}, {})["output_image"]
+        # Sampling at exact pixel centers reproduces the image.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+        assert spec.halo_for({}) is None  # texture() is a gather
+
+    def test_texture_zoom(self):
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0) uniform sampler2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) uniform U { float zoom; };
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 size = textureSize(input_image, 0);
+    vec2 uv = (vec2(pos) + 0.5) / vec2(size);
+    vec2 centered = (uv - 0.5) / zoom + 0.5;
+    imageStore(output_image, pos, texture(input_image, centered));
+}
+"""
+        spec = translate_shader(src, "zoom")
+        img = jnp.asarray(np.random.default_rng(0).random((4, 16, 16), np.float32))
+        ctx = KernelContext(width=16, height=16)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({"zoom": 2.0}))[
+            "output_image"
+        ]
+        assert np.isfinite(np.asarray(out)).all()
