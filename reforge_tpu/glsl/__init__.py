@@ -58,6 +58,67 @@ def _walk_image_usage(shader: ast.Shader) -> tuple[set, set]:
     return loaded, stored
 
 
+def _walk_ssbo_usage(shader: ast.Shader) -> tuple[set, set]:
+    """Which SSBO blocks are read / written (stores or atomicAdd)."""
+    member_to_block = {}
+    instance_to_block = {}
+    for ssbo in shader.ssbos:
+        for m in ssbo.members:
+            member_to_block[m.name] = ssbo.block_name
+        if ssbo.instance_name:
+            instance_to_block[ssbo.instance_name] = ssbo.block_name
+
+    def block_of(expr: Any):
+        if isinstance(expr, ast.Ident):
+            return member_to_block.get(expr.name)
+        if isinstance(expr, ast.Member) and isinstance(expr.expr, ast.Ident):
+            if expr.expr.name in instance_to_block:
+                return instance_to_block[expr.expr.name]
+        return None
+
+    read: set[str] = set()
+    written: set[str] = set()
+    # Index nodes consumed as write targets must not count as reads.
+    write_targets: set[int] = set()
+
+    def walk(node: Any) -> None:
+        if not hasattr(node, "__dataclass_fields__"):
+            return
+        if isinstance(node, ast.Assign) and isinstance(node.target, ast.Index):
+            b = block_of(node.target.expr)
+            if b is not None:
+                written.add(b)
+                write_targets.add(id(node.target))
+                if node.op != "=":
+                    read.add(b)  # compound assignment reads too
+        if (
+            isinstance(node, ast.Call)
+            and node.name == "atomicAdd"
+            and node.args
+            and isinstance(node.args[0], ast.Index)
+        ):
+            b = block_of(node.args[0].expr)
+            if b is not None:
+                written.add(b)
+                write_targets.add(id(node.args[0]))
+        if isinstance(node, ast.Index) and id(node) not in write_targets:
+            b = block_of(node.expr)
+            if b is not None:
+                read.add(b)
+        for field in node.__dataclass_fields__:
+            v = getattr(node, field)
+            if isinstance(v, list):
+                for item in v:
+                    walk(item)
+            else:
+                walk(v)
+
+    for fn in shader.functions.values():
+        for stmt in fn.body:
+            walk(stmt)
+    return read, written
+
+
 def reflect_bindings(shader: ast.Shader) -> dict:
     """Binding reflection: images (with direction) and UBO parameters.
 
@@ -80,6 +141,26 @@ def reflect_bindings(shader: ast.Shader) -> dict:
             images_in.append(img.name)
         if is_out:
             images_out.append(img.name)
+    ssbo_read, ssbo_written = _walk_ssbo_usage(shader)
+    ssbos_in: list[str] = []
+    ssbos_out: list[str] = []
+    ssbo_sizes: dict[str, int] = {}
+    for ssbo in sorted(shader.ssbos, key=lambda d: d.binding):
+        name_ = ssbo.block_name
+        if ssbo.members and ssbo.members[0].array_size:
+            ssbo_sizes[name_] = int(ssbo.members[0].array_size)
+        is_written = name_ in ssbo_written or (
+            ssbo.writeonly and name_ not in ssbo_read
+        )
+        is_read = name_ in ssbo_read or (
+            ssbo.readonly and name_ not in ssbo_written
+        )
+        if is_read and not ssbo.writeonly:
+            ssbos_in.append(name_)
+        if is_written and not ssbo.readonly:
+            ssbos_out.append(name_)
+        if not is_read and not is_written:
+            ssbos_in.append(name_)
     params: dict[str, ParamDecl] = {}
     for ubo in shader.ubos:
         for m in ubo.members:
@@ -100,18 +181,28 @@ def reflect_bindings(shader: ast.Shader) -> dict:
             # reference's zero-fill of unset UBO members (render.rs:187-193).
             default = {ParamKind.FLOAT: 0.0, ParamKind.INT: 0, ParamKind.BOOL: False}[kind]
             params[m.name] = ParamDecl(m.name, kind, default)
-    return {"images_in": images_in, "images_out": images_out, "params": params}
+    return {
+        "images_in": images_in,
+        "images_out": images_out,
+        "ssbos_in": ssbos_in,
+        "ssbos_out": ssbos_out,
+        "ssbo_sizes": ssbo_sizes,
+        "params": params,
+    }
 
 
 def translate_shader(source: str, name: str, path: Optional[str] = None) -> KernelSpec:
     shader = parse_shader_source(source)
     bindings = reflect_bindings(shader)
-    if not bindings["images_out"]:
-        raise GlslError(f"shader '{name}' never stores to any image")
+    if not bindings["images_out"] and not bindings["ssbos_out"]:
+        raise GlslError(f"shader '{name}' never stores to any image or buffer")
 
     def run(ctx: KernelContext, **kwargs: Any) -> dict[str, Any]:
         images = {k: v for k, v in kwargs.items() if k in bindings["images_in"]}
-        params = {k: v for k, v in kwargs.items() if k not in images}
+        buffers = {k: v for k, v in kwargs.items() if k in bindings["ssbos_in"]}
+        params = {
+            k: v for k, v in kwargs.items() if k not in images and k not in buffers
+        }
         interp = Interp(
             shader,
             height=ctx.block_height,
@@ -121,13 +212,18 @@ def translate_shader(source: str, name: str, path: Optional[str] = None) -> Kern
             time=ctx.time,
             row_offset=ctx.row_offset,
             global_height=ctx.height,
+            buffers_in=buffers,
         )
         outputs = interp.run_main()
         # Every declared output gets a value; unwritten ones pass through
         # zeros (matching an unwritten storage image).
         for out_name in bindings["images_out"]:
             if out_name not in outputs:
-                outputs[out_name] = jnp.zeros((4, ctx.height, ctx.width), jnp.float32)
+                outputs[out_name] = jnp.zeros(
+                    (4, ctx.block_height, ctx.width), jnp.float32
+                )
+        for out_name in bindings["ssbos_out"]:
+            outputs[out_name] = interp.buffers[out_name]
         return outputs
 
     @functools.lru_cache(maxsize=64)
@@ -157,6 +253,9 @@ def translate_shader(source: str, name: str, path: Optional[str] = None) -> Kern
         fn=run,
         images_in=tuple(bindings["images_in"]),
         images_out=tuple(bindings["images_out"]),
+        ssbos_in=tuple(bindings["ssbos_in"]),
+        ssbos_out=tuple(bindings["ssbos_out"]),
+        ssbo_sizes=bindings["ssbo_sizes"],
         params=bindings["params"],
         halo=lambda params: halo_of(tuple(sorted(params.items()))),
         source_path=path,

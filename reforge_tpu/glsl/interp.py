@@ -128,6 +128,7 @@ class Interp:
         stats: Optional[dict] = None,
         row_offset: Any = 0,  # global row of local row 0 (may be traced)
         global_height: Optional[int] = None,  # imageSize/clamp extent
+        buffers_in: Optional[dict[str, Any]] = None,  # block name -> (N,) f32
     ):
         self.shader = shader
         self.h = height  # local block height (array shapes)
@@ -139,6 +140,31 @@ class Interp:
         self.time = time
         # Output image accumulators, created lazily on first store.
         self.stores: dict[str, list] = {}
+        # SSBO state: current contents per block (input value, else zeros),
+        # plus member-name lookup tables.
+        self.buffers: dict[str, Any] = {}
+        self.ssbo_members: dict[str, tuple[str, int]] = {}  # member -> (block, size)
+        self.ssbo_instances: dict[str, str] = {}  # instance name -> block
+        for ssbo in shader.ssbos:
+            if len(ssbo.members) != 1 or ssbo.members[0].array_size is None:
+                raise GlslError(
+                    f"SSBO block '{ssbo.block_name}' must contain exactly one "
+                    f"sized array member (e.g. float data[256];)",
+                    ssbo.line,
+                )
+            m = ssbo.members[0]
+            if m.type not in ("float", "int", "uint"):
+                raise GlslError(
+                    f"SSBO member '{m.name}' must be a float/int array", ssbo.line
+                )
+            size = int(m.array_size)
+            self.ssbo_members[m.name] = (ssbo.block_name, size)
+            if ssbo.instance_name:
+                self.ssbo_instances[ssbo.instance_name] = ssbo.block_name
+            init = (buffers_in or {}).get(ssbo.block_name)
+            if init is None:
+                init = jnp.zeros((size,), jnp.float32)
+            self.buffers[ssbo.block_name] = init
         # Active lane mask (None = all lanes), combined with function
         # return masks at write time.
         self.mask: Optional[Any] = None
@@ -411,6 +437,11 @@ class Interp:
     def _eval_Ident(self, e: ast.Ident, scope) -> Val:
         v = scope.lookup(e.name)
         if v is None:
+            if e.name in self.ssbo_members:
+                block, _ = self.ssbo_members[e.name]
+                return Val("ssbo", (block, e.name))
+            if e.name in self.ssbo_instances:
+                return Val("ssbo_block", self.ssbo_instances[e.name])
             raise GlslError(f"undeclared identifier '{e.name}'", e.line)
         return v
 
@@ -419,6 +450,14 @@ class Interp:
         if isinstance(e.expr, ast.Ident) and e.expr.name == "gl_GlobalInvocationID":
             return self._swizzle_gid(e.name, e.line)
         base = self.eval_expr(e.expr, scope)
+        if base.type == "ssbo_block":
+            block = base.data
+            member = next(
+                m for m, (b, _) in self.ssbo_members.items() if b == block
+            )
+            if e.name != member:
+                raise GlslError(f"SSBO block has no member '{e.name}'", e.line)
+            return Val("ssbo", (block, member))
         return self._swizzle(base, e.name, e.line)
 
     def _swizzle_gid(self, name: str, line: int) -> Val:
@@ -458,6 +497,8 @@ class Interp:
     def _eval_Index(self, e: ast.Index, scope) -> Val:
         base = self.eval_expr(e.expr, scope)
         idx = self.eval_expr(e.index, scope)
+        if base.type == "ssbo":
+            return self._ssbo_read(base.data, idx, e.line)
         if base.type.startswith("array"):
             if not is_static(idx.data):
                 raise GlslError("array index must be uniform", e.line)
@@ -614,6 +655,9 @@ class Interp:
         if isinstance(target, ast.Index):
             base_old = self.eval_expr(target.expr, scope)
             idx = self.eval_expr(target.index, scope)
+            if base_old.type == "ssbo":
+                self._ssbo_write(base_old.data, idx, value, scope, line)
+                return
             if not is_static(idx.data):
                 raise GlslError("store through non-uniform index", line)
             i = int(idx.data)
@@ -834,6 +878,8 @@ class Interp:
             return self._texture(arg_exprs, scope, line)
         if name == "texelFetch":
             return self._image_load(arg_exprs[:2], scope, line)
+        if name == "atomicAdd":
+            return self._atomic_add(arg_exprs, scope, line)
         from .builtins import BUILTIN_FUNCS
 
         fn = BUILTIN_FUNCS.get(name)
@@ -1130,6 +1176,75 @@ class Interp:
         v = Val("ivec2", [self.w, self.global_h])
         v._comp_origins = [None, None]  # type: ignore[attr-defined]
         return v
+
+    # ---- SSBO access ----------------------------------------------------
+
+    def _ssbo_read(self, ref: tuple, idx: Val, line: int) -> Val:
+        block, member = ref
+        size = self.ssbo_members[member][1]
+        buf = self.buffers[block]
+        if is_static(idx.data):
+            i = int(idx.data)
+            if not 0 <= i < size:
+                return Val("float", 0.0)  # robust OOB
+            return Val("float", buf[i])
+        self.stats["gather"] = True
+        ii = self._as_i32(idx.data)
+        inb = (ii >= 0) & (ii < size)
+        v = buf[jnp.clip(ii, 0, size - 1)]
+        return Val("float", jnp.where(inb, v, 0.0))
+
+    def _ssbo_write(self, ref: tuple, idx: Val, value: Val, scope, line: int) -> None:
+        """Plain indexed store: uniform index + uniform value only (a
+        per-pixel scatter has undefined order in GLSL; use atomicAdd)."""
+        block, member = ref
+        size = self.ssbo_members[member][1]
+        if not is_static(idx.data):
+            raise GlslError(
+                "SSBO stores need a uniform index (use atomicAdd for "
+                "per-pixel accumulation)",
+                line,
+            )
+        if self._effective_mask(scope) is not None:
+            raise GlslError("SSBO stores under non-uniform conditions are not supported", line)
+        v = self.convert(value, "float", line).data
+        if not is_static(v) and getattr(v, "ndim", 0) != 0:
+            raise GlslError("SSBO stores need a uniform value", line)
+        i = int(idx.data)
+        if 0 <= i < size:
+            self.buffers[block] = self.buffers[block].at[i].set(v)
+
+    def _atomic_add(self, arg_exprs: list, scope, line: int) -> Val:
+        """atomicAdd(buffer.member[idx], val): per-pixel scatter-add.
+
+        Compiles to one segment-sum over the pixel grid per call site;
+        masked lanes contribute zero.  Returns 0 (the pre-add value is
+        execution-order-defined on a GPU and meaningless here).
+        """
+        if len(arg_exprs) != 2 or not isinstance(arg_exprs[0], ast.Index):
+            raise GlslError("atomicAdd(ssbo_member[index], value)", line)
+        target = self.eval_expr(arg_exprs[0].expr, scope)
+        if target.type != "ssbo":
+            raise GlslError("atomicAdd target must be an SSBO member element", line)
+        block, member = target.data
+        size = self.ssbo_members[member][1]
+        idx = self.eval_expr(arg_exprs[0].index, scope)
+        val = self.convert(self.eval_expr(arg_exprs[1], scope), "float", line)
+        ii = self._as_i32(idx.data)
+        vv = self._as_array(val.data, "float")
+        if is_static(idx.data):
+            ii = jnp.full((self.h, self.w), int(idx.data), jnp.int32)
+        else:
+            ii = jnp.broadcast_to(ii, (self.h, self.w))
+        mask = self._effective_mask(scope)
+        inb = (ii >= 0) & (ii < size)
+        keep = inb if mask is None else jnp.logical_and(inb, mask)
+        contrib = jnp.where(keep, vv, 0.0)
+        ii = jnp.clip(ii, 0, size - 1)
+        self.buffers[block] = (
+            self.buffers[block].at[ii.ravel()].add(contrib.ravel())
+        )
+        return Val("float", 0.0)
 
     def _call_user(self, fn: ast.FuncDecl, arg_exprs: list, scope: "_Scope", line: int) -> Val:
         args = [self.eval_expr(a, scope) for a in arg_exprs]

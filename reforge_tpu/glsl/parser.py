@@ -194,7 +194,10 @@ class Parser:
             mname = self.expect_ident().text
             array_size = None
             if self.accept("["):
-                array_size = int(self.next().text)
+                # Runtime-sized arrays (`float data[];`) parse with size
+                # None; the interpreter rejects them with a clear message.
+                if not self.at("]"):
+                    array_size = int(self.next().text)
                 self.expect("]")
             self.expect(";")
             members.append(ast.UboMember(mtype, mname, array_size))

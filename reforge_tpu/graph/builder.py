@@ -47,6 +47,11 @@ class PipelineNode:
 class BuiltGraph:
     nodes: dict[str, PipelineNode]
     layers: list[list[PipelineNode]]  # topological layers, execution order
+    # resource -> "image" | "buffer", and sizes for buffer resources
+    # (max across users, like the reference's SSBO union sizing,
+    # pipeline_graph.rs:158-175).
+    resource_kinds: dict[str, str] = dataclasses.field(default_factory=dict)
+    buffer_sizes: dict[str, int] = dataclasses.field(default_factory=dict)
 
     @property
     def ordered_nodes(self) -> list[PipelineNode]:
@@ -66,20 +71,21 @@ def build_graph(config: Config) -> Optional[BuiltGraph]:
         if spec is None:
             return None
 
-        # Match config descriptor names against reflected kernel bindings
+        # Match config descriptor names against reflected kernel bindings —
+        # images first, then SSBOs, as the reference does
         # (vkutils.rs:160-183: unknown names are a build error).
         for desc in (d.descriptor_name for d in gp.inputs):
-            if desc not in spec.images_in:
+            if desc not in spec.inputs_all:
                 warnln(
                     f"Unable to find input descriptor '{desc}' in kernel "
-                    f"'{spec.name}' (declares: {', '.join(spec.images_in) or 'none'})"
+                    f"'{spec.name}' (declares: {', '.join(spec.inputs_all) or 'none'})"
                 )
                 return None
         for desc in (d.descriptor_name for d in gp.outputs):
-            if desc not in spec.images_out:
+            if desc not in spec.outputs_all:
                 warnln(
                     f"Unable to find output descriptor '{desc}' in kernel "
-                    f"'{spec.name}' (declares: {', '.join(spec.images_out) or 'none'})"
+                    f"'{spec.name}' (declares: {', '.join(spec.outputs_all) or 'none'})"
                 )
                 return None
 
@@ -87,7 +93,7 @@ def build_graph(config: Config) -> Optional[BuiltGraph]:
         # undefined memory (the reference leaves such descriptors unbound and
         # relies on validation-layer noise; we reject up front).
         wired = {d.descriptor_name for d in gp.inputs}
-        missing = [d for d in spec.images_in if d not in wired]
+        missing = [d for d in spec.inputs_all if d not in wired]
         if missing:
             warnln(
                 f"Input binding(s) {', '.join(repr(m) for m in missing)} of node "
@@ -104,10 +110,46 @@ def build_graph(config: Config) -> Optional[BuiltGraph]:
             params=params,
         )
 
+    kinds, sizes = _resolve_resource_kinds(nodes)
+    if kinds is None:
+        return None
     layers = _order_by_execution(nodes)
     if layers is None:
         return None
-    return BuiltGraph(nodes=nodes, layers=layers)
+    return BuiltGraph(
+        nodes=nodes, layers=layers, resource_kinds=kinds, buffer_sizes=sizes
+    )
+
+
+def _resolve_resource_kinds(nodes: dict[str, PipelineNode]):
+    """Classify each resource as image or buffer and size the buffers.
+
+    A resource's kind comes from the bindings that touch it; mixing image
+    and buffer bindings on one resource is a wiring error.  Buffer sizes
+    take the maximum any user declares.
+    """
+    kinds: dict[str, str] = {FILE_INPUT: "image", FINAL_OUTPUT: "image"}
+    sizes: dict[str, int] = {}
+    for n in nodes.values():
+        spec = n.spec
+        for res, desc in list(n.outputs) + list(n.inputs):
+            kind = "buffer" if desc in spec.ssbos_in + spec.ssbos_out else "image"
+            prev = kinds.get(res)
+            if prev is not None and prev != kind:
+                warnln(
+                    f"Resource '{res}' is wired as both an image and a "
+                    f"buffer (node '{n.name}', binding '{desc}')"
+                )
+                return None, None
+            kinds[res] = kind
+            if kind == "buffer":
+                declared = spec.ssbo_sizes.get(desc, 0)
+                sizes[res] = max(sizes.get(res, 0), int(declared))
+    for res, kind in kinds.items():
+        if kind == "buffer" and sizes.get(res, 0) <= 0:
+            warnln(f"Buffer resource '{res}' has no declared size")
+            return None, None
+    return kinds, sizes
 
 
 def _order_by_execution(

@@ -76,6 +76,15 @@ class GraphProgram:
                     f"'{desc}' (produced: {', '.join(outs)})"
                 )
             value = outs[desc]
+            if desc in node.spec.ssbos_out:
+                expected_len = self.graph.buffer_sizes.get(res, value.shape[-1])
+                if tuple(value.shape) != (expected_len,):
+                    raise GraphTraceError(
+                        f"kernel '{node.spec.name}' buffer output '{desc}' has "
+                        f"shape {tuple(value.shape)}, expected ({expected_len},)"
+                    )
+                written[res] = value.astype(jnp.float32)
+                continue
             expected = (4, self.height, self.width)
             if tuple(value.shape) != expected:
                 raise GraphTraceError(
@@ -131,7 +140,7 @@ class GraphProgram:
                 written = {}
                 for res, desc in _node.outputs:
                     value = outs[desc]
-                    if self.fmt == "rgba8":
+                    if self.fmt == "rgba8" and desc not in _node.spec.ssbos_out:
                         value = quantize_rgba8(value)
                     written[res] = value.astype(jnp.float32)
                 return written

@@ -131,6 +131,14 @@ class KernelSpec:
     fn: Callable[..., Any]
     images_in: tuple[str, ...] = ("input_image",)
     images_out: tuple[str, ...] = ("output_image",)
+    # Storage-buffer bindings: 1-D f32 arrays flowing between nodes (the
+    # reference reflects SSBO blocks alongside images — shader.rs:144-148 —
+    # and sizes each buffer to the max across its users,
+    # pipeline_graph.rs:158-175). A written buffer starts zeroed each
+    # frame.
+    ssbos_in: tuple[str, ...] = ()
+    ssbos_out: tuple[str, ...] = ()
+    ssbo_sizes: dict[str, int] = dataclasses.field(default_factory=dict)
     params: dict[str, ParamDecl] = dataclasses.field(default_factory=dict)
     # Spatial support radius as a function of (static) params; drives halo
     # exchange in row-sharded execution.  None means data-dependent access
@@ -144,8 +152,16 @@ class KernelSpec:
     def image_bindings(self) -> tuple[str, ...]:
         return self.images_in + self.images_out
 
+    @property
+    def inputs_all(self) -> tuple[str, ...]:
+        return self.images_in + self.ssbos_in
+
+    @property
+    def outputs_all(self) -> tuple[str, ...]:
+        return self.images_out + self.ssbos_out
+
     def has_binding(self, descriptor_name: str) -> bool:
-        return descriptor_name in self.images_in or descriptor_name in self.images_out
+        return descriptor_name in self.inputs_all or descriptor_name in self.outputs_all
 
     def resolve_params(self, config_params: Mapping[str, Any]) -> dict[str, Any]:
         """Match config parameter values against declared parameters by name.
@@ -186,6 +202,9 @@ def kernel(
     *,
     images_in: tuple[str, ...] | None = None,
     images_out: tuple[str, ...] = ("output_image",),
+    ssbos_in: tuple[str, ...] = (),
+    ssbos_out: tuple[str, ...] = (),
+    ssbo_sizes: dict[str, int] | None = None,
     halo: int | Callable[[Mapping[str, Any]], Optional[int]] = 0,
     register: bool = True,
     doc: str = "",
@@ -209,7 +228,8 @@ def kernel(
         for pname in names[1:]:
             p = sig.parameters[pname]
             if p.default is inspect.Parameter.empty:
-                inferred_images.append(pname)
+                if pname not in ssbos_in:
+                    inferred_images.append(pname)
             else:
                 params[pname] = ParamDecl(pname, ParamKind.of(p.default), p.default)
         halo_fn = halo if callable(halo) else (lambda _params, _h=halo: _h)
@@ -218,6 +238,9 @@ def kernel(
             fn=fn,
             images_in=tuple(images_in if images_in is not None else inferred_images),
             images_out=images_out,
+            ssbos_in=ssbos_in,
+            ssbos_out=ssbos_out,
+            ssbo_sizes=dict(ssbo_sizes or {}),
             params=params,
             halo=halo_fn,
             doc=doc or (fn.__doc__ or ""),

@@ -113,37 +113,55 @@ class HaloShardedProgram:
 
         for layer in prog.graph.layers:
             for node in layer:
+                spec = node.spec
                 ins_local = {desc: resources[res] for res, desc in node.inputs}
                 r = node.halo
                 if r is not None and r > h_local:
                     # Halo wider than a slab would need multi-hop exchange;
                     # the all-gather path is simpler and still correct.
                     r = None
+                if spec.ssbos_in or spec.ssbos_out:
+                    # Buffer-touching nodes (histograms, LUTs) compute on the
+                    # full image so the buffer is identical (replicated) on
+                    # every device; image outputs keep the local slab.
+                    r = None
+
+                def is_buffer(desc):
+                    return desc in spec.ssbos_in or desc in spec.ssbos_out
+
                 if r is None:
                     full = {
-                        d: jax.lax.all_gather(v, ROW_AXIS, axis=1, tiled=True)
+                        d: (
+                            v
+                            if is_buffer(d)
+                            else jax.lax.all_gather(v, ROW_AXIS, axis=1, tiled=True)
+                        )
                         for d, v in ins_local.items()
                     }
-                    outs = node.spec(ctx_for(prog.height, 0), full, node.params)
+                    outs = spec(ctx_for(prog.height, 0), full, node.params)
                     crop = lambda v: jax.lax.dynamic_slice_in_dim(
                         v, idx * h_local, h_local, axis=1
                     )
                 elif r == 0:
-                    outs = node.spec(
+                    outs = spec(
                         ctx_for(h_local, idx * h_local), ins_local, node.params
                     )
                     crop = lambda v: v
                 else:
                     padded = {
-                        d: halo_pad(v, r, n, idx) for d, v in ins_local.items()
+                        d: v if is_buffer(d) else halo_pad(v, r, n, idx)
+                        for d, v in ins_local.items()
                     }
-                    outs = node.spec(
+                    outs = spec(
                         ctx_for(h_local + 2 * r, idx * h_local - r),
                         padded,
                         node.params,
                     )
                     crop = lambda v, _r=r: v[:, _r:-_r, :]
                 for res, desc in node.outputs:
+                    if is_buffer(desc):
+                        resources[res] = outs[desc].astype(jnp.float32)
+                        continue
                     value = crop(outs[desc]).astype(jnp.float32)
                     if prog.fmt == "rgba8":
                         value = quantize_rgba8(value)

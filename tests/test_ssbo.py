@@ -1,0 +1,141 @@
+"""SSBO tests: reflection, atomicAdd scatter, buffer flow between nodes,
+and the histogram -> equalize end-to-end pipeline (including sharded)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reforge_tpu import utils
+from reforge_tpu.config import parse_file
+from reforge_tpu.glsl import translate_shader
+from reforge_tpu.graph import build_graph, make_program
+from reforge_tpu.kernels.base import KernelContext
+
+SHADER_DIR = os.path.join(os.path.dirname(__file__), "..", "shaders")
+
+HIST_SRC = open(os.path.join(SHADER_DIR, "histogram.comp")).read()
+
+WIRING = (
+    "input -> histogram\n"
+    "histogram:Bins -> equalize:Bins\n"
+    "input -> equalize -> output\n"
+)
+
+
+def rand_image(h=32, w=48, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+
+
+class TestReflection:
+    def test_histogram_bindings(self):
+        spec = translate_shader(HIST_SRC, "histogram")
+        assert spec.images_in == ("input_image",)
+        assert spec.images_out == ()
+        assert spec.ssbos_out == ("Bins",)
+        assert spec.ssbo_sizes == {"Bins": 256}
+
+    def test_equalize_bindings(self):
+        src = open(os.path.join(SHADER_DIR, "equalize.comp")).read()
+        spec = translate_shader(src, "equalize")
+        assert spec.ssbos_in == ("Bins",)
+        assert spec.ssbos_out == ()
+        assert spec.images_out == ("output_image",)
+
+    def test_unsized_ssbo_rejected(self):
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1) buffer B { float data[]; };
+void main() { atomicAdd(data[0], 1.0); }
+"""
+        from reforge_tpu.glsl import GlslError
+
+        with pytest.raises(GlslError, match="sized array"):
+            spec = translate_shader(src, "bad")
+            ctx = KernelContext(width=8, height=8)
+            spec(ctx, {"input_image": jnp.zeros((4, 8, 8))}, {})
+
+
+class TestExecution:
+    def test_histogram_counts(self):
+        spec = translate_shader(HIST_SRC, "histogram")
+        img = rand_image(16, 16, seed=3)
+        ctx = KernelContext(width=16, height=16)
+        bins = np.asarray(spec(ctx, {"input_image": img}, {})["Bins"])
+        assert bins.sum() == 16 * 16  # every pixel lands in exactly one bin
+        # Cross-check against numpy histogram.
+        i = np.asarray(img)
+        luma = 0.2126 * i[0] + 0.7152 * i[1] + 0.0722 * i[2]
+        ref = np.bincount(
+            np.clip((luma * 255).astype(int), 0, 255).ravel(), minlength=256
+        )
+        np.testing.assert_array_equal(bins.astype(int), ref)
+
+    def test_graph_pipeline_end_to_end(self):
+        cfg = parse_file(WIRING, True, SHADER_DIR)
+        assert cfg is not None, utils.recent_warnings()
+        graph = build_graph(cfg)
+        assert graph is not None, utils.recent_warnings()
+        assert graph.resource_kinds["histogram:Bins"] == "buffer"
+        assert graph.buffer_sizes["histogram:Bins"] == 256
+        prog = make_program(graph, 48, 32)
+        img = rand_image()
+        out = np.asarray(prog(img, 0.0))
+        assert out.shape == (4, 32, 48)
+        assert np.isfinite(out).all()
+        # Equalization flattens the luminance distribution: the output's
+        # luma spread should widen vs a mid-heavy input.
+        mid = jnp.clip(rand_image(seed=9) * 0.3 + 0.4, 0, 1)
+        out2 = np.asarray(prog(mid, 0.0))
+        i = np.asarray(mid)
+        luma_in = 0.2126 * i[0] + 0.7152 * i[1] + 0.0722 * i[2]
+        luma_out = 0.2126 * out2[0] + 0.7152 * out2[1] + 0.0722 * out2[2]
+        assert luma_out.std() > luma_in.std()
+
+    def test_kind_mismatch_rejected(self):
+        # Wiring an image output into an SSBO input is a build error.
+        src = "input -> gaussian:Bins -> equalize:Bins\ninput -> equalize -> output\n"
+        cfg = parse_file(src, True, SHADER_DIR)
+        assert build_graph(cfg) is None
+        warnings = " ".join(utils.recent_warnings())
+        assert "Bins" in warnings
+
+    def test_python_ssbo_kernel(self):
+        from reforge_tpu.kernels import KernelContext, kernel
+
+        @kernel(
+            "rowsum",
+            images_in=("input_image",),
+            images_out=(),
+            ssbos_out=("sums",),
+            ssbo_sizes={"sums": 64},
+            register=False,
+        )
+        def rowsum(ctx, input_image):
+            s = jnp.sum(input_image[0], axis=1)
+            return {"sums": jnp.zeros((64,), jnp.float32).at[: s.shape[0]].set(s)}
+
+        img = rand_image(h=16, w=8)
+        ctx = KernelContext(width=8, height=16)
+        out = rowsum(ctx, {"input_image": img}, {})["sums"]
+        np.testing.assert_allclose(
+            np.asarray(out)[:16], np.asarray(img)[0].sum(axis=1), atol=1e-5
+        )
+
+
+class TestSharded:
+    def test_histogram_pipeline_sharded(self):
+        from reforge_tpu.parallel import HaloShardedProgram, make_row_mesh
+
+        cfg = parse_file(WIRING, True, SHADER_DIR)
+        graph = build_graph(cfg)
+        prog = make_program(graph, 48, 32)
+        img = rand_image()
+        want = np.asarray(prog(img, 0.0))
+        mesh = make_row_mesh(8)
+        sharded = HaloShardedProgram(prog, mesh)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.0))
+        np.testing.assert_allclose(got, want, atol=1e-4)
