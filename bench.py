@@ -17,12 +17,18 @@ import time
 
 import jax
 
-from reforge_tpu.benchmarks import bench_program, build_flagship, make_test_image
+from reforge_tpu.benchmarks import (
+    bench_program,
+    build_flagship,
+    enable_cache,
+    make_test_image,
+)
 
 BASELINE_FPS_4K = 60.0
 
 
 def main() -> int:
+    enable_cache()
     width, height = 3840, 2160
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 120
 

@@ -18,6 +18,14 @@ import numpy as np
 from .config import parse
 from .graph import GraphProgram, build_graph, make_program
 
+def enable_cache() -> None:
+    """Benchmarks want the warm persistent jit cache too (Engine enables it
+    for the live tool; standalone bench processes call this)."""
+    from .engine import _enable_persistent_cache
+
+    _enable_persistent_cache()
+
+
 FLAGSHIP_CONFIG = """
 // 5-node flagship: blur + unsharp fan-in, blended, tonemapped, vignetted.
 input -> soften -> mixer -> tone -> vig -> output

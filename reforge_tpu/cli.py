@@ -15,6 +15,7 @@ and kernel files for live reload each frame and printing the
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time as _time
 from typing import Optional
@@ -125,6 +126,17 @@ def main(argv: Optional[list[str]] = None) -> int:
     headless = args.output_file is not None
     num_frames = 1 if headless else args.num_frames
 
+    # Batch mode: a glob or directory input processes every matched image
+    # through one data-parallel vmapped program (docs/sharding.md).
+    if args.input_file and _expand_inputs(args.input_file):
+        inputs = _expand_inputs(args.input_file)
+        if len(inputs) > 1:
+            if not args.output_file:
+                warnln("Batch input requires -o (an output directory or a "
+                       "pattern containing {})")
+                return 1
+            return _run_batch(args, inputs)
+
     decoder = None
     if args.input_file:
         try:
@@ -193,6 +205,92 @@ def main(argv: Optional[list[str]] = None) -> int:
                 print(f"Profiler trace written to {args.profile}", file=sys.stderr)
             except Exception as e:  # trace export failure must not eat the run
                 warnln(f"Profiler trace export failed: {e}")
+
+
+def _expand_inputs(path: str) -> list[str]:
+    """Glob patterns and directories expand to sorted image lists."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        entries = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".webp", ".tif", ".tiff"))
+        )
+        return entries
+    if any(ch in path for ch in "*?["):
+        return sorted(_glob.glob(path))
+    return [path] if os.path.exists(path) else []
+
+
+def _batch_output_path(pattern: str, input_path: str) -> str:
+    stem = os.path.splitext(os.path.basename(input_path))[0]
+    if "{}" in pattern:
+        return pattern.replace("{}", stem)
+    # Treat as a directory.
+    os.makedirs(pattern, exist_ok=True)
+    return os.path.join(pattern, stem + ".png")
+
+
+def _run_batch(args, inputs: list[str]) -> int:
+    """Decode N images, run one vmapped data-parallel program, encode N."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from .io import decode_image_to_planar, encode_planar_to_image
+    from .parallel import BatchProgram, make_batch_mesh
+
+    first = ImageFileDecoder(inputs[0])
+    width, height = utils.get_dim(first.width, first.height, args.width, args.height)
+
+    info = RenderInfo(
+        width=width,
+        height=height,
+        num_frames=1,
+        config_path=args.config,
+        shader_path=args.shader_path,
+        fmt=args.shader_format,
+        has_input_image=True,
+        shader_file_path=args.shader,
+    )
+    try:
+        engine = Engine(info)
+    except RuntimeError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    t0 = _t.perf_counter()
+    frames = []
+    for path in inputs:
+        dec = first if path == inputs[0] else ImageFileDecoder(path)
+        frames.append(dec.decode(width, height))
+    batch_u8 = jnp.asarray(np.stack(frames))
+    print(
+        f"Decoded {len(inputs)} images at {width}x{height} in "
+        f"{utils.get_elapsed_ms(t0):.0f}ms",
+        file=sys.stderr,
+    )
+
+    mesh = None
+    if args.shard:
+        from .parallel import make_batch_mesh
+
+        mesh = make_batch_mesh(args.shard)
+    bp = BatchProgram(engine.program, mesh)
+    planar = jax.vmap(decode_image_to_planar)(batch_u8)
+    planar, n = bp.pad_batch(planar)
+    out = bp(bp.shard_input(planar), 0.0)
+    rgba = np.asarray(jax.vmap(encode_planar_to_image)(out[:n]))
+
+    for i, path in enumerate(inputs):
+        encode(_batch_output_path(args.output_file, path), rgba[i])
+    print(
+        f"Processed {len(inputs)} images in {utils.get_elapsed_ms(t0):.0f}ms total",
+        file=sys.stderr,
+    )
+    return 0
 
 
 def _run_live_loop(engine: Engine, args) -> int:

@@ -69,7 +69,22 @@ def _use_pallas() -> bool:
 
 
 def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
-    """Separable 2-D convolution: 1-D pass along H then along W."""
+    """Separable 2-D convolution: 1-D pass along H then along W.
+
+    On TPU, widths whose working set fits VMEM use the single fused
+    Pallas kernel (one HBM read + one write for both directions);
+    otherwise two per-direction Pallas kernels (or the jnp fallback off
+    TPU)."""
+    if x.ndim == 3 and _use_pallas():
+        from . import pallas_ops
+
+        wh_arr = np.asarray(wh, np.float32)
+        ww_arr = np.asarray(ww, np.float32)
+        rh, rw = (len(wh_arr) - 1) // 2, (len(ww_arr) - 1) // 2
+        if rh > 0 and rw > 0:
+            tile_h = pallas_ops.fused_tile_h(x.shape[2], rh, rw)
+            if tile_h is not None:
+                return pallas_ops.sep_conv_fused(x, wh_arr, ww_arr, tile_h=tile_h)
     return conv1d(conv1d(x, wh, AXIS_H), ww, AXIS_W)
 
 

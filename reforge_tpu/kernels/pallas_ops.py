@@ -138,6 +138,130 @@ def sep_conv(
                     interpret=interpret)
 
 
+def _sep_fused_kernel(
+    x_hbm, o_ref, scratch, tmp, sems, *,
+    weights_h: tuple, weights_w: tuple, tile_h: int, out_w: int,
+    n_tiles: int, strip_rows: int,
+):
+    """One H-strip: DMA (strip_rows, W + 2r_w) into VMEM (double
+    buffered), conv along H into tmp, conv along W into the output block.
+
+    Both conv directions touch HBM exactly once: the strip load and the
+    block store. The next strip's DMA overlaps this strip's compute.
+    ``strip_rows`` is tile_h + 2r_h rounded up to the sublane tile (8);
+    slack rows exist in the padded input and are never read by the taps.
+    """
+    ci = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def strip_dma(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        strip_dma(i, slot).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        strip_dma(i + 1, other).start()
+
+    strip_dma(i, slot).wait()
+
+    # Conv along H: (tile_h, W + 2r_w) from the strip's sublane shifts.
+    tmp[0, :, :] = scratch[slot, 0:tile_h, :] * weights_h[0]
+    for k, w in enumerate(weights_h[1:], start=1):
+        if w == 0.0:
+            continue
+        tmp[0, :, :] += scratch[slot, k : k + tile_h, :] * w
+
+    # Conv along W: lane shifts of tmp into the output block.
+    o_ref[0, :, :] = tmp[0, :, 0:out_w] * weights_w[0]
+    for k, w in enumerate(weights_w[1:], start=1):
+        if w == 0.0:
+            continue
+        o_ref[0, :, :] += tmp[0, :, k : k + out_w] * w
+
+
+def sep_conv_fused(
+    x: jnp.ndarray,
+    wh: np.ndarray,
+    ww: np.ndarray,
+    mode: str = "edge",
+    tile_h: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Both separable passes in ONE kernel via manual double-buffered DMA."""
+    wh = np.asarray(wh, dtype=np.float32)
+    ww = np.asarray(ww, dtype=np.float32)
+    rh = (len(wh) - 1) // 2
+    rw = (len(ww) - 1) // 2
+    c, h, w = x.shape
+    if rh == 0 and rw == 0:
+        return x * float(wh[0]) * float(ww[0])
+    pad_mode = "edge" if mode == "edge" else "constant"
+    h_pad = _round_up(h, tile_h)
+    # DMA slice extents must align to the (8, 128) tiling: round the strip
+    # row count up to a sublane multiple and the total width to a lane
+    # multiple; slack rows/cols are padded into the input and ignored.
+    strip_rows = _round_up(tile_h + 2 * rh, 8)
+    row_slack = strip_rows - (tile_h + 2 * rh)
+    w_total = _round_up(w + 2 * rw, 128)
+    xp = jnp.pad(
+        x,
+        ((0, 0), (rh, rh + (h_pad - h) + row_slack), (rw, w_total - w - rw)),
+        mode=pad_mode,
+    )
+    n_tiles = h_pad // tile_h
+    out = pl.pallas_call(
+        functools.partial(
+            _sep_fused_kernel,
+            weights_h=tuple(float(v) for v in wh),
+            weights_w=tuple(float(v) for v in ww),
+            tile_h=tile_h,
+            out_w=w,
+            n_tiles=n_tiles,
+            strip_rows=strip_rows,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
+        grid=(c, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip_rows, w_total), x.dtype),
+            pltpu.VMEM((1, tile_h, w_total), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:, :h, :]
+
+
+def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
+    """Largest tile_h whose VMEM footprint fits, or None to use two kernels.
+
+    Budget model (empirical): double-buffered input strips + tmp + the
+    ~12 lane-shift temporaries Mosaic keeps live during the W-conv
+    accumulation, against a ~14 MB usable scoped-VMEM budget.
+    """
+    w_total = _round_up(w + 2 * rw, 128)
+    for tile_h in (128, 64, 32):
+        strips = 2 * (tile_h + 2 * rh) * w_total * 4
+        tmp = tile_h * w_total * 4
+        out = 2 * tile_h * w * 4
+        lane_temps = 12 * tile_h * w * 4
+        if strips + tmp + out + lane_temps < 14 * 1024 * 1024:
+            return tile_h
+    return None
+
+
 def pallas_available() -> bool:
     """Use real Pallas kernels only on TPU backends (CPU would need the
     slow interpreter); the jnp path remains the portable fallback."""

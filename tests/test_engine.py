@@ -222,3 +222,44 @@ class TestAsyncReload:
         assert eng.trigger_reloads() is False
         out2 = np.asarray(eng.render_frame_blocking(0.0))
         np.testing.assert_array_equal(out1, out2)
+
+
+class TestBatchMode:
+    def test_batch_directory(self, tmp_path):
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+        from PIL import Image
+
+        indir = tmp_path / "in"
+        outdir = tmp_path / "out"
+        indir.mkdir()
+        rng = np.random.default_rng(1)
+        for i in range(5):
+            rgba = rng.integers(0, 256, (16, 24, 4), np.uint8)
+            rgba[..., 3] = 255
+            encode(str(indir / f"f{i}.png"), rgba)
+        cfg = tmp_path / "g.rf"
+        cfg.write_text("input -> invert -> output")
+        rc = main(["-i", str(indir), "-o", str(outdir), "--config", str(cfg),
+                   "--shader-path", str(tmp_path), "--shard", "4"])
+        assert rc == 0
+        outs = sorted(outdir.iterdir())
+        assert len(outs) == 5
+        # Batch result equals single-image result.
+        rc = main(["-i", str(indir / "f2.png"), "-o", str(tmp_path / "single.png"),
+                   "--config", str(cfg), "--shader-path", str(tmp_path)])
+        assert rc == 0
+        a = np.asarray(Image.open(str(outdir / "f2.png")))
+        b = np.asarray(Image.open(str(tmp_path / "single.png")))
+        # vmap reassociates float sums; allow sRGB-encode rounding flips.
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    def test_batch_requires_output(self, tmp_path):
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+
+        indir = tmp_path / "in"
+        indir.mkdir()
+        for i in range(2):
+            encode(str(indir / f"f{i}.png"), np.zeros((8, 8, 4), np.uint8))
+        assert main(["-i", str(indir)]) == 1

@@ -63,3 +63,17 @@ def test_zero_mode_padding():
 def test_pallas_disabled_on_cpu():
     # The dispatch in ops.conv1d must not pick pallas on CPU backends.
     assert pallas_ops.pallas_available() is False
+
+
+def test_sep_conv_fused_matches():
+    x = rand(h=70, w=90, seed=4)
+    wh = ops.gaussian_weights(2.0)
+    ww = ops.gaussian_weights(1.5)
+    got = pallas_ops.sep_conv_fused(x, wh, ww, tile_h=32, interpret=True)
+    want = ops.sep_conv(x, wh, ww)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_tile_h_heuristic():
+    assert pallas_ops.fused_tile_h(1920, 12, 12) is not None
+    assert pallas_ops.fused_tile_h(3840, 12, 12) in (None, 32)  # 4K too wide at 64+
