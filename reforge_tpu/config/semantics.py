@@ -30,7 +30,7 @@ from ..utils import warnln
 FILE_INPUT = "rf:file-input"
 FINAL_OUTPUT = "rf:final-output"
 
-SHADER_EXTENSIONS = (".comp", ".py")
+SHADER_EXTENSIONS = (".comp", ".frag", ".py")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -130,6 +130,11 @@ def reflect_bindings(shader: ast.Shader) -> dict:
     loaded, stored = _walk_image_usage(shader)
     images_in: list[str] = []
     images_out: list[str] = []
+    if shader.stage == "fragment" and shader.frag_outputs:
+        # The frag color output needs no declared image binding — the
+        # reference's output_image exemption (vkutils.rs:175-177).
+        images_out.append("output_image")
+        images_out.extend(shader.frag_outputs[1:])
     for img in sorted(shader.images, key=lambda d: d.binding):
         is_in = img.name in loaded or (
             img.name not in stored and not img.writeonly
@@ -191,8 +196,14 @@ def reflect_bindings(shader: ast.Shader) -> dict:
     }
 
 
-def translate_shader(source: str, name: str, path: Optional[str] = None) -> KernelSpec:
-    shader = parse_shader_source(source)
+def translate_shader(
+    source: str, name: str, path: Optional[str] = None, stage: Optional[str] = None
+) -> KernelSpec:
+    # Stage inferred from the file extension, like the reference
+    # (shader.rs:33: .frag -> fragment, else compute).
+    if stage is None:
+        stage = "fragment" if (path or "").endswith(".frag") else "compute"
+    shader = parse_shader_source(source, stage=stage)
     bindings = reflect_bindings(shader)
     if not bindings["images_out"] and not bindings["ssbos_out"]:
         raise GlslError(f"shader '{name}' never stores to any image or buffer")

@@ -227,7 +227,7 @@ class GlobalDecl:
 
 @dataclasses.dataclass
 class Shader:
-    """A parsed compute shader translation unit."""
+    """A parsed shader translation unit (compute or fragment stage)."""
 
     local_size: tuple[int, int, int]
     images: list  # of ImageDecl
@@ -235,3 +235,9 @@ class Shader:
     ssbos: list  # of SsboDecl
     globals: list  # of Decl (const globals etc.)
     functions: dict  # name -> FuncDecl
+    stage: str = "compute"  # "compute" | "fragment"
+    # Fragment-stage interface variables: `out vec4 color;` becomes the
+    # node's output_image (the reference's frag output_image exemption,
+    # vkutils.rs:175-177); `in vec2 uv;` receives normalized coordinates.
+    frag_outputs: list = dataclasses.field(default_factory=list)  # names
+    frag_inputs: list = dataclasses.field(default_factory=list)  # (type, name)

@@ -223,6 +223,25 @@ class Interp:
             for m in ubo.members:
                 self.globals[m.name] = self._ubo_member_val(m)
 
+        if self.shader.stage == "fragment":
+            # gl_FragCoord: pixel centers. The .xy components keep pixel
+            # origins so ivec2(gl_FragCoord.xy) still enables shifted loads.
+            fx = self._as_array(self._iota("x"), "float") + 0.5
+            fy = self._as_array(gy_data, "float") + 0.5
+            fc = Val("vec4", [fx, fy, 0.0, 1.0])
+            fc._comp_origins = [Origin("x", 0), Origin("y", 0), None, None]  # type: ignore[attr-defined]
+            self.globals["gl_FragCoord"] = fc
+            for vtype, vname in self.shader.frag_inputs:
+                if vtype == "vec2":
+                    # Full-screen-pass uv varying: normalized coordinates.
+                    uv_x = (self._as_array(self._iota("x"), "float") + 0.5) / self.w
+                    uv_y = (self._as_array(gy_data, "float") + 0.5) / self.global_h
+                    self.globals[vname] = Val("vec2", [uv_x, uv_y])
+                else:
+                    self.globals[vname] = self._zero_of(vtype, 0)
+            for vname in self.shader.frag_outputs:
+                self.globals[vname] = self._zero_of("vec4", 0)
+
     def _ubo_member_val(self, m: ast.UboMember) -> Val:
         if m.name == "_rf_time" or m.name.endswith("_rf_time"):
             return Val("float", self.time)
@@ -281,6 +300,15 @@ class Interp:
         for name, comps in self.stores.items():
             outputs[name] = jnp.stack(
                 [self._as_array(c, "float") for c in comps], axis=0
+            )
+        # Fragment stage: the first `out vec4` is the node's output_image
+        # (the reference's full-screen-triangle color attachment); extras
+        # are additional outputs by their own names.
+        for i, vname in enumerate(self.shader.frag_outputs):
+            v = self.globals[vname]
+            key = "output_image" if i == 0 else vname
+            outputs[key] = jnp.stack(
+                [self._as_array(c, "float") for c in v.data], axis=0
             )
         return outputs
 

@@ -38,9 +38,12 @@ _BIN_PREC = {
 
 
 class Parser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, stage: str = "compute"):
         self.toks = tokenize(src)
         self.pos = 0
+        self.stage = stage
+        self.frag_outputs: list[str] = []
+        self.frag_inputs: list[tuple[str, str]] = []
 
     # ---- token helpers --------------------------------------------------
 
@@ -103,6 +106,9 @@ class Parser:
                 continue
             if t.text == "shared":
                 raise GlslError("shared memory is not supported", t.line)
+            if t.text in ("in", "out"):
+                self.parse_stage_io(t.text)
+                continue
             # const global / global var / function
             is_const = self.accept("const")
             type_tok = self.expect_ident()
@@ -118,7 +124,28 @@ class Parser:
                 globals_.append(decl)
         if "main" not in functions:
             raise GlslError("shader has no main() function")
-        return ast.Shader(local_size, images, ubos, ssbos, globals_, functions)
+        return ast.Shader(
+            local_size, images, ubos, ssbos, globals_, functions,
+            stage=self.stage,
+            frag_outputs=self.frag_outputs,
+            frag_inputs=self.frag_inputs,
+        )
+
+    def parse_stage_io(self, direction: str) -> None:
+        """Top-level `in type name;` / `out type name;` interface variables
+        (fragment stage)."""
+        tok = self.next()  # 'in' | 'out'
+        type_tok = self.expect_ident()
+        if type_tok.text not in TYPE_NAMES:
+            raise GlslError(f"unknown type '{type_tok.text}'", type_tok.line)
+        name = self.expect_ident().text
+        self.expect(";")
+        if direction == "out":
+            if type_tok.text != "vec4":
+                raise GlslError("fragment outputs must be vec4", tok.line)
+            self.frag_outputs.append(name)
+        else:
+            self.frag_inputs.append((type_tok.text, name))
 
     def parse_layout_qualifier(self) -> dict:
         self.expect("layout")
@@ -142,14 +169,19 @@ class Parser:
     def parse_layout_decl(self):
         items = self.parse_layout_qualifier()
 
-        # layout(local_size_x = N, ...) in;
-        if self.accept("in"):
-            self.expect(";")
+        # layout(local_size_x = N, ...) in;  — or a layout-qualified
+        # interface variable: layout(location=0) in/out TYPE NAME;
+        if self.at("in") and self.peek(1).text == ";":
+            self.next()
+            self.next()
             return (
                 int(items.get("local_size_x", 1)),
                 int(items.get("local_size_y", 1)),
                 int(items.get("local_size_z", 1)),
             )
+        if self.at("in") or self.at("out"):
+            self.parse_stage_io(self.peek().text)
+            return None
 
         quals = set()
         while self.peek().text in (
@@ -466,5 +498,5 @@ class Parser:
         raise GlslError(f"unexpected token '{t.text or '<eof>'}'", t.line)
 
 
-def parse_shader_source(src: str) -> ast.Shader:
-    return Parser(src).parse_shader()
+def parse_shader_source(src: str, stage: str = "compute") -> ast.Shader:
+    return Parser(src, stage=stage).parse_shader()

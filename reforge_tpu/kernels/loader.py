@@ -36,7 +36,7 @@ def load_kernel_file(path: str) -> Optional[KernelSpec]:
 
     if ext == ".py":
         return _load_py_kernel(path, source)
-    if ext == ".comp":
+    if ext in (".comp", ".frag", ".glsl"):
         return _load_glsl_kernel(path, source)
     warnln(f"Unknown kernel source extension '{ext}' for {path}")
     return None

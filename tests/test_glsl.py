@@ -524,3 +524,69 @@ void main() {
             "output_image"
         ]
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFragmentShaders:
+    FRAG = """
+#version 450
+layout (binding = 0) uniform sampler2D input_image;
+layout (location = 0) in vec2 uv;
+layout (location = 0) out vec4 out_color;
+void main() {
+    vec4 c = texture(input_image, uv);
+    out_color = vec4(1.0 - c.rgb, c.a);
+}
+"""
+
+    def test_frag_invert(self):
+        spec = translate_shader(self.FRAG, "inv", path="inv.frag")
+        assert spec.images_out == ("output_image",)
+        assert spec.images_in == ("input_image",)
+        img = jnp.asarray(np.random.default_rng(0).random((4, 12, 16), np.float32))
+        ctx = KernelContext(width=16, height=12)
+        out = spec(ctx, {"input_image": img}, {})["output_image"]
+        np.testing.assert_allclose(
+            np.asarray(out)[:3], 1.0 - np.asarray(img)[:3], atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(out)[3], np.asarray(img)[3], atol=1e-5)
+
+    def test_frag_fragcoord_shifted_load(self):
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+out vec4 color;
+void main() {
+    ivec2 pos = ivec2(gl_FragCoord.xy);
+    color = imageLoad(input_image, pos + ivec2(1, 0));
+}
+"""
+        spec = translate_shader(src, "sh", path="sh.frag")
+        img = jnp.asarray(np.random.default_rng(1).random((4, 10, 12), np.float32))
+        ctx = KernelContext(width=12, height=10)
+        out = np.asarray(spec(ctx, {"input_image": img}, {})["output_image"])
+        ref = np.zeros_like(np.asarray(img))
+        ref[:, :, :-1] = np.asarray(img)[:, :, 1:]
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        # The shifted load stayed on the pad+slice path (finite halo).
+        assert spec.halo_for({}) == 1
+
+    def test_frag_in_engine(self, tmp_path):
+        (tmp_path / "tint.frag").write_text("""
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+out vec4 color;
+void main() {
+    vec4 c = imageLoad(input_image, ivec2(gl_FragCoord.xy));
+    color = vec4(c.r, c.g * 0.5, c.b * 0.25, c.a);
+}
+""")
+        from reforge_tpu.engine import Engine, RenderInfo
+
+        eng = Engine(RenderInfo(width=16, height=12,
+                                shader_file_path=str(tmp_path / "tint.frag"),
+                                has_input_image=True))
+        rgba = np.random.default_rng(2).integers(0, 256, (12, 16, 4), np.uint8)
+        eng.load_input(rgba)
+        out = np.asarray(eng.render_frame_blocking(0.0))
+        inp = np.asarray(eng._input_planar)
+        np.testing.assert_allclose(out[1], inp[1] * 0.5, atol=1e-6)
