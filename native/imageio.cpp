@@ -250,3 +250,222 @@ int rf_encode(const char *path, const uint8_t *rgba, int w, int h, char *err,
 }
 
 }  // extern "C"
+
+// ---- Video streaming ----------------------------------------------------
+//
+// Beyond the reference (which decodes only the first frame of a video,
+// imagefileio.rs:129-152): sequential full-video decode and encode, so the
+// engine can stream every frame of a clip through the graph.
+
+extern "C" {
+
+// Decode the NEXT frame of the stream into `out` (RGBA8 at out_w x out_h).
+// Returns 0 on success, 1 on end-of-stream, -1 on error.
+int rf_decoder_next(RfDecoder *d, uint8_t *out, int out_w, int out_h,
+                    char *err, int errlen) {
+  AVPacket *pkt = av_packet_alloc();
+  AVFrame *frame = av_frame_alloc();
+  int ret = 0;
+  bool got = false;
+  bool eof = false;
+
+  while (!got) {
+    ret = avcodec_receive_frame(d->codec, frame);
+    if (ret == 0) {
+      got = true;
+      break;
+    }
+    if (ret == AVERROR_EOF) {
+      eof = true;
+      break;
+    }
+    if (ret != AVERROR(EAGAIN)) break;
+    // Need more input.
+    ret = av_read_frame(d->fmt, pkt);
+    if (ret == AVERROR_EOF) {
+      avcodec_send_packet(d->codec, nullptr);  // flush
+      continue;
+    }
+    if (ret < 0) break;
+    if (pkt->stream_index == d->stream_index) {
+      ret = avcodec_send_packet(d->codec, pkt);
+      av_packet_unref(pkt);
+      if (ret < 0) break;
+    } else {
+      av_packet_unref(pkt);
+    }
+  }
+
+  if (eof || !got) {
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    if (eof) return 1;
+    set_err(err, errlen, "Failed to decode next frame: " + av_errstr(ret));
+    return -1;
+  }
+
+  SwsContext *sws = sws_getContext(
+      frame->width, frame->height, (AVPixelFormat)frame->format, out_w, out_h,
+      AV_PIX_FMT_RGBA, SWS_LANCZOS, nullptr, nullptr, nullptr);
+  uint8_t *dst_planes[4] = {out, nullptr, nullptr, nullptr};
+  int dst_strides[4] = {out_w * 4, 0, 0, 0};
+  sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_planes,
+            dst_strides);
+  sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return 0;
+}
+
+// Frame rate of the stream (0 if unknown).
+double rf_decoder_fps(RfDecoder *d) {
+  AVRational r = d->fmt->streams[d->stream_index]->avg_frame_rate;
+  if (r.num <= 0 || r.den <= 0) return 0.0;
+  return (double)r.num / (double)r.den;
+}
+
+struct RfVideoEnc {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *codec = nullptr;
+  AVStream *stream = nullptr;
+  SwsContext *sws = nullptr;
+  int w = 0, h = 0;
+  int64_t next_pts = 0;
+};
+
+RfVideoEnc *rf_venc_open(const char *path, int w, int h, double fps, char *err,
+                         int errlen) {
+  RfVideoEnc *e = new RfVideoEnc();
+  e->w = w;
+  e->h = h;
+  if (fps <= 0) fps = 30.0;
+
+  int ret = avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path);
+  if (ret < 0 || !e->fmt) {
+    set_err(err, errlen, "Cannot create output container for '" +
+                             std::string(path) + "': " + av_errstr(ret));
+    delete e;
+    return nullptr;
+  }
+  // Prefer the container's default video codec; fall back to MPEG-4 part 2
+  // (always built into libavcodec, unlike x264).
+  AVCodecID cid = e->fmt->oformat->video_codec;
+  const AVCodec *enc = avcodec_find_encoder(cid);
+  if (!enc) {
+    cid = AV_CODEC_ID_MPEG4;
+    enc = avcodec_find_encoder(cid);
+  }
+  if (!enc) {
+    set_err(err, errlen, "No video encoder available");
+    avformat_free_context(e->fmt);
+    delete e;
+    return nullptr;
+  }
+  e->stream = avformat_new_stream(e->fmt, nullptr);
+  e->codec = avcodec_alloc_context3(enc);
+  e->codec->width = w;
+  e->codec->height = h;
+  e->codec->time_base = av_d2q(1.0 / fps, 100000);
+  e->codec->framerate = av_d2q(fps, 100000);
+  e->codec->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->codec->bit_rate = (int64_t)w * h * 8;  // generous quality
+  e->codec->gop_size = 12;
+  // Frame-exact output beats compression for a processing tool: B-frames
+  // can drop a trailing frame at the container boundary in some decoders.
+  e->codec->max_b_frames = 0;
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+
+  ret = avcodec_open2(e->codec, enc, nullptr);
+  if (ret < 0) {
+    set_err(err, errlen, "Cannot open video encoder: " + av_errstr(ret));
+    avcodec_free_context(&e->codec);
+    avformat_free_context(e->fmt);
+    delete e;
+    return nullptr;
+  }
+  avcodec_parameters_from_context(e->stream->codecpar, e->codec);
+  e->stream->time_base = e->codec->time_base;
+
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) {
+    ret = avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE);
+    if (ret < 0) {
+      set_err(err, errlen, "Cannot open '" + std::string(path) +
+                               "': " + av_errstr(ret));
+      avcodec_free_context(&e->codec);
+      avformat_free_context(e->fmt);
+      delete e;
+      return nullptr;
+    }
+  }
+  ret = avformat_write_header(e->fmt, nullptr);
+  if (ret < 0) {
+    set_err(err, errlen, "Cannot write container header: " + av_errstr(ret));
+    avcodec_free_context(&e->codec);
+    avformat_free_context(e->fmt);
+    delete e;
+    return nullptr;
+  }
+  e->sws = sws_getContext(w, h, AV_PIX_FMT_RGBA, w, h, AV_PIX_FMT_YUV420P,
+                          SWS_BICUBIC, nullptr, nullptr, nullptr);
+  return e;
+}
+
+static int venc_drain(RfVideoEnc *e, char *err, int errlen) {
+  AVPacket *pkt = av_packet_alloc();
+  int ret;
+  while ((ret = avcodec_receive_packet(e->codec, pkt)) == 0) {
+    av_packet_rescale_ts(pkt, e->codec->time_base, e->stream->time_base);
+    pkt->stream_index = e->stream->index;
+    // MP4 derives the last sample's duration from the stts table; a
+    // zero-duration final packet gets dropped by some demuxers.
+    if (pkt->duration <= 0)
+      pkt->duration = av_rescale_q(1, e->codec->time_base, e->stream->time_base);
+    int wret = av_interleaved_write_frame(e->fmt, pkt);
+    if (wret < 0) {
+      set_err(err, errlen, "Write failed: " + av_errstr(wret));
+      av_packet_free(&pkt);
+      return -1;
+    }
+  }
+  av_packet_free(&pkt);
+  if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+  set_err(err, errlen, "Encode failed: " + av_errstr(ret));
+  return -1;
+}
+
+int rf_venc_write(RfVideoEnc *e, const uint8_t *rgba, char *err, int errlen) {
+  AVFrame *frame = av_frame_alloc();
+  frame->format = AV_PIX_FMT_YUV420P;
+  frame->width = e->w;
+  frame->height = e->h;
+  av_frame_get_buffer(frame, 0);
+  const uint8_t *src_planes[4] = {rgba, nullptr, nullptr, nullptr};
+  int src_strides[4] = {e->w * 4, 0, 0, 0};
+  sws_scale(e->sws, src_planes, src_strides, 0, e->h, frame->data,
+            frame->linesize);
+  frame->pts = e->next_pts++;
+  int ret = avcodec_send_frame(e->codec, frame);
+  av_frame_free(&frame);
+  if (ret < 0) {
+    set_err(err, errlen, "Encode failed: " + av_errstr(ret));
+    return -1;
+  }
+  return venc_drain(e, err, errlen);
+}
+
+int rf_venc_close(RfVideoEnc *e, char *err, int errlen) {
+  int rc = 0;
+  avcodec_send_frame(e->codec, nullptr);
+  if (venc_drain(e, err, errlen) < 0) rc = -1;
+  if (av_write_trailer(e->fmt) < 0) rc = -1;
+  if (e->sws) sws_freeContext(e->sws);
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE) && e->fmt->pb)
+    avio_closep(&e->fmt->pb);
+  avcodec_free_context(&e->codec);
+  avformat_free_context(e->fmt);
+  delete e;
+  return rc;
+}
+
+}  // extern "C"

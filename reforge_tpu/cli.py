@@ -174,7 +174,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
-    if decoder is not None:
+    from .io import is_video_path
+
+    video_out = headless and is_video_path(args.output_file)
+    if decoder is not None and not video_out:
+        # Video mode must not pre-consume the first frame.
         t0 = _time.perf_counter()
         rgba = decoder.decode(width, height)
         engine.load_input(rgba)
@@ -192,6 +196,8 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     try:
         if headless:
+            if video_out:
+                return _run_video(engine, decoder, args, width, height)
             out = engine.render_frame_blocking()
             encode(args.output_file, engine.read_output(out))
             return 0
@@ -242,7 +248,11 @@ def _run_batch(args, inputs: list[str]) -> int:
     from .io import decode_image_to_planar, encode_planar_to_image
     from .parallel import BatchProgram, make_batch_mesh
 
-    first = ImageFileDecoder(inputs[0])
+    try:
+        first = ImageFileDecoder(inputs[0])
+    except ImageFileError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
     width, height = utils.get_dim(first.width, first.height, args.width, args.height)
 
     info = RenderInfo(
@@ -264,8 +274,12 @@ def _run_batch(args, inputs: list[str]) -> int:
     t0 = _t.perf_counter()
     frames = []
     for path in inputs:
-        dec = first if path == inputs[0] else ImageFileDecoder(path)
-        frames.append(dec.decode(width, height))
+        try:
+            dec = first if path == inputs[0] else ImageFileDecoder(path)
+            frames.append(dec.decode(width, height))
+        except ImageFileError as e:
+            print(f"Error decoding {path}: {e}", file=sys.stderr)
+            return 1
     batch_u8 = jnp.asarray(np.stack(frames))
     print(
         f"Decoded {len(inputs)} images at {width}x{height} in "
@@ -273,11 +287,7 @@ def _run_batch(args, inputs: list[str]) -> int:
         file=sys.stderr,
     )
 
-    mesh = None
-    if args.shard:
-        from .parallel import make_batch_mesh
-
-        mesh = make_batch_mesh(args.shard)
+    mesh = make_batch_mesh(args.shard) if args.shard else None
     bp = BatchProgram(engine.program, mesh)
     planar = jax.vmap(decode_image_to_planar)(batch_u8)
     planar, n = bp.pad_batch(planar)
@@ -289,6 +299,59 @@ def _run_batch(args, inputs: list[str]) -> int:
     print(
         f"Processed {len(inputs)} images in {utils.get_elapsed_ms(t0):.0f}ms total",
         file=sys.stderr,
+    )
+    return 0
+
+
+def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
+    """Stream every frame of a video through the graph into a video file.
+
+    The device pipeline stays busy: frame i+1 decodes on the host while
+    frame i runs on device (the video analog of frames-in-flight).
+    """
+    import time as _t
+
+    from .io import ImageFileError, VideoEncoder, VideoFrames
+
+    if decoder is None:
+        print("Error: video output requires an input file (-i)", file=sys.stderr)
+        return 1
+    try:
+        frames = VideoFrames(decoder, width, height)
+        fps = frames.fps
+        enc = VideoEncoder(args.output_file, width, height, fps)
+    except ImageFileError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    t0 = _t.perf_counter()
+    count = 0
+    pending = None  # (device_out,) one frame in flight
+    try:
+        for rgba in frames:
+            engine.load_input(rgba)
+            out = engine.render_frame(t=count / fps)
+            if pending is not None:
+                enc.write(engine.read_output(pending))
+            pending = out
+            count += 1
+            if args.frames and count >= args.frames:
+                break
+            if count % 25 == 0:
+                rate = count / (_t.perf_counter() - t0)
+                sys.stderr.write(f"\rFrame {count}  ({rate:5.1f} fps)")
+                sys.stderr.flush()
+        if pending is not None:
+            enc.write(engine.read_output(pending))
+    except ImageFileError as e:
+        print(f"\nError: {e}", file=sys.stderr)
+        return 1
+    finally:
+        enc.close()
+    elapsed = _t.perf_counter() - t0
+    sys.stderr.write(
+        f"\rProcessed {count} frames in {elapsed:.1f}s "
+        f"({count / max(elapsed, 1e-9):.1f} fps) -> {args.output_file}\n"
     )
     return 0
 

@@ -8,7 +8,10 @@ reference performs with Vulkan sRGB-image blits (src/render.rs:264-312).
 from .imagefile import (
     ImageFileDecoder,
     ImageFileError,
+    VideoEncoder,
+    VideoFrames,
     encode,
+    is_video_path,
     native_backend_available,
 )
 from .srgb import (
@@ -21,7 +24,10 @@ from .srgb import (
 __all__ = [
     "ImageFileDecoder",
     "ImageFileError",
+    "VideoEncoder",
+    "VideoFrames",
     "encode",
+    "is_video_path",
     "native_backend_available",
     "decode_image_to_planar",
     "encode_planar_to_image",

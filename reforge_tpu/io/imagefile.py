@@ -55,6 +55,35 @@ def _native_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.rf_decoder_close.argtypes = [ctypes.c_void_p]
+    lib.rf_decoder_next.restype = ctypes.c_int
+    lib.rf_decoder_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.rf_decoder_fps.restype = ctypes.c_double
+    lib.rf_decoder_fps.argtypes = [ctypes.c_void_p]
+    lib.rf_venc_open.restype = ctypes.c_void_p
+    lib.rf_venc_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.rf_venc_write.restype = ctypes.c_int
+    lib.rf_venc_write.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.rf_venc_close.restype = ctypes.c_int
+    lib.rf_venc_close.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.rf_encode.restype = ctypes.c_int
     lib.rf_encode.argtypes = [
         ctypes.c_char_p,
@@ -141,6 +170,97 @@ class ImageFileDecoder:
             self.close()
         except Exception:
             pass
+
+
+VIDEO_EXTENSIONS = (".mp4", ".avi", ".mkv", ".webm", ".mov", ".m4v", ".mpg")
+
+
+def is_video_path(path: str) -> bool:
+    return os.path.splitext(path)[1].lower() in VIDEO_EXTENSIONS
+
+
+class VideoFrames:
+    """Sequential frame iterator over a video (native backend only).
+
+    Goes beyond the reference, which decodes only a video's first frame
+    (imagefileio.rs:129-152).
+    """
+
+    def __init__(self, decoder: ImageFileDecoder, width: int, height: int):
+        if decoder._native is None or _native_lib() is None:
+            raise ImageFileError(
+                "Video streaming requires the native io backend (make -C native)"
+            )
+        self._dec = decoder
+        self.width = width
+        self.height = height
+
+    @property
+    def fps(self) -> float:
+        lib = _native_lib()
+        fps = lib.rf_decoder_fps(self._dec._native)
+        return fps if fps > 0 else 30.0
+
+    def __iter__(self):
+        lib = _native_lib()
+        err = ctypes.create_string_buffer(512)
+        while True:
+            out = np.empty((self.height, self.width, 4), dtype=np.uint8)
+            rc = lib.rf_decoder_next(
+                self._dec._native,
+                out.ctypes.data_as(ctypes.c_char_p),
+                self.width,
+                self.height,
+                err,
+                len(err),
+            )
+            if rc == 1:
+                return
+            if rc != 0:
+                raise ImageFileError(err.value.decode() or "video decode failed")
+            yield out
+
+
+class VideoEncoder:
+    """Encode RGBA8 frames to a video container (codec from extension)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 30.0):
+        lib = _native_lib()
+        if lib is None:
+            raise ImageFileError(
+                "Video encoding requires the native io backend (make -C native)"
+            )
+        self._lib = lib
+        err = ctypes.create_string_buffer(512)
+        handle = lib.rf_venc_open(
+            path.encode(), width, height, float(fps), err, len(err)
+        )
+        if not handle:
+            raise ImageFileError(err.value.decode() or f"cannot open {path}")
+        self._enc = ctypes.c_void_p(handle)
+        self.frames_written = 0
+
+    def write(self, rgba: np.ndarray) -> None:
+        rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+        err = ctypes.create_string_buffer(512)
+        rc = self._lib.rf_venc_write(
+            self._enc, rgba.ctypes.data_as(ctypes.c_char_p), err, len(err)
+        )
+        if rc != 0:
+            raise ImageFileError(err.value.decode() or "video encode failed")
+        self.frames_written += 1
+
+    def close(self) -> None:
+        if self._enc is not None:
+            err = ctypes.create_string_buffer(512)
+            self._lib.rf_venc_close(self._enc, err, len(err))
+            self._enc = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def encode(path: str, rgba: np.ndarray) -> None:

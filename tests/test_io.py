@@ -96,3 +96,47 @@ class TestImageFile:
         dec = ImageFileDecoder(path)
         out = dec.decode(56, 40)
         np.testing.assert_array_equal(out, rgba)
+
+
+class TestVideo:
+    def test_video_round_trip(self, tmp_path):
+        if not native_backend_available():
+            pytest.skip("native backend not built")
+        from reforge_tpu.io import VideoEncoder, VideoFrames, is_video_path
+
+        assert is_video_path("x.mp4") and not is_video_path("x.png")
+        path = str(tmp_path / "v.mp4")
+        with VideoEncoder(path, 64, 48, fps=25) as enc:
+            for i in range(10):
+                f = np.zeros((48, 64, 4), np.uint8)
+                f[:, :, 0] = i * 20
+                f[:, :, 3] = 255
+                enc.write(f)
+        dec = ImageFileDecoder(path)
+        frames = list(VideoFrames(dec, 64, 48))
+        assert len(frames) == 10
+        # Lossy, but the red ramp must be monotone.
+        reds = [f[:, :, 0].mean() for f in frames]
+        assert reds[0] < reds[4] < reds[9]
+
+    def test_video_cli_end_to_end(self, tmp_path):
+        if not native_backend_available():
+            pytest.skip("native backend not built")
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import VideoEncoder, VideoFrames
+
+        inp = str(tmp_path / "in.mp4")
+        outp = str(tmp_path / "out.mp4")
+        with VideoEncoder(inp, 64, 48, fps=25) as enc:
+            for i in range(8):
+                f = np.full((48, 64, 4), 30, np.uint8)
+                f[:, :, 3] = 255
+                enc.write(f)
+        cfg = tmp_path / "g.rf"
+        cfg.write_text("input -> invert -> output")
+        rc = main(["-i", inp, "-o", outp, "--config", str(cfg),
+                   "--shader-path", str(tmp_path)])
+        assert rc == 0
+        frames = list(VideoFrames(ImageFileDecoder(outp), 64, 48))
+        assert len(frames) == 8
+        assert frames[0][:, :, 0].mean() > 180  # dark input inverted bright
