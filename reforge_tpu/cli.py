@@ -345,9 +345,16 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
             enc.write(engine.read_output(pending))
     except ImageFileError as e:
         print(f"\nError: {e}", file=sys.stderr)
+        try:
+            enc.close()
+        except ImageFileError:
+            pass
         return 1
-    finally:
+    try:
         enc.close()
+    except ImageFileError as e:
+        print(f"\nError finalizing video: {e}", file=sys.stderr)
+        return 1
     elapsed = _t.perf_counter() - t0
     sys.stderr.write(
         f"\rProcessed {count} frames in {elapsed:.1f}s "

@@ -46,6 +46,11 @@ from .utils import warnln
 
 DEFAULT_CONFIG = "input -> passthrough -> output"
 
+# Hot-path jits hoisted to module level: constructing jax.jit wrappers per
+# frame would lose the C++ fast-path dispatch cache.
+_decode_jit = jax.jit(decode_image_to_planar)
+_encode_jit = jax.jit(encode_planar_to_image)
+
 
 @dataclasses.dataclass
 class RenderInfo:
@@ -175,7 +180,7 @@ class Engine:
     def load_input(self, rgba_u8: np.ndarray) -> None:
         """Upload the decoded sRGB image and linearize on device."""
         dev = jnp.asarray(rgba_u8)
-        self._input_planar = jax.jit(decode_image_to_planar)(dev)
+        self._input_planar = _decode_jit(dev)
 
     def _file_input(self) -> jnp.ndarray:
         if self._input_planar is not None:
@@ -341,8 +346,13 @@ class Engine:
         else:
             start = _time.perf_counter()
             sharded = getattr(self.program, "sharded", None)
-            run = sharded if sharded is not None else self.program
-            out = run(self._file_input(), t)
+            if sharded is not None:
+                # AOT-compiled sharded executables require the compiled input
+                # sharding; device_put to the same sharding is a no-op on
+                # already-sharded frames.
+                out = sharded(sharded.shard_input(self._file_input()), t)
+            else:
+                out = self.program(self._file_input(), t)
             self._inflight.append(out)
             if len(self._inflight) >= max(1, self.info.num_frames):
                 # Analog of wait_for_frame_fence (render.rs:328-337): block
@@ -362,7 +372,7 @@ class Engine:
 
     def read_output(self, out: jnp.ndarray) -> np.ndarray:
         """Device linear (4,H,W) -> host sRGB (H,W,4) uint8 (render.rs:406-433)."""
-        return np.asarray(jax.jit(encode_planar_to_image)(out))
+        return np.asarray(_encode_jit(out))
 
     def gpu_times_str(self) -> str:
         return ", ".join(f"{k}: {v:.3f}ms" for k, v in self.last_gpu_times.items())

@@ -238,9 +238,13 @@ def translate_shader(
         return outputs
 
     @functools.lru_cache(maxsize=64)
-    def halo_of(params_key: tuple) -> Optional[int]:
+    def _reflect_spatial(params_key: tuple) -> tuple:
+        """(halo, border) by dry abstract interpretation for given params."""
         params = dict(params_key)
-        stats = {"max_shift": 0, "gather": False}
+        stats = {
+            "max_shift": 0, "gather": False,
+            "edge_shift": False, "zero_shift": False,
+        }
 
         def dry(time):
             imgs = {
@@ -254,10 +258,18 @@ def translate_shader(
         try:
             jax.eval_shape(dry, jax.ShapeDtypeStruct((), jnp.float32))
         except Exception:
-            return None  # conservatively unshardable if the dry run fails
+            return (None, "edge")  # conservatively unshardable on dry failure
         if stats["gather"]:
-            return None
-        return stats["max_shift"]
+            return (None, "edge")
+        if stats["edge_shift"] and stats["zero_shift"]:
+            # Mixed border conventions: one halo-pad mode can't represent
+            # both, so fall back to the (always-correct) gather path.
+            return (None, "edge")
+        border = "zero" if stats["zero_shift"] else "edge"
+        return (stats["max_shift"], border)
+
+    def halo_of(params_key: tuple) -> Optional[int]:
+        return _reflect_spatial(params_key)[0]
 
     spec = KernelSpec(
         name=name,
@@ -269,6 +281,7 @@ def translate_shader(
         ssbo_sizes=bindings["ssbo_sizes"],
         params=bindings["params"],
         halo=lambda params: halo_of(tuple(sorted(params.items()))),
+        border=lambda params: _reflect_spatial(tuple(sorted(params.items())))[1],
         source_path=path,
         doc=f"GLSL kernel translated from {path or name}",
     )

@@ -648,7 +648,13 @@ class Interp:
                     ],
                 )
             elif value.type.startswith("array"):
-                merged = value
+                merged = Val(
+                    value.type,
+                    [
+                        self._mask_merge_val(m, nv, ov)
+                        for nv, ov in zip(value.data, old.data)
+                    ],
+                )
             else:
                 merged = Val(value.type, jnp.where(m, value.data, old.data))
             scope.assign(target.name, merged)
@@ -693,7 +699,10 @@ class Interp:
                 elems = list(base_old.data)
                 elem_t = base_old.type.split(":", 1)[1]
                 value = self.convert(value, elem_t, line)
-                elems[i] = Val(elem_t, self._write_masked_scoped(scope, elems[i].data, value.data)) if not value.is_vector() else value
+                m = self._effective_mask(scope)
+                elems[i] = (
+                    value if m is None else self._mask_merge_val(m, value, elems[i])
+                )
                 self._assign_to(target.expr, Val(base_old.type, elems), scope, line)
                 return
             if base_old.is_vector():
@@ -704,6 +713,14 @@ class Interp:
                 return
             raise GlslError("cannot index-assign this type", line)
         raise GlslError("unsupported assignment target", line)
+
+    def _mask_merge_val(self, m: Any, new: Val, old: Val) -> Val:
+        """Lane-masked merge of two same-typed Vals (scalar or vector)."""
+        if new.is_vector():
+            return Val(
+                new.type, [jnp.where(m, n, o) for n, o in zip(new.data, old.data)]
+            )
+        return Val(new.type, jnp.where(m, new.data, old.data))
 
     def _write_masked_scoped(self, scope: "_Scope", old: Any, new: Any) -> Any:
         m = self._effective_mask(scope)
@@ -1142,6 +1159,8 @@ class Interp:
             self.stats["max_shift"] = max(self.stats["max_shift"], abs(dx), abs(dy))
             if dx == 0 and dy == 0:
                 return Val("vec4", list(comps))
+            # Record the border convention actually used, for sharding.
+            self.stats["edge_shift" if clamped else "zero_shift"] = True
             return Val("vec4", [self._shift(c, dx, dy, clamped) for c in comps])
         # General gather.
         self.stats["gather"] = True

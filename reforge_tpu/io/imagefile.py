@@ -253,14 +253,28 @@ class VideoEncoder:
     def close(self) -> None:
         if self._enc is not None:
             err = ctypes.create_string_buffer(512)
-            self._lib.rf_venc_close(self._enc, err, len(err))
+            rc = self._lib.rf_venc_close(self._enc, err, len(err))
             self._enc = None
+            if rc != 0:
+                # A failed flush/trailer write leaves a corrupt file; the
+                # caller must not report success.
+                raise ImageFileError(
+                    err.value.decode() or "video finalize failed"
+                )
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            # Don't mask the original exception with a finalize error.
+            try:
+                self.close()
+            except ImageFileError:
+                pass
+            return False
         self.close()
+        return False
 
 
 def encode(path: str, rgba: np.ndarray) -> None:
@@ -271,7 +285,12 @@ def encode(path: str, rgba: np.ndarray) -> None:
     """
     rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
     h, w = rgba.shape[:2]
+    ext = os.path.splitext(path)[1].lower()
     lib = _native_lib()
+    # The native encoder implements PNG and JPEG; other extensions (.bmp,
+    # .webp, .tif, ...) go through PIL so the bytes match the extension.
+    if ext not in (".png", ".jpg", ".jpeg", ""):
+        lib = None
     if lib is not None:
         err = ctypes.create_string_buffer(512)
         rc = lib.rf_encode(
@@ -283,7 +302,6 @@ def encode(path: str, rgba: np.ndarray) -> None:
     from PIL import Image
 
     im = Image.fromarray(rgba, "RGBA")
-    ext = os.path.splitext(path)[1].lower()
     if ext in (".jpg", ".jpeg"):
         im = im.convert("RGB")
         im.save(path, quality=95)

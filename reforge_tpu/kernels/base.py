@@ -144,6 +144,10 @@ class KernelSpec:
     # exchange in row-sharded execution.  None means data-dependent access
     # (gather kernels) that cannot be halo-sharded.
     halo: Callable[[Mapping[str, Any]], Optional[int]] = lambda params: 0
+    # Border convention at the global image edge ("edge" clamp or "zero"),
+    # so sharded halo padding reproduces single-device borders exactly.
+    # Library kernels clamp (ops.pad_edge); GLSL kernels reflect theirs.
+    border: Callable[[Mapping[str, Any]], str] = lambda params: "edge"
     source_path: Optional[str] = None
     doc: str = ""
 
@@ -189,6 +193,9 @@ class KernelSpec:
 
     def halo_for(self, params: Mapping[str, Any]) -> Optional[int]:
         return self.halo(params)
+
+    def border_for(self, params: Mapping[str, Any]) -> str:
+        return self.border(params)
 
     def __call__(self, ctx: KernelContext, images: Mapping[str, Any], params: Mapping[str, Any]) -> dict[str, Any]:
         out = self.fn(ctx, **images, **params)

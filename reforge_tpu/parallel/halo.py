@@ -148,8 +148,9 @@ class HaloShardedProgram:
                     )
                     crop = lambda v: v
                 else:
+                    border = spec.border_for(node.params)
                     padded = {
-                        d: v if is_buffer(d) else halo_pad(v, r, n, idx)
+                        d: v if is_buffer(d) else halo_pad(v, r, n, idx, mode=border)
                         for d, v in ins_local.items()
                     }
                     outs = spec(

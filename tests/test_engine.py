@@ -263,3 +263,25 @@ class TestBatchMode:
         for i in range(2):
             encode(str(indir / f"f{i}.png"), np.zeros((8, 8, 4), np.uint8))
         assert main(["-i", str(indir)]) == 1
+
+
+class TestShardedReload:
+    def test_async_reload_with_shard(self, tmp_path):
+        """Regression: AOT-compiled sharded programs must accept the engine's
+        input after an async reload swap (sharding mismatch bug)."""
+        eng, cfg = make_engine(
+            tmp_path, "input -> invert -> output", w=32, h=32,
+            shard=4, async_compile=True,
+        )
+        out1 = np.asarray(eng.render_frame_blocking(0.0))
+        old = utils.get_modified_time(cfg)
+        write(cfg, "input -> passthrough -> output", bump_from=old)
+        swapped = eng.trigger_reloads()
+        deadline = time.time() + 60
+        while not swapped and time.time() < deadline:
+            eng.render_frame_blocking(0.0)
+            time.sleep(0.02)
+            swapped = eng.trigger_reloads()
+        assert swapped
+        out2 = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_allclose(out2, np.asarray(eng._input_planar), atol=1e-6)

@@ -152,3 +152,54 @@ class TestGspmdSharding:
         sharded = shard_program(prog, mesh)
         got = np.asarray(sharded(sharded.shard_input(img), 0.25))
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=name)
+
+
+class TestBorderModes:
+    def test_zero_border_glsl_sharded(self, mesh, tmp_path):
+        """Unclamped imageLoad (zero OOB) must shard exactly, including the
+        global top/bottom rows (edge devices zero-fill, not edge-replicate)."""
+        (tmp_path / "vblur0.comp").write_text("""
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly  image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 acc = vec4(0.0);
+    for (int d = -2; d <= 2; d++) {
+        acc += imageLoad(input_image, pos + ivec2(0, d));
+    }
+    imageStore(output_image, pos, acc / 5.0);
+}
+""")
+        from reforge_tpu.config import parse_file
+
+        cfg = parse_file("input -> vblur0 -> output", True, str(tmp_path))
+        graph = build_graph(cfg)
+        spec = graph.nodes["vblur0"].spec
+        assert spec.border_for({}) == "zero"
+        prog = make_program(graph, 64, 64)
+        img = rand_image()
+        want = np.asarray(prog(img, 0.0))
+        sharded = HaloShardedProgram(prog, mesh)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.0))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_mixed_borders_fall_back_to_gather(self, tmp_path):
+        (tmp_path / "mixed.comp").write_text("""
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly  image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 size = imageSize(input_image);
+    vec4 a = imageLoad(input_image, pos + ivec2(0, 1));
+    vec4 b = imageLoad(input_image, clamp(pos + ivec2(0, -1), ivec2(0), size - ivec2(1)));
+    imageStore(output_image, pos, (a + b) * 0.5);
+}
+""")
+        from reforge_tpu.kernels.loader import load_kernel_file
+
+        spec = load_kernel_file(str(tmp_path / "mixed.comp"))
+        assert spec.halo_for({}) is None  # gather fallback, always correct
