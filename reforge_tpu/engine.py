@@ -126,6 +126,7 @@ class Engine:
             utils.get_modified_time(info.config_path) if info.config_path else 0
         )
         self._last_kernel_mtimes = self._kernel_mtimes()
+        self._watcher = self._make_watcher()
 
     # ---- construction helpers ------------------------------------------
 
@@ -204,11 +205,27 @@ class Engine:
         reference's device_wait_idle stall during rebuild (render.rs:125).
         """
         swapped = self._adopt_pending()
+        # Native inotify fast path: skip the per-file mtime stats entirely
+        # on quiet frames (the mtime comparison below stays authoritative
+        # when the watcher reports directory activity or is unavailable).
+        if self._watcher is not None and not self._watcher.poll():
+            return swapped
         if self._config_changed():
             swapped = self._recreate_program() or swapped
         else:
             swapped = self._reload_changed_kernels() or swapped
         return swapped
+
+    def _make_watcher(self):
+        from .runtime.watcher import FileWatcher
+
+        paths = list(self._last_kernel_mtimes)
+        if self.info.config_path:
+            paths.append(self.info.config_path)
+        if not paths:
+            return None
+        watcher = FileWatcher(paths)
+        return watcher if watcher.active else None
 
     def _adopt_pending(self) -> bool:
         with self._compile_lock:
@@ -324,6 +341,10 @@ class Engine:
         self.frame_index = 0
         self.last_gpu_times = {}
         self._last_kernel_mtimes = self._kernel_mtimes()
+        # The new graph may reference different kernel files/directories.
+        if getattr(self, "_watcher", None) is not None:
+            self._watcher.close()
+        self._watcher = self._make_watcher()
 
     # ---- frame execution ------------------------------------------------
 
