@@ -85,6 +85,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Row-shard the graph across N devices (0 = single device)",
     )
     p.add_argument(
+        "--pipeline",
+        type=int,
+        default=0,
+        metavar="S",
+        help="Stage graph layers across S devices (pipeline parallelism)",
+    )
+    p.add_argument(
         "--backend",
         choices=["auto", "tpu", "cpu"],
         default="auto",
@@ -163,6 +170,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         shader_file_path=args.shader,
         timing=args.timing,
         shard=args.shard,
+        pipeline_stages=args.pipeline,
         # Live loop: compile reloads on a background thread so the old
         # program keeps producing frames; headless runs compile inline.
         async_compile=not headless,

@@ -70,6 +70,9 @@ class RenderInfo:
     # (0 = single device).  The reference has no multi-device mode; this is
     # the TPU-native scale axis (SURVEY.md §2).
     shard: int = 0
+    # Stage graph layers across N devices (pipeline parallelism); mutually
+    # exclusive with shard.
+    pipeline_stages: int = 0
 
 
 def _enable_persistent_cache() -> None:
@@ -152,7 +155,19 @@ class Engine:
         if graph is None:
             return None
         program = make_program(graph, self.info.width, self.info.height, self.info.fmt)
-        if program is None or not self.info.shard:
+        if program is None:
+            return None
+        if self.info.pipeline_stages:
+            from .parallel import PipelineStagedProgram
+
+            try:
+                program.sharded = PipelineStagedProgram(  # type: ignore[attr-defined]
+                    program, n_stages=self.info.pipeline_stages
+                )
+            except Exception as e:
+                warnln(f"Cannot pipeline-stage graph: {e}; running single-device")
+            return program
+        if not self.info.shard:
             return program
         from .parallel import HaloShardedProgram, make_row_mesh
 

@@ -23,3 +23,7 @@ __all__ = [
     "ShardedProgram",
     "shard_program",
 ]
+
+from .pipeline import PipelineStagedProgram, split_layers  # noqa: E402
+
+__all__ += ["PipelineStagedProgram", "split_layers"]

@@ -203,3 +203,41 @@ void main() {
 
         spec = load_kernel_file(str(tmp_path / "mixed.comp"))
         assert spec.halo_for({}) is None  # gather fallback, always correct
+
+
+class TestPipelineParallel:
+    def test_staged_matches_single_device(self):
+        from reforge_tpu.parallel import PipelineStagedProgram
+
+        src = (
+            "input -> gs -> sharpen -> tone -> vig -> output\n"
+            "gs: gaussian { sigma: 2.0 }\ntone: tonemap {}\nvig: vignette {}\n"
+        )
+        prog = build(src)
+        img = rand_image()
+        want = np.asarray(prog(img, 0.1))
+        staged = PipelineStagedProgram(prog, devices=jax.devices()[:4])
+        assert len(staged.stage_layers) >= 2
+        got = np.asarray(staged(img, 0.1))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_staged_branching_graph(self):
+        from reforge_tpu.parallel import PipelineStagedProgram
+
+        prog = build(CASES["branching"])
+        img = rand_image(seed=5)
+        want = np.asarray(prog(img, 0.0))
+        staged = PipelineStagedProgram(prog, devices=jax.devices()[:2])
+        got = np.asarray(staged(img, 0.0))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_more_stages_than_layers_clamps(self):
+        from reforge_tpu.parallel import PipelineStagedProgram
+
+        prog = build("input -> invert -> output")
+        staged = PipelineStagedProgram(prog, devices=jax.devices())
+        assert len(staged.stage_layers) == 1
+        img = rand_image()
+        np.testing.assert_allclose(
+            np.asarray(staged(img, 0.0)), np.asarray(prog(img, 0.0)), atol=1e-6
+        )
