@@ -45,9 +45,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int)
     p.add_argument(
         "--shader-format",
-        choices=["rgba8", "rgba32f"],
+        choices=["rgba8", "rgba16f", "rgba32f"],
         default="rgba32f",
-        help="Intermediate image format (rgba8 quantizes between nodes)",
+        help="Intermediate format: rgba8 quantizes between nodes, rgba16f stores bfloat16",
     )
     p.add_argument("--config", help="Path to the pipeline configuration file")
     p.add_argument(

@@ -36,6 +36,16 @@ class GraphTraceError(Exception):
 
 
 class GraphProgram:
+    # Inter-node storage dtype per format: rgba8 keeps f32 but quantizes to
+    # the UNORM grid (Vulkan storage-image parity); rgba16f stores bfloat16
+    # (the TPU-native half float), halving inter-node bandwidth like a GPU
+    # half-float render target.
+    STORAGE_DTYPES = {
+        "rgba32f": jnp.float32,
+        "rgba8": jnp.float32,
+        "rgba16f": jnp.bfloat16,
+    }
+
     def __init__(
         self,
         graph: BuiltGraph,
@@ -47,6 +57,7 @@ class GraphProgram:
         self.width = width
         self.height = height
         self.fmt = fmt
+        self.storage_dtype = self.STORAGE_DTYPES.get(fmt, jnp.float32)
         self._fused = jax.jit(self._forward)
         self._node_fns: dict[str, Any] = {}
         self._compiled = None  # AOT executable from compile()
@@ -93,12 +104,14 @@ class GraphProgram:
                 )
             if self.fmt == "rgba8":
                 value = quantize_rgba8(value)
-            written[res] = value.astype(jnp.float32)
+            written[res] = value.astype(self.storage_dtype)
         return written
 
     def _forward(self, file_input: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         ctx = self._ctx(t)
-        resources: dict[str, Any] = {FILE_INPUT: file_input}
+        resources: dict[str, Any] = {
+            FILE_INPUT: file_input.astype(self.storage_dtype)
+        }
         for layer in self.graph.layers:
             for node in layer:
                 resources.update(self._run_node(node, ctx, resources))
@@ -142,7 +155,7 @@ class GraphProgram:
                     value = outs[desc]
                     if self.fmt == "rgba8" and desc not in _node.spec.ssbos_out:
                         value = quantize_rgba8(value)
-                    written[res] = value.astype(jnp.float32)
+                    written[res] = value.astype(self.storage_dtype)
                 return written
 
             fn = jax.jit(run)

@@ -163,10 +163,10 @@ class HaloShardedProgram:
                     if is_buffer(desc):
                         resources[res] = outs[desc].astype(jnp.float32)
                         continue
-                    value = crop(outs[desc]).astype(jnp.float32)
+                    value = crop(outs[desc])
                     if prog.fmt == "rgba8":
                         value = quantize_rgba8(value)
-                    resources[res] = value
+                    resources[res] = value.astype(prog.storage_dtype)
         return resources[FINAL_OUTPUT]
 
     def __call__(self, file_input: jnp.ndarray, t) -> jnp.ndarray:

@@ -166,3 +166,17 @@ class TestExecution:
         img = rand_image()
         out = np.asarray(prog(img, 0.0))
         assert out.shape == (4, 16, 24)
+
+
+class TestRgba16f:
+    def test_bf16_storage(self):
+        _, prog = build("input -> gs -> tonemap -> output\ngs: gaussian { sigma: 2.0 }",
+                        fmt="rgba16f")
+        img = rand_image()
+        out = prog(img, 0.0)
+        assert out.dtype == jnp.bfloat16
+        # Within half-float tolerance of the f32 result.
+        _, prog32 = build("input -> gs -> tonemap -> output\ngs: gaussian { sigma: 2.0 }")
+        ref = np.asarray(prog32(img, 0.0))
+        got = np.asarray(out.astype(jnp.float32))
+        assert np.abs(got - ref).max() < 0.02
