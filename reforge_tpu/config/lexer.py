@@ -39,6 +39,7 @@ class TokKind(enum.Enum):
     LBRACE = "'{'"
     RBRACE = "'}'"
     COMMA = "','"
+    DOT = "'.'"
     EOF = "end of input"
 
 
@@ -106,6 +107,10 @@ def tokenize(src: str) -> list[Token]:
             continue
         if c == ",":
             toks.append(Token(TokKind.COMMA, ",", i, i + 1))
+            i += 1
+            continue
+        if c == ".":
+            toks.append(Token(TokKind.DOT, ".", i, i + 1))
             i += 1
             continue
         # Numbers: INT is [0-9]+ ; FLOAT is -?[0-9]+.[0-9]+  (a leading '-'

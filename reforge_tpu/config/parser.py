@@ -170,18 +170,23 @@ class _Parser:
         return ast.PipelineDecl(name, pipeline_type, params)
 
     def parse_param(self) -> tuple[str, ast.ParamValue]:
-        key = self.expect(TokKind.IDENT, "identifier")
+        key_tok = self.expect(TokKind.IDENT, "identifier")
+        key = key_tok.text
+        # Dotted keys address nested UBO struct members ("outer.inner").
+        while self.peek().kind is TokKind.DOT:
+            self.advance()
+            key += "." + self.expect(TokKind.IDENT, "identifier").text
         self.expect(TokKind.COLON, ":")
         tok = self.peek()
         if tok.kind is TokKind.INT:
             self.advance()
-            return key.text, ast.ParamValue(tok.text, int(tok.text))
+            return key, ast.ParamValue(tok.text, int(tok.text))
         if tok.kind is TokKind.FLOAT:
             self.advance()
-            return key.text, ast.ParamValue(tok.text, float(tok.text))
+            return key, ast.ParamValue(tok.text, float(tok.text))
         if tok.kind is TokKind.BOOL:
             self.advance()
-            return key.text, ast.ParamValue(tok.text, tok.text == "true")
+            return key, ast.ParamValue(tok.text, tok.text == "true")
         raise self.error(["int", "float", "bool"])
 
 

@@ -167,25 +167,36 @@ def reflect_bindings(shader: ast.Shader) -> dict:
         if not is_read and not is_written:
             ssbos_in.append(name_)
     params: dict[str, ParamDecl] = {}
+    _SCALAR_KINDS = {
+        "float": ParamKind.FLOAT,
+        "int": ParamKind.INT,
+        "uint": ParamKind.INT,
+        "bool": ParamKind.BOOL,
+    }
+
+    def add_param(name: str, type_name: str) -> None:
+        if name == "_rf_time" or name.endswith("_rf_time"):
+            return
+        if type_name in shader.structs:
+            # Nested struct members flatten to dotted names, matching the
+            # reference's recursive UBO walk (pipeline_graph.rs:284-291).
+            for ftype, fname in shader.structs[type_name]:
+                add_param(f"{name}.{fname}", ftype)
+            return
+        kind = _SCALAR_KINDS.get(type_name)
+        if kind is None:
+            raise GlslError(
+                f"UBO member '{name}': only scalar float/int/bool "
+                f"parameters (or structs of them) are supported (got {type_name})"
+            )
+        # Unspecified parameters default to zero, matching the reference's
+        # zero-fill of unset UBO members (render.rs:187-193).
+        default = {ParamKind.FLOAT: 0.0, ParamKind.INT: 0, ParamKind.BOOL: False}[kind]
+        params[name] = ParamDecl(name, kind, default)
+
     for ubo in shader.ubos:
         for m in ubo.members:
-            if m.name == "_rf_time" or m.name.endswith("_rf_time"):
-                continue
-            kind = {
-                "float": ParamKind.FLOAT,
-                "int": ParamKind.INT,
-                "uint": ParamKind.INT,
-                "bool": ParamKind.BOOL,
-            }.get(m.type)
-            if kind is None:
-                raise GlslError(
-                    f"UBO member '{m.name}': only scalar float/int/bool "
-                    f"parameters are supported (got {m.type})"
-                )
-            # Unspecified parameters default to zero, matching the
-            # reference's zero-fill of unset UBO members (render.rs:187-193).
-            default = {ParamKind.FLOAT: 0.0, ParamKind.INT: 0, ParamKind.BOOL: False}[kind]
-            params[m.name] = ParamDecl(m.name, kind, default)
+            add_param(m.name, m.type)
     return {
         "images_in": images_in,
         "images_out": images_out,

@@ -241,3 +241,4 @@ class Shader:
     # vkutils.rs:175-177); `in vec2 uv;` receives normalized coordinates.
     frag_outputs: list = dataclasses.field(default_factory=list)  # names
     frag_inputs: list = dataclasses.field(default_factory=list)  # (type, name)
+    structs: dict = dataclasses.field(default_factory=dict)  # name -> [(type, field)]

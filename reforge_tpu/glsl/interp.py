@@ -245,6 +245,12 @@ class Interp:
     def _ubo_member_val(self, m: ast.UboMember) -> Val:
         if m.name == "_rf_time" or m.name.endswith("_rf_time"):
             return Val("float", self.time)
+        if m.type in self.shader.structs:
+            # Nested UBO members: scalar leaves are addressable from the
+            # config as "outer.inner" (the reference's recursive UBO block
+            # walk, pipeline_graph.rs:284-291); nested *_rf_time fields get
+            # the frame clock (render.rs:212-223 endswith match).
+            return self._struct_param_val(m.type, m.name)
         if m.array_size is not None:
             raise GlslError(
                 f"UBO array member '{m.name}' is not supported (config "
@@ -262,6 +268,26 @@ class Interp:
             return Val("bool", bool(raw))
         return Val(m.type, int(raw))
 
+    def _struct_param_val(self, struct_name: str, prefix: str) -> Val:
+        fields: dict[str, Val] = {}
+        for ftype, fname in self.shader.structs[struct_name]:
+            dotted = f"{prefix}.{fname}"
+            if fname.endswith("_rf_time"):
+                fields[fname] = Val("float", self.time)
+            elif ftype in self.shader.structs:
+                fields[fname] = self._struct_param_val(ftype, dotted)
+            elif ftype in ("float", "int", "uint", "bool"):
+                raw = self.params.get(dotted, 0)
+                if ftype == "float":
+                    fields[fname] = Val("float", float(raw))
+                elif ftype == "bool":
+                    fields[fname] = Val("bool", bool(raw))
+                else:
+                    fields[fname] = Val(ftype, int(raw))
+            else:
+                fields[fname] = self._zero_of(ftype, 0)
+        return Val(f"struct:{struct_name}", fields)
+
     def _zero_of(self, type_name: str, line: int) -> Val:
         if type_name in SCALAR_TYPES:
             zero = {"float": 0.0, "int": 0, "uint": 0, "bool": False}[type_name]
@@ -273,6 +299,12 @@ class Interp:
         if type_name in MAT_TYPES:
             n = MAT_TYPES[type_name]
             return Val(type_name, [[0.0] * n for _ in range(n)])
+        if type_name in self.shader.structs:
+            fields = {
+                fname: self._zero_of(ftype, line)
+                for ftype, fname in self.shader.structs[type_name]
+            }
+            return Val(f"struct:{type_name}", fields)
         raise GlslError(f"cannot default-initialize type '{type_name}'", line)
 
     def _write_masked(self, old: Any, new: Any) -> Any:
@@ -478,6 +510,15 @@ class Interp:
         if isinstance(e.expr, ast.Ident) and e.expr.name == "gl_GlobalInvocationID":
             return self._swizzle_gid(e.name, e.line)
         base = self.eval_expr(e.expr, scope)
+        if base.type.startswith("struct:"):
+            field = base.data.get(e.name)
+            if field is None:
+                raise GlslError(
+                    f"struct {base.type.split(':', 1)[1]} has no member "
+                    f"'{e.name}'",
+                    e.line,
+                )
+            return field
         if base.type == "ssbo_block":
             block = base.data
             member = next(
@@ -647,6 +688,8 @@ class Interp:
                         for nc, oc in zip(value.data, old.data)
                     ],
                 )
+            elif value.type.startswith("struct:"):
+                merged = self._mask_merge_val(m, value, old)
             elif value.type.startswith("array"):
                 merged = Val(
                     value.type,
@@ -661,6 +704,22 @@ class Interp:
             return
         if isinstance(target, ast.Member):
             base_old = self.eval_expr(target.expr, scope)
+            if base_old.type.startswith("struct:"):
+                sname = base_old.type.split(":", 1)[1]
+                ftype = next(
+                    (ft for ft, fn in self.shader.structs[sname] if fn == target.name),
+                    None,
+                )
+                if ftype is None:
+                    raise GlslError(f"struct {sname} has no member '{target.name}'", line)
+                value = self.convert(value, ftype, line) if ftype not in self.shader.structs else value
+                fields = dict(base_old.data)
+                m = self._effective_mask(scope)
+                fields[target.name] = (
+                    value if m is None else self._mask_merge_val(m, value, fields[target.name])
+                )
+                self._assign_to(target.expr, Val(base_old.type, fields), scope, line)
+                return
             if not base_old.is_vector():
                 raise GlslError("swizzle store on non-vector", line)
             for letters in SWIZZLE_SETS:
@@ -715,7 +774,15 @@ class Interp:
         raise GlslError("unsupported assignment target", line)
 
     def _mask_merge_val(self, m: Any, new: Val, old: Val) -> Val:
-        """Lane-masked merge of two same-typed Vals (scalar or vector)."""
+        """Lane-masked merge of two same-typed Vals (scalar/vector/struct)."""
+        if new.type.startswith("struct:"):
+            return Val(
+                new.type,
+                {
+                    k: self._mask_merge_val(m, v, old.data[k])
+                    for k, v in new.data.items()
+                },
+            )
         if new.is_vector():
             return Val(
                 new.type, [jnp.where(m, n, o) for n, o in zip(new.data, old.data)]
@@ -855,6 +922,12 @@ class Interp:
     def convert(self, v: Val, to_type: str, line: int) -> Val:
         if v.type == to_type:
             return v
+        if to_type in self.shader.structs:
+            if v.type == f"struct:{to_type}":
+                return v
+            raise GlslError(f"cannot convert {v.type} to {to_type}", line)
+        if v.type.startswith("struct:"):
+            raise GlslError(f"cannot convert {v.type} to {to_type}", line)
         if to_type in MAT_TYPES or v.type in MAT_TYPES:
             raise GlslError(f"cannot convert {v.type} to {to_type}", line)
         if to_type in SCALAR_TYPES:
@@ -906,6 +979,20 @@ class Interp:
             return self._construct_vector(name, arg_exprs, scope, line)
         if name in MAT_TYPES:
             return self._construct_matrix(name, arg_exprs, scope, line)
+        if name in self.shader.structs:
+            fields_decl = self.shader.structs[name]
+            args = [self.eval_expr(a, scope) for a in arg_exprs]
+            if len(args) != len(fields_decl):
+                raise GlslError(
+                    f"{name}() takes {len(fields_decl)} fields, got {len(args)}", line
+                )
+            fields = {}
+            for (ftype, fname), arg in zip(fields_decl, args):
+                fields[fname] = (
+                    arg if ftype in self.shader.structs
+                    else self.convert(arg, ftype, line)
+                )
+            return Val(f"struct:{name}", fields)
         if name == "transpose":
             (m,) = [self.eval_expr(a, scope) for a in arg_exprs]
             if m.type not in MAT_TYPES:

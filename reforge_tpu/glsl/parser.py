@@ -86,6 +86,7 @@ class Parser:
         ssbos: list[ast.SsboDecl] = []
         globals_: list[ast.Decl] = []
         functions: dict[str, ast.FuncDecl] = {}
+        self.structs: dict[str, list] = {}  # name -> [(type, field), ...]
 
         while self.peek().kind != "eof":
             t = self.peek()
@@ -109,10 +110,13 @@ class Parser:
             if t.text in ("in", "out"):
                 self.parse_stage_io(t.text)
                 continue
+            if t.text == "struct":
+                self.parse_struct_decl()
+                continue
             # const global / global var / function
             is_const = self.accept("const")
             type_tok = self.expect_ident()
-            if type_tok.text not in TYPE_NAMES:
+            if type_tok.text not in TYPE_NAMES and type_tok.text not in self.structs:
                 raise GlslError(f"unknown type '{type_tok.text}'", type_tok.line)
             name_tok = self.expect_ident()
             if self.at("(") and not is_const:
@@ -129,7 +133,24 @@ class Parser:
             stage=self.stage,
             frag_outputs=self.frag_outputs,
             frag_inputs=self.frag_inputs,
+            structs=dict(self.structs),
         )
+
+    def parse_struct_decl(self) -> None:
+        """struct Name { type field; ... };"""
+        self.expect("struct")
+        name = self.expect_ident().text
+        self.expect("{")
+        fields: list[tuple[str, str]] = []
+        while not self.accept("}"):
+            ftype = self.expect_ident().text
+            if ftype not in TYPE_NAMES and ftype not in self.structs:
+                raise GlslError(f"unknown type '{ftype}' in struct", self.peek().line)
+            fname = self.expect_ident().text
+            self.expect(";")
+            fields.append((ftype, fname))
+        self.expect(";")
+        self.structs[name] = fields
 
     def parse_stage_io(self, direction: str) -> None:
         """Top-level `in type name;` / `out type name;` interface variables
@@ -221,7 +242,7 @@ class Parser:
         members: list[ast.UboMember] = []
         while not self.accept("}"):
             mtype = self.expect_ident().text
-            if mtype not in TYPE_NAMES:
+            if mtype not in TYPE_NAMES and mtype not in getattr(self, "structs", {}):
                 raise GlslError(f"unknown type '{mtype}' in block", self.peek().line)
             mname = self.expect_ident().text
             array_size = None
@@ -367,7 +388,7 @@ class Parser:
             t = self.peek()
         if (
             t.kind == "id"
-            and t.text in TYPE_NAMES
+            and (t.text in TYPE_NAMES or t.text in getattr(self, "structs", {}))
             and self.peek(1).kind == "id"
         ):
             self.next()

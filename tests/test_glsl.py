@@ -590,3 +590,86 @@ void main() {
         out = np.asarray(eng.render_frame_blocking(0.0))
         inp = np.asarray(eng._input_planar)
         np.testing.assert_allclose(out[1], inp[1] * 0.5, atol=1e-6)
+
+
+class TestStructs:
+    def test_struct_locals_and_functions(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            Light l = Light(vec3(1.0, 0.5, 0.25), 2.0);
+            l.intensity = l.intensity * 0.5;
+            vec3 lit = apply(l, c.rgb);
+            imageStore(output_image, pos, vec4(lit, c.a));
+        """, extra_decls="""
+            struct Light { vec3 color; float intensity; };
+            vec3 apply(Light l, vec3 base) {
+                return base * l.color * l.intensity;
+            }
+        """)
+        i = np.asarray(img)
+        ref = i[:3] * np.array([1.0, 0.5, 0.25])[:, None, None] * 1.0
+        np.testing.assert_allclose(np.asarray(out)[:3], ref, atol=1e-5)
+
+    def test_struct_masked_assignment(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            P p = P(0.0);
+            if (c.r > 0.5) { p.v = 1.0; }
+            imageStore(output_image, pos, vec4(p.v, 0.0, 0.0, 1.0));
+        """, extra_decls="struct P { float v; };")
+        i = np.asarray(img)
+        np.testing.assert_allclose(
+            np.asarray(out)[0], (i[0] > 0.5).astype(np.float32), atol=1e-6
+        )
+
+    def test_nested_ubo_struct_params(self):
+        """outer.inner config addressing (pipeline_graph.rs:284-291 analog)."""
+        src = HEADER + """
+struct Tint { float r; float g; float b; };
+layout(binding=2) uniform UBO {
+    Tint tint;
+    float gain;
+};
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    imageStore(output_image, pos,
+               vec4(c.r * tint.r * gain, c.g * tint.g * gain, c.b * tint.b * gain, c.a));
+}
+"""
+        spec = translate_shader(src, "tinted")
+        assert set(spec.params) == {"tint.r", "tint.g", "tint.b", "gain"}
+        img = jnp.full((4, 8, 8), 0.5, jnp.float32)
+        ctx = KernelContext(width=8, height=8)
+        params = spec.resolve_params({"tint.r": 1.0, "tint.g": 0.5, "tint.b": 0.25,
+                                      "gain": 2.0})
+        out = np.asarray(spec(ctx, {"input_image": img}, params)["output_image"])
+        np.testing.assert_allclose(out[0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(out[1], 0.5, atol=1e-6)
+        np.testing.assert_allclose(out[2], 0.25, atol=1e-6)
+
+    def test_dotted_params_from_config(self, tmp_path):
+        from reforge_tpu.config import parse
+
+        cfg = parse(
+            "input -> tinted -> output\n"
+            "tinted: tinted { tint.r: 2.0, gain: 1.5 }\n",
+            expects_input=True,
+        )
+        assert cfg.parameters_of("tinted")["tint.r"].value == 2.0
+
+    def test_nested_rf_time(self):
+        src = HEADER + """
+struct Clock { float _rf_time; };
+layout(binding=2) uniform UBO { Clock clk; };
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    imageStore(output_image, pos, vec4(clk._rf_time, 0.0, 0.0, 1.0));
+}
+"""
+        spec = translate_shader(src, "clocked")
+        ctx = KernelContext(width=8, height=8, time=0.625)
+        out = spec(ctx, {"input_image": jnp.zeros((4, 8, 8))}, {})["output_image"]
+        np.testing.assert_allclose(np.asarray(out)[0], 0.625, atol=1e-6)
