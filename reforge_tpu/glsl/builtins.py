@@ -14,7 +14,7 @@ from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 
-from .interp import Interp, Origin, Val, VEC_TYPES, is_static
+from .interp import Interp, Origin, Val, is_static
 from .lexer import GlslError
 
 

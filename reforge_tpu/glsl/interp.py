@@ -30,8 +30,8 @@ Semantics of the mapping:
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, Callable, Optional
+
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

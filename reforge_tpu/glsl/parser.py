@@ -8,7 +8,6 @@ the full C-like statement/expression grammar.
 
 from __future__ import annotations
 
-from typing import Optional
 
 from . import ast
 from .lexer import GlslError, Tok, tokenize

@@ -360,3 +360,76 @@ def flip(ctx, input_image, *, horizontal=True, vertical=False):
     if vertical:
         out = out[:, ::-1, :]
     return out
+
+
+@kernel("posterize")
+def posterize(ctx, input_image, *, levels=6):
+    """Quantize color channels to N levels."""
+    n = max(int(levels), 2)
+    return map_rgb(
+        input_image,
+        lambda rgb: jnp.round(jnp.clip(rgb, 0.0, 1.0) * (n - 1)) / (n - 1),
+    )
+
+
+@kernel("dither")
+def dither(ctx, input_image, *, levels=2):
+    """Ordered dithering with a 4x4 Bayer matrix."""
+    n = max(int(levels), 2)
+    bayer = (
+        np.array(
+            [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+            np.float32,
+        )
+        + 0.5
+    ) / 16.0
+    ys, xs = ops.grid_coords(ctx)
+    thresh = jnp.asarray(bayer)[ys % 4, xs % 4]
+
+    def f(rgb):
+        scaled = jnp.clip(rgb, 0.0, 1.0) * (n - 1)
+        return (jnp.floor(scaled + thresh[None]) ) / (n - 1)
+
+    return map_rgb(input_image, f)
+
+
+@kernel("kuwahara", halo=lambda p: int(p["radius"]))
+def kuwahara(ctx, input_image, *, radius=4):
+    """Kuwahara filter: per pixel, the mean of the least-variant of the four
+    overlapping (r+1)x(r+1) quadrant windows — a classic painterly smoother,
+    built from shifted box sums so it fuses like any separable conv."""
+    r = max(int(radius), 1)
+    w = box_weights(r)  # (2r+1) box; quadrant windows via shifted half-boxes
+    half = np.zeros((2 * r + 1,), np.float32)
+    half[: r + 1] = 1.0 / (r + 1)
+    lead = half[::-1].copy()  # window covering [0, +r]
+    lag = half  # window covering [-r, 0]
+
+    y = luma(input_image)[None]
+    mean_img = input_image
+    best_mean = None
+    best_var = None
+    for wy in (lag, lead):
+        for wx in (lag, lead):
+            m = sep_conv(mean_img, wy, wx)
+            my = sep_conv(y, wy, wx)
+            my2 = sep_conv(y * y, wy, wx)
+            var = my2 - my * my
+            if best_var is None:
+                best_mean, best_var = m, var
+            else:
+                take = var < best_var
+                best_mean = jnp.where(take, m, best_mean)
+                best_var = jnp.where(take, var, best_var)
+    return map_rgb(input_image, lambda rgb: best_mean[:3])
+
+
+@kernel("lut1d", ssbos_in=("Curve",), ssbo_sizes={"Curve": 256})
+def lut1d(ctx, input_image, Curve):
+    """Map channels through a 256-entry tone curve stored in an SSBO."""
+
+    def f(rgb):
+        idx = jnp.clip(rgb * 255.0, 0.0, 255.0).astype(jnp.int32)
+        return Curve[idx]
+
+    return map_rgb(input_image, f)

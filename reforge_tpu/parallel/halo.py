@@ -23,7 +23,7 @@ zeros to edge devices that have no neighbor.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

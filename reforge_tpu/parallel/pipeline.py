@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..config import FILE_INPUT, FINAL_OUTPUT
 from ..graph.builder import PipelineNode
 from ..graph.program import GraphProgram
-from ..kernels.base import KernelContext, quantize_rgba8
+from ..kernels.base import KernelContext
 
 
 def _node_cost(node: PipelineNode) -> float:
@@ -86,7 +86,6 @@ class PipelineStagedProgram:
         # Cross-stage interface: which resources each stage consumes from
         # earlier stages and which it must export to later ones.
         produced_by_stage: list[set] = []
-        seen: set[str] = {FILE_INPUT}
         self._stage_inputs: list[list[str]] = []
         self._stage_outputs: list[list[str]] = []
         for s, group in enumerate(self.stage_layers):
@@ -114,7 +113,6 @@ class PipelineStagedProgram:
     def _make_stage_fn(self, s: int):
         prog = self.program
         group = self.stage_layers[s]
-        in_names = list(self._stage_inputs[s])
         out_names = list(self._stage_outputs[s])
 
         def stage(inputs: dict, t):

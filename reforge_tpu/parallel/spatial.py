@@ -22,7 +22,6 @@ semantics (and still beats host round-trips).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

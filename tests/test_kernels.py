@@ -182,7 +182,55 @@ class TestNumerics:
             images = {}
             for i, desc in enumerate(spec.images_in):
                 images[desc] = rand_image(16, 24, seed=i)
+            for desc in spec.ssbos_in:
+                size = spec.ssbo_sizes.get(desc, 256)
+                images[desc] = jnp.linspace(0.0, 1.0, size)
             ctx = KernelContext(width=24, height=16, time=0.5)
             out = spec(ctx, images, spec.resolve_params({}))
             for desc in spec.images_out:
                 assert out[desc].shape == (4, 16, 24), name
+
+
+class TestArtisticKernels:
+    def test_posterize_levels(self):
+        img = rand_image()
+        out = np.asarray(run("posterize", img, {"levels": 4}))
+        vals = np.unique(np.round(out[:3] * 3))
+        assert len(vals) <= 4
+
+    def test_dither_two_levels(self):
+        img = jnp.full((4, 8, 8), 0.5, jnp.float32)
+        out = np.asarray(run("dither", img, {"levels": 2}))
+        # Mid-gray dithers to a mix of 0s and 1s.
+        assert set(np.unique(out[0])) <= {0.0, 1.0}
+        assert 0.2 < out[0].mean() < 0.8
+
+    def test_kuwahara_flat_preserved(self):
+        img = jnp.full((4, 24, 24), 0.4, jnp.float32)
+        out = np.asarray(run("kuwahara", img, {"radius": 3}))
+        np.testing.assert_allclose(out[:3], 0.4, atol=1e-4)
+
+    def test_kuwahara_edge_preserving(self):
+        # A hard vertical edge must stay sharper than a box blur leaves it.
+        img = np.zeros((4, 24, 24), np.float32)
+        img[:3, :, 12:] = 1.0
+        img[3] = 1.0
+        out = np.asarray(run("kuwahara", jnp.asarray(img), {"radius": 3}))
+        box = np.asarray(run("box_blur", jnp.asarray(img), {"radius": 3}))
+        # Transition width: pixels strictly between 0.1 and 0.9.
+        kw = ((out[0] > 0.1) & (out[0] < 0.9)).sum()
+        bx = ((box[0] > 0.1) & (box[0] < 0.9)).sum()
+        assert kw < bx
+
+    def test_lut1d_identity_curve(self):
+        from reforge_tpu.kernels import KernelContext, lookup_builtin
+
+        spec = lookup_builtin("lut1d")
+        img = rand_image()
+        curve = jnp.linspace(0.0, 255.0 / 255.0, 256)
+        # An identity curve maps i/255 -> i/255 only for exact grid values;
+        # use a quantized image so lookups are exact.
+        imgq = jnp.round(img * 255.0) / 255.0
+        ctx = KernelContext(width=24, height=16)
+        out = spec(ctx, {"input_image": imgq, "Curve": curve}, {})["output_image"]
+        np.testing.assert_allclose(np.asarray(out)[:3], np.asarray(imgq)[:3], atol=1e-6)
