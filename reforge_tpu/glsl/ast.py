@@ -134,6 +134,22 @@ class While:
 
 
 @dataclasses.dataclass
+class DoWhile:
+    cond: Any
+    body: list
+    line: int = 0
+
+
+@dataclasses.dataclass
+class Switch:
+    selector: Any
+    # [(case_values, body)]; a value of None is `default`.  Fall-through is
+    # honored for uniform selectors (the only supported kind).
+    cases: list = dataclasses.field(default_factory=list)
+    line: int = 0
+
+
+@dataclasses.dataclass
 class Return:
     value: Any  # expression or None
     line: int = 0

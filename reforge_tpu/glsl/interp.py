@@ -387,6 +387,12 @@ class Interp:
         if isinstance(s, ast.While):
             self.exec_while(s, scope)
             return
+        if isinstance(s, ast.DoWhile):
+            self.exec_do_while(s, scope)
+            return
+        if isinstance(s, ast.Switch):
+            self.exec_switch(s, scope)
+            return
         if isinstance(s, ast.Return):
             value = self.eval_expr(s.value, scope) if s.value is not None else None
             if self.mask is None:
@@ -479,6 +485,60 @@ class Interp:
             iters += 1
             if iters > _MAX_UNROLL:
                 raise GlslError("loop exceeds unroll limit", s.line)
+
+    def exec_do_while(self, s: ast.DoWhile, scope: "_Scope") -> None:
+        iters = 0
+        while True:
+            try:
+                self.exec_block(s.body, scope)
+            except _BreakSignal:
+                break
+            except _ContinueSignal:
+                pass
+            cond = self.eval_expr(s.cond, scope)
+            if not is_static(cond.data):
+                raise GlslError("do-while condition must be uniform", s.line)
+            if not cond.data:
+                break
+            iters += 1
+            if iters > _MAX_UNROLL:
+                raise GlslError("loop exceeds unroll limit", s.line)
+
+    def exec_switch(self, s: ast.Switch, scope: "_Scope") -> None:
+        """switch over a UNIFORM selector (the mode-parameter idiom); case
+        fall-through honored; per-pixel selectors need if/else chains."""
+        sel = self.eval_expr(s.selector, scope)
+        if not is_static(sel.data):
+            raise GlslError(
+                "switch selector must be uniform (a parameter or constant); "
+                "use if/else for per-pixel selection",
+                s.line,
+            )
+        sel_v = int(sel.data)
+        start = None
+        for i, (values, _body) in enumerate(s.cases):
+            for v in values:
+                if v is None:
+                    continue
+                cv = self.eval_expr(v, scope)
+                if is_static(cv.data) and int(cv.data) == sel_v:
+                    start = i
+                    break
+            if start is not None:
+                break
+        if start is None:
+            # No case label matched: enter at `default` (wherever it sits).
+            for i, (values, _body) in enumerate(s.cases):
+                if any(v is None for v in values):
+                    start = i
+                    break
+        if start is None:
+            return
+        try:
+            for i in range(start, len(s.cases)):
+                self.exec_block(s.cases[i][1], scope)
+        except _BreakSignal:
+            pass
 
     # ---- expression evaluation -----------------------------------------
 

@@ -354,6 +354,49 @@ class Parser:
             self.expect(")")
             body = self.parse_stmt_as_list()
             return ast.While(cond, body, t.line)
+        if t.text == "do":
+            self.next()
+            body = self.parse_stmt_as_list()
+            self.expect("while")
+            self.expect("(")
+            cond = self.parse_expr()
+            self.expect(")")
+            self.expect(";")
+            return ast.DoWhile(cond, body, t.line)
+        if t.text == "switch":
+            self.next()
+            self.expect("(")
+            selector = self.parse_expr()
+            self.expect(")")
+            self.expect("{")
+            cases: list = []
+            current_values: list = []
+            current_body: list = []
+
+            def flush():
+                if current_values or current_body:
+                    cases.append((list(current_values), list(current_body)))
+                    current_values.clear()
+                    current_body.clear()
+
+            while not self.accept("}"):
+                if self.at("case"):
+                    if current_body:
+                        flush()
+                    self.next()
+                    val = self.parse_expr()
+                    self.expect(":")
+                    current_values.append(val)
+                elif self.at("default"):
+                    if current_body:
+                        flush()
+                    self.next()
+                    self.expect(":")
+                    current_values.append(None)
+                else:
+                    current_body.append(self.parse_stmt())
+            flush()
+            return ast.Switch(selector, cases, t.line)
         if t.text == "return":
             self.next()
             value = None

@@ -673,3 +673,70 @@ void main() {
         ctx = KernelContext(width=8, height=8, time=0.625)
         out = spec(ctx, {"input_image": jnp.zeros((4, 8, 8))}, {})["output_image"]
         np.testing.assert_allclose(np.asarray(out)[0], 0.625, atol=1e-6)
+
+
+class TestSwitchAndDoWhile:
+    def test_uniform_switch_modes(self):
+        decls = "layout(binding=2) uniform U { int mode; };"
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            vec3 outc;
+            switch (mode) {
+                case 0: outc = c.rgb; break;
+                case 1: outc = 1.0 - c.rgb; break;
+                case 2:
+                case 3: outc = c.rgb * 0.5; break;
+                default: outc = vec3(1.0, 0.0, 1.0); break;
+            }
+            imageStore(output_image, pos, vec4(outc, c.a));
+        """
+        img = jnp.full((4, 8, 8), 0.4, jnp.float32)
+        for mode, expect in [(0, 0.4), (1, 0.6), (2, 0.2), (3, 0.2), (9, None)]:
+            out, _ = run_shader(body, img=img, h=8, w=8, extra_decls=decls,
+                                params={"mode": mode})
+            o = np.asarray(out)
+            if expect is not None:
+                np.testing.assert_allclose(o[0], expect, atol=1e-6)
+            else:
+                np.testing.assert_allclose(o[0], 1.0, atol=1e-6)  # magenta
+                np.testing.assert_allclose(o[1], 0.0, atol=1e-6)
+
+    def test_switch_fallthrough(self):
+        decls = "layout(binding=2) uniform U { int mode; };"
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float acc = 0.0;
+            switch (mode) {
+                case 0: acc += 1.0;
+                case 1: acc += 2.0;
+                case 2: acc += 4.0; break;
+                case 3: acc += 8.0;
+            }
+            imageStore(output_image, pos, vec4(acc, 0.0, 0.0, 1.0));
+        """
+        for mode, expect in [(0, 7.0), (1, 6.0), (2, 4.0), (3, 8.0), (5, 0.0)]:
+            out, _ = run_shader(body, extra_decls=decls, params={"mode": mode})
+            np.testing.assert_allclose(np.asarray(out)[0], expect, atol=1e-6)
+
+    def test_nonuniform_switch_rejected(self):
+        with pytest.raises(GlslError, match="uniform"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                vec4 c = imageLoad(input_image, pos);
+                switch (int(c.r * 4.0)) { case 0: break; }
+                imageStore(output_image, pos, c);
+            """)
+
+    def test_do_while(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            int i = 0;
+            float acc = 0.0;
+            do {
+                acc += 0.25;
+                i++;
+            } while (i < 3);
+            imageStore(output_image, pos, vec4(acc, 0.0, 0.0, 1.0));
+        """)
+        np.testing.assert_allclose(np.asarray(out)[0], 0.75, atol=1e-6)
