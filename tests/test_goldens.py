@@ -72,6 +72,64 @@ def test_goldens():
         )
 
 
+# ---- per-shader goldens -------------------------------------------------
+# Every shipped .comp/.frag renders the seeded input with generic params;
+# guards the GLSL compiler against regressions shader by shader.
+
+SHADER_DIR = os.path.join(os.path.dirname(__file__), "..", "shaders")
+GENERIC_PARAMS = {
+    "sigma": 2.0, "amount": 1.0, "factor": 0.5, "exposure": 1.0,
+    "strength": 0.5, "radius": 0.7, "size": 4, "amplitude": 4.0,
+    "frequency": 0.1, "zoom": 1.3, "curvature": 0.1, "scan_darkness": 0.3,
+}
+
+
+def shader_names():
+    import glob as _glob
+
+    names = []
+    for p in sorted(_glob.glob(os.path.join(SHADER_DIR, "*.comp"))
+                    + _glob.glob(os.path.join(SHADER_DIR, "*.frag"))):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if stem in ("histogram", "equalize", "blend"):
+            continue  # multi-binding wiring; covered by pipeline goldens/tests
+        names.append((stem, p))
+    return names
+
+
+def render_shader(path: str) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from reforge_tpu.io import decode_image_to_planar, encode_planar_to_image
+    from reforge_tpu.kernels.base import KernelContext
+    from reforge_tpu.kernels.loader import load_kernel_file
+
+    spec = load_kernel_file(path)
+    assert spec is not None, path
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    planar = decode_image_to_planar(jnp.asarray(rgba))
+    ctx = KernelContext(width=64, height=64, time=0.5)
+    params = spec.resolve_params(
+        {k: v for k, v in GENERIC_PARAMS.items() if k in spec.params}
+    )
+    out = spec(ctx, {n: planar for n in spec.images_in}, params)["output_image"]
+    return np.asarray(encode_planar_to_image(out))
+
+
+def test_shader_goldens():
+    from PIL import Image
+
+    for stem, path in shader_names():
+        gpath = os.path.join(GOLDEN_DIR, f"shader_{stem}.png")
+        assert os.path.exists(gpath), f"missing golden for {stem}; run --regen"
+        got = render_shader(path)
+        want = np.asarray(Image.open(gpath).convert("RGBA"))
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, f"shader golden mismatch: {stem} (max {diff.max()})"
+
+
 if __name__ == "__main__":
     if "--regen" in sys.argv:
         import jax
@@ -83,5 +141,11 @@ if __name__ == "__main__":
         for name in CONFIGS:
             Image.fromarray(render(name), "RGBA").save(golden_path(name))
             print(f"wrote {golden_path(name)}")
+        for stem, path in shader_names():
+            gpath = os.path.join(GOLDEN_DIR, f"shader_{stem}.png")
+            Image.fromarray(render_shader(path), "RGBA").save(gpath)
+            print(f"wrote {gpath}")
     else:
         print("use --regen to regenerate goldens")
+
+
