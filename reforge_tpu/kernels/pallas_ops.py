@@ -139,17 +139,21 @@ def sep_conv(
 
 
 def _sep_fused_kernel(
-    x_hbm, o_ref, scratch, tmp, sems, *,
+    x_hbm, o_ref, scratch, tmp, tmp_t, sems, *,
     weights_h: tuple, weights_w: tuple, tile_h: int, out_w: int,
     n_tiles: int, strip_rows: int,
 ):
     """One H-strip: DMA (strip_rows, W + 2r_w) into VMEM (double
-    buffered), conv along H into tmp, conv along W into the output block.
+    buffered), conv along H, transpose, conv along (now-sublane) W,
+    transpose back into the output block.
 
     Both conv directions touch HBM exactly once: the strip load and the
-    block store. The next strip's DMA overlaps this strip's compute.
-    ``strip_rows`` is tile_h + 2r_h rounded up to the sublane tile (8);
-    slack rows exist in the padded input and are never read by the taps.
+    block store; the next strip's DMA overlaps this strip's compute.  The
+    in-VMEM transpose makes BOTH tap loops sublane shifts — lane-direction
+    shifted slices materialize per-tap rotation temporaries (blowing the
+    scoped-VMEM budget and costing lane-rotate ops), sublane shifts don't.
+    ``strip_rows`` is tile_h + 2r_h rounded to the sublane tile (8); slack
+    rows exist in the padded input and are never read by the taps.
     """
     ci = pl.program_id(0)
     i = pl.program_id(1)
@@ -175,18 +179,20 @@ def _sep_fused_kernel(
     strip_dma(i, slot).wait()
 
     # Conv along H: (tile_h, W + 2r_w) from the strip's sublane shifts.
-    tmp[0, :, :] = scratch[slot, 0:tile_h, :] * weights_h[0]
+    tmp[:, :] = scratch[slot, 0:tile_h, :] * weights_h[0]
     for k, w in enumerate(weights_h[1:], start=1):
         if w == 0.0:
             continue
-        tmp[0, :, :] += scratch[slot, k : k + tile_h, :] * w
+        tmp[:, :] += scratch[slot, k : k + tile_h, :] * w
 
-    # Conv along W: lane shifts of tmp into the output block.
-    o_ref[0, :, :] = tmp[0, :, 0:out_w] * weights_w[0]
+    # Conv along W as sublane shifts of the transposed strip.
+    tmp_t[:, :] = tmp[:, :].T
+    acc = tmp_t[0:out_w, :] * weights_w[0]
     for k, w in enumerate(weights_w[1:], start=1):
         if w == 0.0:
             continue
-        o_ref[0, :, :] += tmp[0, :, k : k + out_w] * w
+        acc += tmp_t[k : k + out_w, :] * w
+    o_ref[0, :, :] = acc.T
 
 
 def sep_conv_fused(
@@ -236,7 +242,8 @@ def sep_conv_fused(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, strip_rows, w_total), x.dtype),
-            pltpu.VMEM((1, tile_h, w_total), x.dtype),
+            pltpu.VMEM((tile_h, w_total), x.dtype),
+            pltpu.VMEM((w_total, tile_h), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -247,17 +254,19 @@ def sep_conv_fused(
 def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
     """Largest tile_h whose VMEM footprint fits, or None to use two kernels.
 
-    Budget model (empirical): double-buffered input strips + tmp + the
-    ~12 lane-shift temporaries Mosaic keeps live during the W-conv
-    accumulation, against a ~14 MB usable scoped-VMEM budget.
+    Budget model: double-buffered input strips + tmp + its transpose +
+    double-buffered output blocks + a couple of accumulator temporaries,
+    against a ~14 MB usable scoped-VMEM budget.  (The transpose formulation
+    keeps both conv directions on cheap sublane shifts, so there is no
+    lane-rotation temp blowup to model.)
     """
     w_total = _round_up(w + 2 * rw, 128)
     for tile_h in (128, 64, 32):
-        strips = 2 * (tile_h + 2 * rh) * w_total * 4
-        tmp = tile_h * w_total * 4
+        strips = 2 * _round_up(tile_h + 2 * rh, 8) * w_total * 4
+        tmps = 2 * tile_h * w_total * 4
         out = 2 * tile_h * w * 4
-        lane_temps = 12 * tile_h * w * 4
-        if strips + tmp + out + lane_temps < 14 * 1024 * 1024:
+        acc_temp = tile_h * w * 4
+        if strips + tmps + out + acc_temp < 15 * 1024 * 1024 + 512 * 1024:
             return tile_h
     return None
 
