@@ -135,7 +135,7 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     # Batch mode: a glob or directory input processes every matched image
     # through one data-parallel vmapped program (docs/sharding.md).
-    if args.input_file and _expand_inputs(args.input_file):
+    if args.input_file:
         inputs = _expand_inputs(args.input_file)
         if len(inputs) > 1:
             if not args.output_file:
@@ -143,6 +143,10 @@ def main(argv: Optional[list[str]] = None) -> int:
                        "pattern containing {})")
                 return 1
             return _run_batch(args, inputs)
+        if len(inputs) == 1 and inputs[0] != args.input_file:
+            # A glob/directory matching exactly one image: run it as the
+            # single input rather than opening the pattern string.
+            args.input_file = inputs[0]
 
     decoder = None
     if args.input_file:

@@ -115,6 +115,7 @@ class Engine:
         self._pending: Optional[tuple] = None
         self._build_seq = 0
         self._pending_seq = 0
+        self._resize_target: Optional[tuple[int, int]] = None
 
         config = self._create_config()
         if config is None:
@@ -145,16 +146,14 @@ class Engine:
             return parse_file(contents, info.has_input_image, info.shader_path)
         if info.shader_file_path is not None:
             return single_shader_parse(info.shader_file_path, info.has_input_image)
-        from .config.semantics import add_file_paths
-
-        cfg = parse_file(DEFAULT_CONFIG, True, info.shader_path)
-        return cfg
+        return parse_file(DEFAULT_CONFIG, True, info.shader_path)
 
     def _build_program(self, config: Config) -> Optional[GraphProgram]:
         graph = build_graph(config)
         if graph is None:
             return None
-        program = make_program(graph, self.info.width, self.info.height, self.info.fmt)
+        width, height = self._target_size()
+        program = make_program(graph, width, height, self.info.fmt)
         if program is None:
             return None
         if self.info.pipeline_stages:
@@ -341,18 +340,29 @@ class Engine:
 
         With an input image the graph extent stays pinned to it — the
         preview scales instead (reference render.rs:529-532 semantics).
+        The current extent stays in force until the rebuilt program swaps
+        in: the old (possibly AOT-compiled, fixed-shape) program keeps
+        rendering old-extent frames in the meantime.
         """
         if self.info.has_input_image:
             return False
-        if (width, height) == (self.info.width, self.info.height):
+        if (width, height) == self._target_size():
             return False
-        self.info.width, self.info.height = width, height
+        self._resize_target = (width, height)
         return self._rebuild_keeping_config()
+
+    def _target_size(self) -> tuple[int, int]:
+        return self._resize_target or (self.info.width, self.info.height)
 
     def _swap(self, config: Config, program: GraphProgram) -> None:
         self._drain()
         self.config = config
         self.program = program
+        # A pending resize takes effect with the program built for it.
+        if (program.width, program.height) != (self.info.width, self.info.height):
+            self.info.width, self.info.height = program.width, program.height
+        if self._resize_target == (program.width, program.height):
+            self._resize_target = None
         self.frame_index = 0
         self.last_gpu_times = {}
         self._last_kernel_mtimes = self._kernel_mtimes()

@@ -37,6 +37,11 @@ def _walk_image_usage(shader: ast.Shader) -> tuple[set, set]:
     stored: set[str] = set()
 
     def walk(node: Any) -> None:
+        # Containers first: Switch.cases holds (values, body) tuples.
+        if isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+            return
         if not hasattr(node, "__dataclass_fields__"):
             return
         if isinstance(node, ast.Call) and node.args and isinstance(node.args[0], ast.Ident):
@@ -45,12 +50,7 @@ def _walk_image_usage(shader: ast.Shader) -> tuple[set, set]:
             elif node.name == "imageStore":
                 stored.add(node.args[0].name)
         for field in node.__dataclass_fields__:
-            v = getattr(node, field)
-            if isinstance(v, list):
-                for item in v:
-                    walk(item)
-            else:
-                walk(v)
+            walk(getattr(node, field))
 
     for fn in shader.functions.values():
         for stmt in fn.body:
@@ -82,6 +82,10 @@ def _walk_ssbo_usage(shader: ast.Shader) -> tuple[set, set]:
     write_targets: set[int] = set()
 
     def walk(node: Any) -> None:
+        if isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+            return
         if not hasattr(node, "__dataclass_fields__"):
             return
         if isinstance(node, ast.Assign) and isinstance(node.target, ast.Index):
@@ -106,12 +110,7 @@ def _walk_ssbo_usage(shader: ast.Shader) -> tuple[set, set]:
             if b is not None:
                 read.add(b)
         for field in node.__dataclass_fields__:
-            v = getattr(node, field)
-            if isinstance(v, list):
-                for item in v:
-                    walk(item)
-            else:
-                walk(v)
+            walk(getattr(node, field))
 
     for fn in shader.functions.values():
         for stmt in fn.body:

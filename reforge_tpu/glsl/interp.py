@@ -677,8 +677,22 @@ class Interp:
             raise GlslError("?: condition must be bool", e.line)
         if is_static(cond.data):
             return self.eval_expr(e.then if cond.data else e.other, scope)
-        a = self.eval_expr(e.then, scope)
-        b = self.eval_expr(e.other, scope)
+        # Evaluate each branch under its lane mask so side effects inside
+        # (atomicAdd, out-param writes) are predicated like if/else.
+        outer = self.mask
+        self.mask = (
+            cond.data if outer is None else jnp.logical_and(outer, cond.data)
+        )
+        try:
+            a = self.eval_expr(e.then, scope)
+        finally:
+            self.mask = outer
+        neg = jnp.logical_not(cond.data)
+        self.mask = neg if outer is None else jnp.logical_and(outer, neg)
+        try:
+            b = self.eval_expr(e.other, scope)
+        finally:
+            self.mask = outer
         a, b = self._usual_convert(a, b, e.line)
         if a.is_vector():
             return Val(a.type, [jnp.where(cond.data, x, y) for x, y in zip(a.data, b.data)])

@@ -513,7 +513,17 @@ class Parser:
         if t.kind == "int":
             self.next()
             text = t.text.rstrip("uU")
-            return ast.Num(int(text, 0), False, t.line)
+            try:
+                if text.lower().startswith("0x"):
+                    value = int(text, 16)
+                elif len(text) > 1 and text.startswith("0"):
+                    # GLSL/C leading-zero literals are octal.
+                    value = int(text, 8)
+                else:
+                    value = int(text, 10)
+            except ValueError:
+                raise GlslError(f"invalid integer literal '{t.text}'", t.line)
+            return ast.Num(value, False, t.line)
         if t.kind == "float":
             self.next()
             return ast.Num(float(t.text.rstrip("fF")), True, t.line)

@@ -153,7 +153,11 @@ class GraphProgram:
                 written = {}
                 for res, desc in _node.outputs:
                     value = outs[desc]
-                    if self.fmt == "rgba8" and desc not in _node.spec.ssbos_out:
+                    if desc in _node.spec.ssbos_out:
+                        # Buffers stay f32 regardless of image format.
+                        written[res] = value.astype(jnp.float32)
+                        continue
+                    if self.fmt == "rgba8":
                         value = quantize_rgba8(value)
                     written[res] = value.astype(self.storage_dtype)
                 return written

@@ -211,14 +211,17 @@ def bloom(ctx, input_image, *, threshold=0.7, sigma=8.0, intensity=0.6):
 # ---- multi-input ---------------------------------------------------------
 
 
-@kernel("blend")
-def blend(ctx, input_image, input_image2, *, factor=0.5):
-    return input_image + (input_image2 - input_image) * factor
-
-
 @kernel("mix")
 def mix(ctx, input_image, input_image2, *, factor=0.5):
     return input_image + (input_image2 - input_image) * factor
+
+
+# "blend" is the same kernel under the reference README's name.
+import dataclasses as _dc  # noqa: E402
+
+from .base import register_kernel as _register  # noqa: E402
+
+_register(_dc.replace(mix, name="blend"))
 
 
 @kernel("add")
@@ -399,7 +402,6 @@ def kuwahara(ctx, input_image, *, radius=4):
     overlapping (r+1)x(r+1) quadrant windows — a classic painterly smoother,
     built from shifted box sums so it fuses like any separable conv."""
     r = max(int(radius), 1)
-    w = box_weights(r)  # (2r+1) box; quadrant windows via shifted half-boxes
     half = np.zeros((2 * r + 1,), np.float32)
     half[: r + 1] = 1.0 / (r + 1)
     lead = half[::-1].copy()  # window covering [0, +r]

@@ -80,8 +80,11 @@ class PipelineStagedProgram:
         devs = devices if devices is not None else jax.devices()
         n = n_stages or len(devs)
         n = max(1, min(n, len(devs), len(program.graph.layers)))
-        self.devices = devs[:n]
         self.stage_layers = split_layers(program.graph.layers, n)
+        # The splitter may produce fewer groups than requested (e.g. one
+        # heavy trailing layer); follow the actual stage count.
+        n = len(self.stage_layers)
+        self.devices = devs[:n]
 
         # Cross-stage interface: which resources each stage consumes from
         # earlier stages and which it must export to later ones.

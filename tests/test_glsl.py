@@ -740,3 +740,64 @@ class TestSwitchAndDoWhile:
             imageStore(output_image, pos, vec4(acc, 0.0, 0.0, 1.0));
         """)
         np.testing.assert_allclose(np.asarray(out)[0], 0.75, atol=1e-6)
+
+
+class TestReviewRegressions:
+    def test_store_inside_switch_reflects(self):
+        """Reflection must see stores under switch (finding: walker skipped
+        tuple-structured Switch.cases)."""
+        src = HEADER + """
+layout(binding=2) uniform U { int mode; };
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    switch (mode) {
+        default: imageStore(output_image, pos, 1.0 - c); break;
+    }
+}
+"""
+        spec = translate_shader(src, "swstore")
+        assert spec.images_out == ("output_image",)
+        img = jnp.full((4, 8, 8), 0.25, jnp.float32)
+        ctx = KernelContext(width=8, height=8)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({"mode": 0}))[
+            "output_image"
+        ]
+        np.testing.assert_allclose(np.asarray(out), 0.75, atol=1e-6)
+
+    def test_ternary_side_effects_masked(self):
+        """atomicAdd inside ?: branches must be lane-predicated."""
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1) buffer Bins { float counts[2]; };
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    float u = (c.r > 0.5) ? atomicAdd(counts[0], 1.0) : atomicAdd(counts[1], 1.0);
+}
+"""
+        spec = translate_shader(src, "terncount")
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((4, 8, 8), dtype=np.float32))
+        ctx = KernelContext(width=8, height=8)
+        bins = np.asarray(spec(ctx, {"input_image": img}, {})["Bins"])
+        n_hi = int((np.asarray(img)[0] > 0.5).sum())
+        assert bins[0] == n_hi
+        assert bins[1] == 64 - n_hi
+
+    def test_octal_int_literals(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            int x = 010;           // octal 8
+            imageStore(output_image, pos, vec4(float(x) / 16.0, 0.0, 0.0, 1.0));
+        """)
+        np.testing.assert_allclose(np.asarray(out)[0], 0.5, atol=1e-6)
+
+    def test_bad_octal_literal_diagnostic(self):
+        with pytest.raises(GlslError, match="invalid integer literal"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                int x = 08;
+                imageStore(output_image, pos, vec4(float(x)));
+            """)
