@@ -195,6 +195,57 @@ def _sep_fused_kernel(
     o_ref[0, :, :] = acc.T
 
 
+def _sep_fused_kernel_lanes(
+    x_hbm, o_ref, scratch, tmp, sems, *,
+    weights_h: tuple, weights_w: tuple, tile_h: int, out_w: int,
+    n_tiles: int, strip_rows: int,
+):
+    """Lane-shift variant of the fused kernel: W taps slice along lanes.
+
+    Lane-direction slices cost rotation temporaries (limiting tile size),
+    but skip the two transposes — the better trade below ~2.5K width,
+    where transpose overhead is relatively larger (see sep_conv_fused)."""
+    ci = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def strip_dma(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        strip_dma(i, slot).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        strip_dma(i + 1, other).start()
+
+    strip_dma(i, slot).wait()
+
+    tmp[:, :] = scratch[slot, 0:tile_h, :] * weights_h[0]
+    for k, w in enumerate(weights_h[1:], start=1):
+        if w == 0.0:
+            continue
+        tmp[:, :] += scratch[slot, k : k + tile_h, :] * w
+
+    o_ref[0, :, :] = tmp[:, 0:out_w] * weights_w[0]
+    for k, w in enumerate(weights_w[1:], start=1):
+        if w == 0.0:
+            continue
+        o_ref[0, :, :] += tmp[:, k : k + out_w] * w
+
+
+# Above this width the in-VMEM transpose variant wins (measured: at 4K it
+# is ~25% faster; at 1080p the lane variant is ~25% faster).
+TRANSPOSE_MIN_WIDTH = 2560
+
+
 def sep_conv_fused(
     x: jnp.ndarray,
     wh: np.ndarray,
@@ -202,6 +253,7 @@ def sep_conv_fused(
     mode: str = "edge",
     tile_h: int = 128,
     interpret: bool = False,
+    variant: str | None = None,  # "transpose" | "lanes" | None=auto
 ) -> jnp.ndarray:
     """Both separable passes in ONE kernel via manual double-buffered DMA."""
     wh = np.asarray(wh, dtype=np.float32)
@@ -225,27 +277,39 @@ def sep_conv_fused(
         mode=pad_mode,
     )
     n_tiles = h_pad // tile_h
+    if variant is None:
+        variant = "transpose" if w >= TRANSPOSE_MIN_WIDTH else "lanes"
+    taps = dict(
+        weights_h=tuple(float(v) for v in wh),
+        weights_w=tuple(float(v) for v in ww),
+        tile_h=tile_h,
+        out_w=w,
+        n_tiles=n_tiles,
+        strip_rows=strip_rows,
+    )
+    if variant == "transpose":
+        kernel_fn = functools.partial(_sep_fused_kernel, **taps)
+        scratch = [
+            pltpu.VMEM((2, strip_rows, w_total), x.dtype),
+            pltpu.VMEM((tile_h, w_total), x.dtype),
+            pltpu.VMEM((w_total, tile_h), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel_fn = functools.partial(_sep_fused_kernel_lanes, **taps)
+        scratch = [
+            pltpu.VMEM((2, strip_rows, w_total), x.dtype),
+            pltpu.VMEM((tile_h, w_total), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     out = pl.pallas_call(
-        functools.partial(
-            _sep_fused_kernel,
-            weights_h=tuple(float(v) for v in wh),
-            weights_w=tuple(float(v) for v in ww),
-            tile_h=tile_h,
-            out_w=w,
-            n_tiles=n_tiles,
-            strip_rows=strip_rows,
-        ),
+        kernel_fn,
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, strip_rows, w_total), x.dtype),
-            pltpu.VMEM((tile_h, w_total), x.dtype),
-            pltpu.VMEM((w_total, tile_h), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xp)
     return out[:, :h, :]
@@ -261,12 +325,17 @@ def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
     lane-rotation temp blowup to model.)
     """
     w_total = _round_up(w + 2 * rw, 128)
+    transpose = w >= TRANSPOSE_MIN_WIDTH
     for tile_h in (128, 64, 32):
         strips = 2 * _round_up(tile_h + 2 * rh, 8) * w_total * 4
-        tmps = 2 * tile_h * w_total * 4
         out = 2 * tile_h * w * 4
-        acc_temp = tile_h * w * 4
-        if strips + tmps + out + acc_temp < 15 * 1024 * 1024 + 512 * 1024:
+        if transpose:
+            tmps = 2 * tile_h * w_total * 4
+            extra = tile_h * w * 4  # accumulator temp
+        else:
+            tmps = tile_h * w_total * 4
+            extra = 12 * tile_h * w * 4  # lane-rotation temporaries
+        if strips + tmps + out + extra < 15 * 1024 * 1024 + 512 * 1024:
             return tile_h
     return None
 

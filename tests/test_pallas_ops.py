@@ -75,9 +75,24 @@ def test_sep_conv_fused_matches():
 
 
 def test_fused_tile_h_heuristic():
-    assert pallas_ops.fused_tile_h(1920, 12, 12) == 128
+    # Narrow widths dispatch the lane variant (rotation-temp model).
+    assert pallas_ops.fused_tile_h(1920, 12, 12) in (128, 64)
     # 4K sigma-4 fits at tile 128 with the transpose formulation
     # (validated on hardware: compiles and is fastest).
     assert pallas_ops.fused_tile_h(3840, 12, 12) in (128, 64)
     # Extremes fall back to the two-kernel path.
     assert pallas_ops.fused_tile_h(16384, 96, 96) is None
+
+
+def test_both_fused_variants_match():
+    x = rand(h=70, w=90, seed=5)
+    wh = ops.gaussian_weights(2.0)
+    ww = ops.gaussian_weights(1.5)
+    want = ops.sep_conv(x, wh, ww)
+    for variant in ("transpose", "lanes"):
+        got = pallas_ops.sep_conv_fused(
+            x, wh, ww, tile_h=32, interpret=True, variant=variant
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, err_msg=variant
+        )
