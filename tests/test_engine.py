@@ -285,3 +285,55 @@ class TestShardedReload:
         assert swapped
         out2 = np.asarray(eng.render_frame_blocking(0.0))
         np.testing.assert_allclose(out2, np.asarray(eng._input_planar), atol=1e-6)
+
+
+class TestReloadSoak:
+    def test_rapid_mixed_edits_soak(self, tmp_path):
+        """Stress the reload state machine: a burst of edits alternating
+        valid configs, broken configs, broken kernels, and param changes;
+        the engine must keep producing frames and settle on the last valid
+        graph."""
+        kpath = tmp_path / "soak.py"
+        kpath.write_text(
+            "from reforge_tpu.kernels import kernel\n"
+            "@kernel('soak', register=False)\n"
+            "def soak(ctx, input_image, *, gain=1.0):\n"
+            "    return input_image * gain\n"
+        )
+        eng, cfg = make_engine(
+            tmp_path, "input -> soak -> output\nsoak: soak { gain: 1.0 }",
+            async_compile=True,
+        )
+        eng.render_frame_blocking(0.0)
+
+        edits = [
+            "input -> soak -> output\nsoak: soak { gain: 2.0 }",
+            "broken @@@ config",
+            "input -> soak -> invert -> output\nsoak: soak { gain: 2.0 }",
+            "input -> nonexistent_kern -> output",
+            "input -> soak -> output\nsoak: soak { gain: 3.0 }",
+            "input -> soak -> @@@",
+            "input -> soak -> output\nsoak: soak { gain: 4.0 }",
+        ]
+        for text in edits:
+            old = utils.get_modified_time(cfg)
+            write(cfg, text, bump_from=old)
+            eng.trigger_reloads()
+            # Frames must keep flowing regardless of edit validity.
+            out = eng.render_frame_blocking(0.0)
+            assert np.isfinite(np.asarray(out)).all()
+
+        # Drain pending async builds; the final valid graph (gain 4) wins.
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            eng.render_frame_blocking(0.0)
+            eng.trigger_reloads()
+            out = np.asarray(eng.render_frame_blocking(0.0))
+            if np.allclose(out, np.asarray(eng._input_planar) * 4.0, atol=1e-5):
+                break
+            time.sleep(0.05)
+        np.testing.assert_allclose(
+            np.asarray(eng.render_frame_blocking(0.0)),
+            np.asarray(eng._input_planar) * 4.0,
+            atol=1e-5,
+        )
