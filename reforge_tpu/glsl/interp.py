@@ -30,6 +30,7 @@ Semantics of the mapping:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 from typing import Any, Optional
 
@@ -440,7 +441,19 @@ class Interp:
             finally:
                 self.mask = outer
 
+    # Loops at or above this trip count try the lax.fori_loop lowering
+    # (one traced body instead of N unrolled copies) when the body is
+    # side-effect-free.  Below it, unrolling wins: XLA fuses the unrolled
+    # chain into one kernel (~2x faster steady-state than a sequential
+    # loop) and compile time stays around a second.  Above it, unrolled
+    # compile time grows linearly with the trip count and starts to hurt
+    # live-reload latency, so we trade runtime for bounded compiles.
+    # Override with REFORGE_SCAN_THRESHOLD=<n> (0 disables lowering).
+    _SCAN_THRESHOLD = 512
+
     def exec_for(self, s: ast.For, scope: "_Scope") -> None:
+        if self._try_exec_for_scan(s, scope):
+            return
         loop_scope = scope.child()
         if s.init is not None:
             self.exec_stmt(s.init, loop_scope)
@@ -485,6 +498,234 @@ class Interp:
             iters += 1
             if iters > _MAX_UNROLL:
                 raise GlslError("loop exceeds unroll limit", s.line)
+
+    # ---- fori_loop lowering of long uniform loops -----------------------
+
+    def _scan_loop_shape(self, s: ast.For, scope: "_Scope"):
+        """(var_name, start, count, step) for `for (int i = A; i <|<= B;
+        i++|i+=C)` with uniform static A/B/C, else None."""
+        if not (
+            isinstance(s.init, ast.Decl)
+            and s.init.type in ("int", "uint")
+            and s.init.init is not None
+            and s.cond is not None
+            and s.update is not None
+        ):
+            return None
+        var = s.init.name
+        start_v = self.eval_expr(s.init.init, scope)
+        if not is_static(start_v.data):
+            return None
+        start = int(start_v.data)
+        c = s.cond
+        if not (
+            isinstance(c, ast.Binary)
+            and c.op in ("<", "<=")
+            and isinstance(c.left, ast.Ident)
+            and c.left.name == var
+        ):
+            return None
+        bound_v = self.eval_expr(c.right, scope)
+        if not is_static(bound_v.data):
+            return None
+        bound = int(bound_v.data) + (1 if c.op == "<=" else 0)
+        u = s.update
+        if isinstance(u, ast.Unary) and u.op in ("++pre", "++post") and isinstance(u.expr, ast.Ident) and u.expr.name == var:
+            step = 1
+        elif (
+            isinstance(u, ast.Assign)
+            and u.op == "+="
+            and isinstance(u.target, ast.Ident)
+            and u.target.name == var
+        ):
+            step_v = self.eval_expr(u.value, scope)
+            if not is_static(step_v.data) or int(step_v.data) <= 0:
+                return None
+            step = int(step_v.data)
+        else:
+            return None
+        count = max(0, -(-(bound - start) // step))
+        return (var, start, count, step)
+
+    def _scan_body_allowed(self, body: list) -> bool:
+        """Conservative: no side effects, control-flow escapes, or constructs
+        that require a static loop variable (static-offset loads, local-array
+        indexing)."""
+        ok = True
+
+        def walk(node):
+            nonlocal ok
+            if not ok:
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, (ast.Break, ast.Continue, ast.Return, ast.For,
+                                 ast.While, ast.DoWhile, ast.Switch)):
+                ok = False
+                return
+            if isinstance(node, ast.Call):
+                if node.name in (
+                    "imageStore", "imageLoad", "texture", "texelFetch",
+                    "atomicAdd",
+                ) or node.name in self.shader.functions:
+                    ok = False
+                    return
+            if isinstance(node, ast.Index):
+                # Only SSBO-member reads handle traced indices; local array
+                # or vector indexing needs a static loop variable.
+                base = node.expr
+                is_ssbo = isinstance(base, ast.Ident) and (
+                    base.name in self.ssbo_members
+                ) or (
+                    isinstance(base, ast.Member)
+                    and isinstance(base.expr, ast.Ident)
+                    and base.expr.name in self.ssbo_instances
+                )
+                if not is_ssbo:
+                    ok = False
+                    return
+            for field in node.__dataclass_fields__:
+                walk(getattr(node, field))
+
+        walk(body)
+        return ok
+
+    def _collect_assigned(self, body: list) -> tuple[list[str], set[str]]:
+        """(names assigned in body, names declared in body).  Declared names
+        shadow the enclosing scope and must not be written back."""
+        names: list[str] = []
+        declared: set[str] = set()
+
+        def note(target):
+            t = target
+            while isinstance(t, (ast.Member, ast.Index)):
+                t = t.expr
+            if isinstance(t, ast.Ident) and t.name not in names:
+                names.append(t.name)
+
+        def walk(node):
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, ast.Decl):
+                declared.add(node.name)
+            if isinstance(node, ast.Assign):
+                note(node.target)
+            if isinstance(node, ast.Unary) and node.op in (
+                "++pre", "--pre", "++post", "--post"
+            ):
+                note(node.expr)
+            for field in node.__dataclass_fields__:
+                walk(getattr(node, field))
+
+        walk(body)
+        return names, declared
+
+    def _val_to_tree(self, v: Val):
+        if v.is_vector():
+            return tuple(self._as_array(c, v.elem_type) for c in v.data)
+        if v.type in MAT_TYPES:
+            return tuple(
+                tuple(self._as_array(c, "float") for c in col) for col in v.data
+            )
+        if v.type.startswith("struct:"):
+            return {k: self._val_to_tree(f) for k, f in v.data.items()}
+        return self._as_array(v.data, v.type)
+
+    def _tree_to_val(self, tree, proto: Val) -> Val:
+        if proto.is_vector():
+            return Val(proto.type, list(tree))
+        if proto.type in MAT_TYPES:
+            return Val(proto.type, [list(col) for col in tree])
+        if proto.type.startswith("struct:"):
+            return Val(
+                proto.type,
+                {k: self._tree_to_val(tree[k], f) for k, f in proto.data.items()},
+            )
+        return Val(proto.type, tree)
+
+    def _try_exec_for_scan(self, s: ast.For, scope: "_Scope") -> bool:
+        shape = None
+        try:
+            shape = self._scan_loop_shape(s, scope)
+        except GlslError:
+            return False
+        if shape is None:
+            return False
+        var, start, count, step = shape
+        threshold = self._SCAN_THRESHOLD
+        env = os.environ.get("REFORGE_SCAN_THRESHOLD")
+        if env is not None:
+            try:
+                threshold = int(env)
+            except ValueError:
+                pass
+        if threshold <= 0 or count < threshold:
+            return False
+        if self.mask is not None or scope.activation.live_mask() is not None:
+            return False  # keep masked regions on the simple unrolled path
+        if not self._scan_body_allowed(s.body):
+            return False
+        assigned, declared = self._collect_assigned(s.body)
+        carried = [
+            n for n in assigned
+            if n != var and n not in declared and scope.lookup(n) is not None
+        ]
+        protos = {n: scope.lookup(n) for n in carried}
+        if any(
+            p.type.startswith("array") or p.type in ("void",) for p in protos.values()
+        ):
+            return False
+
+        def body_fn(k, carry):
+            inner = scope.child()
+            i_val = Val("int", jnp.int32(start) + jnp.int32(step) * k)
+            inner.declare(var, i_val)
+            for n in carried:
+                inner.declare(n, self._tree_to_val(carry[n], protos[n]))
+            for stmt in s.body:
+                self.exec_stmt(stmt, inner)
+            return {n: self._val_to_tree(inner.lookup(n)) for n in carried}
+
+        init = {n: self._val_to_tree(protos[n]) for n in carried}
+        try:
+            # Stabilize the carry: a scalar accumulator typically becomes
+            # (H, W) after the first masked add, and fori_loop requires a
+            # fixed carry shape — broadcast the init to the body's output
+            # shape/dtype (at most twice, then demand a fixpoint).
+            k_spec = jax.ShapeDtypeStruct((), jnp.int32)
+            for _ in range(2):
+                out = jax.eval_shape(body_fn, k_spec, init)
+                flat_i, tree = jax.tree_util.tree_flatten(init)
+                flat_o = jax.tree_util.tree_leaves(out)
+                if all(
+                    jnp.shape(a) == s.shape and jnp.result_type(a) == s.dtype
+                    for a, s in zip(flat_i, flat_o)
+                ):
+                    break
+                init = jax.tree_util.tree_unflatten(
+                    tree,
+                    [
+                        jnp.broadcast_to(jnp.asarray(a, s.dtype), s.shape)
+                        for a, s in zip(flat_i, flat_o)
+                    ],
+                )
+            else:
+                return False  # carry never reached a shape fixpoint
+            final = jax.lax.fori_loop(0, count, body_fn, init)
+        except Exception:
+            return False  # anything untraceable: fall back to unrolling
+        for n in carried:
+            scope.assign(n, self._tree_to_val(final[n], protos[n]))
+        self.stats["fori_loop"] = True
+        return True
 
     def exec_do_while(self, s: ast.DoWhile, scope: "_Scope") -> None:
         iters = 0

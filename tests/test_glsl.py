@@ -801,3 +801,150 @@ void main() {
                 int x = 08;
                 imageStore(output_image, pos, vec4(float(x)));
             """)
+
+
+class TestForiLoopLowering:
+    """Long uniform loops lower to lax.fori_loop (interp._try_exec_for_scan);
+    everything else falls back to unrolling. Reference unrolls on the GPU via
+    the driver compiler; this is our compile-time-bounding equivalent."""
+
+    @staticmethod
+    def _spy(monkeypatch):
+        from reforge_tpu.glsl.interp import Interp
+
+        calls = []
+        orig = Interp._try_exec_for_scan
+
+        def wrapper(self, s, scope):
+            r = orig(self, s, scope)
+            calls.append(r)
+            return r
+
+        monkeypatch.setattr(Interp, "_try_exec_for_scan", wrapper)
+        return calls
+
+    BODY_SUM = """
+        ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+        vec4 c = imageLoad(input_image, pos);
+        float acc = 0.0;
+        for (int i = 0; i < 24; i++) {
+            acc += sin(c.r + float(i) * 0.1);
+        }
+        imageStore(output_image, pos, vec4(acc * 0.01, c.gba));
+    """
+
+    def test_lowered_matches_unrolled(self, monkeypatch):
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((4, 8, 8), dtype=np.float32))
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "0")
+        unrolled, _ = run_shader(self.BODY_SUM, img=img, h=8, w=8)
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "8")
+        calls = self._spy(monkeypatch)
+        lowered, _ = run_shader(self.BODY_SUM, img=img, h=8, w=8)
+        assert any(calls), "loop was not lowered"
+        np.testing.assert_allclose(
+            np.asarray(lowered), np.asarray(unrolled), atol=1e-6
+        )
+
+    def test_masked_accumulate_stabilizes_carry(self, monkeypatch):
+        # The equalize.comp pattern: scalar accumulator becomes (H, W) after
+        # the first masked add inside a non-uniform if.
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            int bin = clamp(int(c.r * 15.0), 0, 15);
+            float below = 0.0;
+            for (int i = 0; i < 16; i++) {
+                if (i <= bin) {
+                    below += 0.0625;
+                }
+            }
+            imageStore(output_image, pos, vec4(below, c.gba));
+        """
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.random((4, 8, 8), dtype=np.float32))
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "0")
+        unrolled, _ = run_shader(body, img=img, h=8, w=8)
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "8")
+        calls = self._spy(monkeypatch)
+        lowered, _ = run_shader(body, img=img, h=8, w=8)
+        assert any(calls), "loop was not lowered"
+        np.testing.assert_allclose(
+            np.asarray(lowered), np.asarray(unrolled), atol=1e-6
+        )
+
+    def test_image_store_in_loop_falls_back(self, monkeypatch):
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            for (int i = 0; i < 16; i++) {
+                imageStore(output_image, pos, vec4(c.rgb * float(i) / 15.0, c.a));
+            }
+        """
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "8")
+        calls = self._spy(monkeypatch)
+        out, img = run_shader(body, h=8, w=8)
+        assert calls and not any(calls), "side-effecting loop must unroll"
+        np.testing.assert_allclose(
+            np.asarray(out)[:3], np.asarray(img)[:3], atol=1e-6
+        )
+
+    def test_break_in_loop_falls_back(self, monkeypatch):
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float acc = 0.0;
+            for (int i = 0; i < 32; i++) {
+                if (i == 10) { break; }
+                acc += 0.1;
+            }
+            imageStore(output_image, pos, vec4(acc, c.gba));
+        """
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "8")
+        calls = self._spy(monkeypatch)
+        out, _ = run_shader(body, h=8, w=8)
+        assert calls and not any(calls), "break must force unrolling"
+        np.testing.assert_allclose(np.asarray(out)[0], 1.0, atol=1e-6)
+
+    def test_body_local_shadow_not_written_back(self, monkeypatch):
+        # `float t` inside the body shadows the outer `t`; the lowered loop
+        # must not leak the body-local value into the enclosing scope.
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float t = 0.25;
+            float acc = 0.0;
+            for (int i = 0; i < 16; i++) {
+                float t = float(i) * 100.0;
+                acc += t * 0.001;
+            }
+            imageStore(output_image, pos, vec4(t, acc * 0.1, 0.0, c.a));
+        """
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "8")
+        calls = self._spy(monkeypatch)
+        out, _ = run_shader(body, h=8, w=8)
+        assert any(calls), "loop was not lowered"
+        np.testing.assert_allclose(np.asarray(out)[0], 0.25, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out)[1], 1.2, atol=1e-5)
+
+    def test_equalize_shader_matches_both_paths(self, monkeypatch):
+        import pathlib
+
+        src = (
+            pathlib.Path(__file__).resolve().parent.parent
+            / "shaders" / "equalize.comp"
+        ).read_text()
+        spec = translate_shader(src, "equalize")
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.random((4, 12, 16), dtype=np.float32))
+        hist = jnp.asarray(rng.random(256, dtype=np.float32))
+        ctx = KernelContext(width=16, height=12)
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "0")
+        unrolled = spec(ctx, {"input_image": img, "Bins": hist}, {})
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "64")
+        lowered = spec(ctx, {"input_image": img, "Bins": hist}, {})
+        np.testing.assert_allclose(
+            np.asarray(lowered["output_image"]),
+            np.asarray(unrolled["output_image"]),
+            atol=1e-6,
+        )
