@@ -1285,6 +1285,18 @@ class Interp:
     # ---- calls ----------------------------------------------------------
 
     def call(self, name: str, arg_exprs: list, scope: "_Scope", line: int) -> Val:
+        if name == "__method_length":  # arr.length() / vec.length()
+            v = self.eval_expr(arg_exprs[0], scope)
+            if v.type == "ssbo":
+                _, member = v.data
+                return Val("int", self.ssbo_members[member][1])
+            if v.type.startswith("array:"):
+                return Val("int", len(v.data))
+            if v.is_vector():
+                return Val("int", v.size)
+            if v.type in MAT_TYPES:
+                return Val("int", MAT_TYPES[v.type])
+            raise GlslError(f".length() on non-array type {v.type}", line)
         # Type constructors.
         if name in SCALAR_TYPES:
             if len(arg_exprs) != 1:

@@ -496,7 +496,15 @@ class Parser:
             if t.text == ".":
                 self.next()
                 name = self.expect_ident().text
-                expr = ast.Member(expr, name, t.line)
+                if self.peek().text == "(":
+                    # Method-call syntax; GLSL only defines .length().
+                    if name != "length":
+                        raise GlslError(f"unknown method '.{name}()'", t.line)
+                    self.next()
+                    self.expect(")")
+                    expr = ast.Call("__method_length", [expr], t.line)
+                else:
+                    expr = ast.Member(expr, name, t.line)
             elif t.text == "[":
                 self.next()
                 idx = self.parse_expr()

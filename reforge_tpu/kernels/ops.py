@@ -76,12 +76,27 @@ def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
     otherwise two per-direction Pallas kernels (or the jnp fallback off
     TPU)."""
     if x.ndim == 3 and _use_pallas():
+        import os
+
         from . import pallas_ops
 
         wh_arr = np.asarray(wh, np.float32)
         ww_arr = np.asarray(ww, np.float32)
         rh, rw = (len(wh_arr) - 1) // 2, (len(ww_arr) - 1) // 2
         if rh > 0 and rw > 0:
+            # bfloat16 images (rgba16f) route to the MXU variant: with bf16
+            # operands the systolic matmul is exact (no f32->bf16 truncation)
+            # and ~2.3x faster at 4K than the VPU tap loops.  f32 keeps the
+            # VPU path for sub-ULP accuracy unless the user opts into the
+            # MXU's bf16-truncated f32 matmul (~1e-3 abs) explicitly.
+            fast = os.environ.get("REFORGE_CONV_PRECISION") == "fast"
+            if (x.dtype == jnp.bfloat16 or fast) and rw <= 128:
+                tile_h = pallas_ops.mxu_tile_h(x.shape[2], rh, rw,
+                                               x.dtype.itemsize)
+                if tile_h is not None:
+                    return pallas_ops.sep_conv_fused_mxu(
+                        x, wh_arr, ww_arr, tile_h=tile_h
+                    )
             tile_h = pallas_ops.fused_tile_h(x.shape[2], rh, rw)
             if tile_h is not None:
                 return pallas_ops.sep_conv_fused(x, wh_arr, ww_arr, tile_h=tile_h)

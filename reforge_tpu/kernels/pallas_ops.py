@@ -241,6 +241,171 @@ def _sep_fused_kernel_lanes(
         o_ref[0, :, :] += tmp[:, k : k + out_w] * w
 
 
+def _band_matrix_h(weights: np.ndarray, tile_h: int, strip_rows: int) -> np.ndarray:
+    """(tile_h, strip_rows) tap matrix A with A[r, r+k] = w[k].
+
+    Output row r of a strip is sum_k w[k] * strip[r + k]; as a matmul the
+    whole H pass is A @ strip — one MXU contraction instead of a tap loop."""
+    a = np.zeros((tile_h, strip_rows), dtype=np.float32)
+    for r in range(tile_h):
+        for k, wv in enumerate(weights):
+            a[r, r + k] = wv
+    return a
+
+
+def _band_matrices_w(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Three (128, 128) matrices C0/C1/C2 for the lane-tile W pass.
+
+    With the input padded by one full lane tile (128) on the left, output
+    tile j is xpad_tile_j @ C0 + xpad_tile_{j+1} @ C1 + xpad_tile_{j+2} @ C2:
+    the tap window [n - r, n + r] (r <= 128) spans at most three aligned
+    128-lane tiles, so every matmul operand is a tile-aligned VMEM slice.
+    C_t[p, q] = w[k] where k = (t - 1) * 128 + p - q + r."""
+    r = (len(weights) - 1) // 2
+    cs = np.zeros((3, 128, 128), dtype=np.float32)
+    for t in range(3):
+        for p in range(128):
+            for q in range(128):
+                k = (t - 1) * 128 + p - q + r
+                if 0 <= k < len(weights):
+                    cs[t, p, q] = weights[k]
+    return cs[0], cs[1], cs[2]
+
+
+def _sep_fused_kernel_mxu(
+    x_hbm, a_ref, c0_ref, c1_ref, c2_ref, o_ref, scratch, tmp, sems, *,
+    tile_h: int, n_tiles: int, strip_rows: int, n_wtiles: int,
+    precision,
+):
+    """MXU variant: both conv passes as banded matmuls.
+
+    The VPU variants spend one multiply-add lane-op per tap per pixel; the
+    MXU contracts all taps of a pass in one systolic matmul, which is the
+    difference between ~85 GB/s-equivalent and memory-bound throughput at
+    gaussian radii.  The H pass is a single (tile_h, strip_rows) x
+    (strip_rows, w_total) dot; the W pass runs per output lane tile with
+    three tile-aligned (128,128,128) dots (2x FLOP overhead over the band,
+    but the MXU's sweet-spot shape and zero relayouts)."""
+    ci = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def strip_dma(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        strip_dma(i, slot).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        strip_dma(i + 1, other).start()
+
+    strip_dma(i, slot).wait()
+
+    tmp[:, :] = jnp.dot(
+        a_ref[:, :], scratch[slot], preferred_element_type=jnp.float32, precision=precision
+    ).astype(tmp.dtype)
+    for j in range(n_wtiles):
+        acc = jnp.dot(
+            tmp[:, j * 128 : (j + 1) * 128], c0_ref[:, :],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        acc += jnp.dot(
+            tmp[:, (j + 1) * 128 : (j + 2) * 128], c1_ref[:, :],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        acc += jnp.dot(
+            tmp[:, (j + 2) * 128 : (j + 3) * 128], c2_ref[:, :],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        o_ref[0, :, j * 128 : (j + 1) * 128] = acc.astype(o_ref.dtype)
+
+
+def sep_conv_fused_mxu(
+    x: jnp.ndarray,
+    wh: np.ndarray,
+    ww: np.ndarray,
+    mode: str = "edge",
+    tile_h: int = 128,
+    interpret: bool = False,
+    precision=None,
+) -> jnp.ndarray:
+    """Separable conv with both passes on the MXU (see _sep_fused_kernel_mxu).
+
+    Requires the W radius <= 128 so the tap band spans at most three aligned
+    lane tiles; callers fall back to sep_conv_fused otherwise.  ``precision``
+    follows jax.lax.Precision: the TPU MXU's native f32 matmul truncates
+    operands to bf16 (~1e-3 abs error on [0,1] images); HIGHEST runs the
+    3-pass f32 decomposition instead."""
+    wh = np.asarray(wh, dtype=np.float32)
+    ww = np.asarray(ww, dtype=np.float32)
+    rh = (len(wh) - 1) // 2
+    rw = (len(ww) - 1) // 2
+    if rw > 128:
+        return sep_conv_fused(x, wh, ww, mode, tile_h, interpret)
+    c, h, w = x.shape
+    if rh == 0 and rw == 0:
+        return x * float(wh[0]) * float(ww[0])
+    pad_mode = "edge" if mode == "edge" else "constant"
+    h_pad = _round_up(h, tile_h)
+    # DMA strips align to the dtype's sublane tile: (8, 128) for 4-byte
+    # types, (16, 128) for bf16.
+    sub = 16 if x.dtype.itemsize == 2 else 8
+    strip_rows = _round_up(tile_h + 2 * rh, sub)
+    row_slack = strip_rows - (tile_h + 2 * rh)
+    w_out_pad = _round_up(w, 128)
+    n_wtiles = w_out_pad // 128
+    # One full lane tile of padding on the left so tile j-relative indexing
+    # never needs a negative slice; total width covers tiles 0..n_wtiles+1.
+    w_total = (n_wtiles + 2) * 128
+    xp = jnp.pad(
+        x,
+        ((0, 0), (rh, rh + (h_pad - h) + row_slack), (128, w_total - w - 128)),
+        mode=pad_mode,
+    )
+    n_tiles = h_pad // tile_h
+    a = jnp.asarray(_band_matrix_h(wh, tile_h, strip_rows))
+    c0, c1, c2 = (jnp.asarray(m) for m in _band_matrices_w(ww))
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda ci, i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _sep_fused_kernel_mxu,
+            tile_h=tile_h,
+            n_tiles=n_tiles,
+            strip_rows=strip_rows,
+            n_wtiles=n_wtiles,
+            precision=precision,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, h_pad, w_out_pad), x.dtype),
+        grid=(c, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            const_spec((tile_h, strip_rows)),
+            const_spec((128, 128)),
+            const_spec((128, 128)),
+            const_spec((128, 128)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w_out_pad), lambda ci, i: (ci, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip_rows, w_total), x.dtype),
+            pltpu.VMEM((tile_h, w_total), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, a, c0, c1, c2)
+    return out[:, :h, :w]
+
+
 # Above this width the in-VMEM transpose variant wins (measured: at 4K it
 # is ~25% faster; at 1080p the lane variant is ~25% faster).
 TRANSPOSE_MIN_WIDTH = 2560
@@ -336,6 +501,29 @@ def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
             tmps = tile_h * w_total * 4
             extra = 12 * tile_h * w * 4  # lane-rotation temporaries
         if strips + tmps + out + extra < 15 * 1024 * 1024 + 512 * 1024:
+            return tile_h
+    return None
+
+
+def mxu_tile_h(w: int, rh: int, rw: int, itemsize: int = 4) -> int | None:
+    """Largest tile_h whose MXU-variant VMEM footprint fits, or None.
+
+    Budget: double-buffered input strips + the H-pass tmp + double-buffered
+    output blocks (all in the image dtype) + the f32 tap matrices and a
+    (128, 128) f32 accumulator, against the same ~15.5 MB usable budget as
+    fused_tile_h."""
+    if rw > 128:
+        return None
+    n_wtiles = _round_up(w, 128) // 128
+    w_total = (n_wtiles + 2) * 128
+    sub = 16 if itemsize == 2 else 8
+    for tile_h in (128, 64, 32):
+        strip_rows = _round_up(tile_h + 2 * rh, sub)
+        strips = 2 * strip_rows * w_total * itemsize
+        tmp = tile_h * w_total * itemsize
+        out = 2 * tile_h * n_wtiles * 128 * itemsize
+        consts = (tile_h * strip_rows + 3 * 128 * 128 + 2 * 128 * 128) * 4
+        if strips + tmp + out + consts < 15 * 1024 * 1024 + 512 * 1024:
             return tile_h
     return None
 

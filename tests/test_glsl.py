@@ -948,3 +948,42 @@ class TestForiLoopLowering:
             np.asarray(unrolled["output_image"]),
             atol=1e-6,
         )
+
+
+class TestLengthMethod:
+    """GLSL .length() method on SSBO arrays, local arrays, vectors, matrices
+    (reference compiles via shaderc which accepts it natively; shader.rs:41-59)."""
+
+    def test_lengths(self):
+        shader = """#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly  image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) readonly buffer B { float lut[64]; };
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    float arr[3] = float[](0.1, 0.2, 0.3);
+    mat3 m3 = mat3(1.0);
+    imageStore(output_image, pos, vec4(
+        float(lut.length()) / 64.0,
+        float(arr.length()) / 3.0,
+        float(c.rgb.length()) / 3.0,
+        float(m3.length()) / 3.0));
+}"""
+        spec = translate_shader(shader, "lentest")
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((4, 8, 8), dtype=np.float32))
+        ctx = KernelContext(width=8, height=8)
+        out = np.asarray(
+            spec(ctx, {"input_image": img, "B": jnp.zeros(64)}, {})["output_image"]
+        )
+        np.testing.assert_allclose(out, 1.0, atol=1e-6)
+
+    def test_unknown_method_diagnostic(self):
+        with pytest.raises(GlslError, match="unknown method"):
+            run_shader("""
+                vec4 c = imageLoad(input_image, ivec2(gl_GlobalInvocationID.xy));
+                float x = c.rgb.size();
+                imageStore(output_image, ivec2(gl_GlobalInvocationID.xy), vec4(x));
+            """)

@@ -96,3 +96,54 @@ def test_both_fused_variants_match():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5, err_msg=variant
         )
+
+
+class TestMxuVariant:
+    """Banded-matmul (MXU) separable conv: correctness vs the portable path.
+
+    On real TPUs the f32 matmul truncates to bf16 unless precision=HIGHEST;
+    the interpreter computes exactly, so tight tolerances are valid here."""
+
+    def test_matches_sep_conv_f32(self):
+        x = rand(h=100, w=150, seed=5)
+        wh = ops.gaussian_weights(4.0)
+        ww = ops.gaussian_weights(4.0)
+        got = pallas_ops.sep_conv_fused_mxu(x, wh, ww, interpret=True)
+        want = ops.sep_conv(x, wh, ww)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_matches_zero_mode_and_asym(self):
+        x = rand(h=70, w=200, seed=6)
+        wh = ops.gaussian_weights(1.5)
+        ww = ops.gaussian_weights(6.0)
+        got = pallas_ops.sep_conv_fused_mxu(x, wh, ww, mode="zero",
+                                            interpret=True)
+        want = pallas_ops.sep_conv(x, wh, ww, mode="zero", interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_bf16_input(self):
+        x = rand(h=64, w=140, seed=7).astype(jnp.bfloat16)
+        wh = ops.gaussian_weights(2.0)
+        ww = ops.gaussian_weights(2.0)
+        got = pallas_ops.sep_conv_fused_mxu(x, wh, ww, interpret=True)
+        want = ops.sep_conv(x.astype(jnp.float32), wh, ww)
+        assert got.dtype == jnp.bfloat16
+        # bf16 storage rounding between the two passes dominates the error.
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), atol=3e-2
+        )
+
+    def test_wide_radius_falls_back(self):
+        # rw > 128 exceeds the 3-lane-tile band; must defer to sep_conv_fused.
+        x = rand(h=24, w=160, seed=8)
+        w_wide = np.ones(261, np.float32) / 261.0  # r = 130
+        wh = ops.gaussian_weights(1.0)
+        got = pallas_ops.sep_conv_fused_mxu(x, wh, w_wide, interpret=True)
+        want = pallas_ops.sep_conv(x, wh, w_wide, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_mxu_tile_h_model(self):
+        assert pallas_ops.mxu_tile_h(3840, 12, 12) in (128, 64, 32)
+        assert pallas_ops.mxu_tile_h(3840, 12, 12, itemsize=2) == 128
+        assert pallas_ops.mxu_tile_h(200, 150, 3) is not None
+        assert pallas_ops.mxu_tile_h(3840, 12, 200) is None  # rw > 128
