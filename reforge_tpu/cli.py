@@ -34,10 +34,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         description="TPU-native image-processing graph engine",
     )
     p.add_argument(
-        "shader",
-        nargs="?",
-        default=None,
-        help="A single kernel file (.comp GLSL or .py) to execute instead of a config",
+        "positionals",
+        nargs="*",
+        default=[],
+        metavar="<shader|input-file> [output-file]",
+        help="Reference-style positionals (main.rs:45-48): an input image "
+        "and optional output image; a kernel file (.comp/.frag/.glsl/.py) "
+        "anywhere in the list runs single-shader mode instead of a config",
     )
     p.add_argument("-i", "--input-file", help="File to read from")
     p.add_argument("-o", "--output-file", help="Image file to write to (png/jpg)")
@@ -112,8 +115,42 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+_KERNEL_EXTS = (".comp", ".frag", ".glsl", ".py")
+
+
+def _assign_positionals(args) -> Optional[str]:
+    """Reference-style positionals: ``reforge <input-file> [output-file]``
+    (main.rs:45-48), extended so a kernel file anywhere in the list selects
+    single-shader mode.  Returns an error message or None."""
+    args.shader = None
+    rest = []
+    for a in args.positionals:
+        if a.lower().endswith(_KERNEL_EXTS):
+            if args.shader is not None:
+                return f"Multiple kernel files given: {args.shader!r} and {a!r}"
+            args.shader = a
+        else:
+            rest.append(a)
+    if len(rest) > 2:
+        return f"Too many positional arguments: {rest!r}"
+    if rest:
+        if args.input_file:
+            return "Input file given both positionally and with -i"
+        args.input_file = rest[0]
+    if len(rest) == 2:
+        if args.output_file:
+            return "Output file given both positionally and with -o"
+        args.output_file = rest[1]
+    return None
+
+
 def main(argv: Optional[list[str]] = None) -> int:
     args = build_arg_parser().parse_args(argv)
+
+    err = _assign_positionals(args)
+    if err is not None:
+        warnln(err)
+        return 1
 
     if args.backend != "auto":
         import jax

@@ -746,15 +746,15 @@ class Interp:
                 raise GlslError("loop exceeds unroll limit", s.line)
 
     def exec_switch(self, s: ast.Switch, scope: "_Scope") -> None:
-        """switch over a UNIFORM selector (the mode-parameter idiom); case
-        fall-through honored; per-pixel selectors need if/else chains."""
+        """switch with fall-through.  A uniform selector picks the entry case
+        at trace time; a per-pixel selector vectorizes as a masked if-chain
+        (entry masks OR-accumulate across fall-through, a trailing `break`
+        clears the carry), requiring `break` only in tail position and no
+        `return`."""
         sel = self.eval_expr(s.selector, scope)
         if not is_static(sel.data):
-            raise GlslError(
-                "switch selector must be uniform (a parameter or constant); "
-                "use if/else for per-pixel selection",
-                s.line,
-            )
+            self._exec_switch_masked(s, scope, sel)
+            return
         sel_v = int(sel.data)
         start = None
         for i, (values, _body) in enumerate(s.cases):
@@ -780,6 +780,114 @@ class Interp:
                 self.exec_block(s.cases[i][1], scope)
         except _BreakSignal:
             pass
+
+    @staticmethod
+    def _switch_case_body_ok(body: list) -> bool:
+        """Masked-switch restrictions: `break` only as the last top-level
+        statement of a case; no `return`; no `continue` outside nested loops
+        (a nested loop's break/continue belongs to that loop)."""
+        ok = True
+
+        def check_return(node):
+            nonlocal ok
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    check_return(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, ast.Return):
+                ok = False
+                return
+            for field in node.__dataclass_fields__:
+                check_return(getattr(node, field))
+
+        def walk(stmts, top):
+            nonlocal ok
+            for idx, st in enumerate(stmts):
+                if isinstance(st, ast.Break):
+                    if not (top and idx == len(stmts) - 1):
+                        ok = False
+                elif isinstance(st, ast.Continue):
+                    ok = False
+                elif isinstance(st, ast.If):
+                    walk(st.then, False)
+                    if st.other:
+                        walk(st.other, False)
+                elif isinstance(st, ast.Block):
+                    walk(st.body, False)
+                elif isinstance(st, (ast.For, ast.While, ast.DoWhile, ast.Switch)):
+                    check_return(st)  # their break/continue is theirs
+                else:
+                    check_return(st)
+
+        walk(body, True)
+        return ok
+
+    def _exec_switch_masked(self, s: ast.Switch, scope: "_Scope", sel: Val) -> None:
+        if sel.type not in ("int", "uint"):
+            raise GlslError("switch selector must be an integer", s.line)
+        # Per-case entry masks: which pixels START at this case.
+        match: list = [None] * len(s.cases)
+        default_idx = None
+        any_match = None
+        for i, (values, body) in enumerate(s.cases):
+            if not self._switch_case_body_ok(body):
+                raise GlslError(
+                    "per-pixel switch requires 'break' only at the end of a "
+                    "case and no 'return' inside it",
+                    s.line,
+                )
+            m = None
+            for v in values:
+                if v is None:
+                    default_idx = i
+                    continue
+                cv = self.eval_expr(v, scope)
+                if not is_static(cv.data):
+                    raise GlslError("case label must be a constant", s.line)
+                mm = self._as_i32(sel.data) == jnp.int32(int(cv.data))
+                m = mm if m is None else jnp.logical_or(m, mm)
+            match[i] = m
+            if m is not None:
+                any_match = m if any_match is None else jnp.logical_or(any_match, m)
+        if default_idx is not None:
+            no_match = (
+                jnp.logical_not(any_match)
+                if any_match is not None
+                else jnp.ones(sel.data.shape, bool)
+            )
+            m = match[default_idx]
+            match[default_idx] = (
+                no_match if m is None else jnp.logical_or(m, no_match)
+            )
+        # Fall-through: the carry mask accumulates entries until a trailing
+        # break retires every active pixel.
+        outer = self.mask
+        carry = None
+        for i, (values, body) in enumerate(s.cases):
+            if match[i] is not None:
+                carry = (
+                    match[i] if carry is None
+                    else jnp.logical_or(carry, match[i])
+                )
+            if carry is None:
+                continue
+            stmts = body
+            has_break = bool(stmts) and isinstance(stmts[-1], ast.Break)
+            if has_break:
+                stmts = stmts[:-1]
+            if stmts:
+                self.mask = (
+                    carry if outer is None else jnp.logical_and(outer, carry)
+                )
+                try:
+                    for st in stmts:
+                        self.exec_stmt(st, scope)
+                finally:
+                    self.mask = outer
+            if has_break:
+                carry = None
 
     # ---- expression evaluation -----------------------------------------
 

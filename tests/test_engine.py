@@ -184,6 +184,47 @@ class TestCli:
 
         assert main(["-i", "/nonexistent/x.png", "-o", "/tmp/y.png"]) == 1
 
+    def test_reference_style_positionals(self, tmp_path):
+        # ``reforge <input-file> [output-file]`` (reference main.rs:45-48).
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+
+        rgba = np.random.default_rng(5).integers(0, 256, (16, 24, 4), np.uint8)
+        rgba[..., 3] = 255
+        inp = str(tmp_path / "in.png")
+        outp = str(tmp_path / "out.png")
+        encode(inp, rgba)
+        assert main([inp, outp]) == 0
+        out = np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(outp))
+        np.testing.assert_array_equal(out, rgba)
+
+    def test_shader_plus_image_positionals(self, tmp_path):
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+
+        rgba = np.full((8, 8, 4), 100, np.uint8)
+        rgba[..., 3] = 255
+        inp = str(tmp_path / "in.png")
+        outp = str(tmp_path / "out.png")
+        shp = str(tmp_path / "half.py")
+        encode(inp, rgba)
+        write(
+            shp,
+            "from reforge_tpu.kernels import kernel\n"
+            "@kernel('half', register=False)\n"
+            "def half(ctx, input_image):\n"
+            "    return input_image * 0.5\n",
+        )
+        assert main([shp, inp, outp]) == 0
+
+    def test_positional_conflicts(self):
+        from reforge_tpu.cli import main
+
+        assert main(["a.png", "-i", "b.png"]) == 1
+        assert main(["a.png", "b.png", "c.png"]) == 1
+        assert main(["x.comp", "y.comp"]) == 1
+        assert main(["a.png", "out.png", "-o", "z.png"]) == 1
+
 
 class TestAsyncReload:
     def test_async_compile_swap(self, tmp_path):

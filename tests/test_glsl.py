@@ -719,13 +719,64 @@ class TestSwitchAndDoWhile:
             out, _ = run_shader(body, extra_decls=decls, params={"mode": mode})
             np.testing.assert_allclose(np.asarray(out)[0], expect, atol=1e-6)
 
-    def test_nonuniform_switch_rejected(self):
-        with pytest.raises(GlslError, match="uniform"):
+    def test_nonuniform_switch_vectorizes(self):
+        # Per-pixel selector lowers to a masked if-chain (the reference GPU
+        # executes divergent switches natively; command.rs dispatches SIMT).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = 0.0;
+            switch (int(c.r * 4.0)) {
+                case 0: v = 0.1; break;
+                case 1: v = 0.3; break;
+                case 2:
+                case 3: v = 0.6; break;
+                default: v = 0.9; break;
+            }
+            imageStore(output_image, pos, vec4(v, c.gba));
+        """)
+        i = np.asarray(img)
+        sel = (i[0] * 4.0).astype(np.int32)
+        ref = np.select(
+            [sel == 0, sel == 1, (sel == 2) | (sel == 3)],
+            [0.1, 0.3, 0.6],
+            default=0.9,
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], ref, atol=1e-6)
+
+    def test_nonuniform_switch_fallthrough(self):
+        # No break on case 1: pixels entering there also run case 2's body.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = 0.0;
+            switch (int(c.r * 3.0)) {
+                case 0: v += 0.125; break;
+                case 1: v += 0.25;
+                case 2: v += 0.5; break;
+            }
+            imageStore(output_image, pos, vec4(v, c.gba));
+        """)
+        i = np.asarray(img)
+        sel = (i[0] * 3.0).astype(np.int32)
+        ref = np.select(
+            [sel == 0, sel == 1, sel == 2], [0.125, 0.75, 0.5], default=0.0
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], ref, atol=1e-6)
+
+    def test_nonuniform_switch_midcase_break_rejected(self):
+        with pytest.raises(GlslError, match="per-pixel switch"):
             run_shader("""
                 ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
                 vec4 c = imageLoad(input_image, pos);
-                switch (int(c.r * 4.0)) { case 0: break; }
-                imageStore(output_image, pos, c);
+                float v = 0.0;
+                switch (int(c.r * 2.0)) {
+                    case 0:
+                        if (c.g > 0.5) { break; }
+                        v = 1.0;
+                        break;
+                }
+                imageStore(output_image, pos, vec4(v, c.gba));
             """)
 
     def test_do_while(self):
