@@ -1038,3 +1038,47 @@ void main() {
                 float x = c.rgb.size();
                 imageStore(output_image, ivec2(gl_GlobalInvocationID.xy), vec4(x));
             """)
+
+
+class TestJaxprStructure:
+    """Structural (jaxpr-level) guarantees from SURVEY §4: constant-offset
+    imageLoads must lower to pad+slice — no gather primitive — because a
+    gather at 4K is a bandwidth disaster on TPU; arbitrary coordinate math
+    legitimately gathers."""
+
+    @staticmethod
+    def _jaxpr_of(body):
+        import jax
+
+        src = HEADER + "\nvoid main() {\n" + body + "\n}\n"
+        spec = translate_shader(src, "structure")
+        ctx = KernelContext(width=16, height=12)
+        img = jnp.zeros((4, 12, 16), jnp.float32)
+        return str(jax.make_jaxpr(lambda v: spec(ctx, {"input_image": v}, {}))(img))
+
+    def test_static_shift_is_gather_free(self):
+        txt = self._jaxpr_of("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 a = imageLoad(input_image, pos + ivec2(1, 0));
+            vec4 b = imageLoad(input_image, pos - ivec2(0, 2));
+            imageStore(output_image, pos, a + b);
+        """)
+        assert "gather" not in txt
+
+    def test_clamped_shift_is_gather_free(self):
+        txt = self._jaxpr_of("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            ivec2 size = imageSize(input_image);
+            ivec2 p = clamp(pos + ivec2(2, 1), ivec2(0), size - ivec2(1));
+            imageStore(output_image, pos, imageLoad(input_image, p));
+        """)
+        assert "gather" not in txt
+
+    def test_arbitrary_coords_do_gather(self):
+        txt = self._jaxpr_of("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            ivec2 size = imageSize(input_image);
+            vec4 c = imageLoad(input_image, ivec2(size.x - 1 - pos.x, pos.y));
+            imageStore(output_image, pos, c);
+        """)
+        assert "gather" in txt
