@@ -435,3 +435,136 @@ def lut1d(ctx, input_image, Curve):
         return Curve[idx]
 
     return map_rgb(input_image, f)
+
+
+# ---- color grading ------------------------------------------------------
+
+
+def _hue_rotate_matrix(degrees: float) -> np.ndarray:
+    """Static 3x3 linear-RGB hue-rotation matrix (the CSS/SVG feColorMatrix
+    'hueRotate' formulation — the standard shader idiom for hue shifts)."""
+    a = math.radians(float(degrees))
+    c, s = math.cos(a), math.sin(a)
+    return np.array(
+        [
+            [0.213 + c * 0.787 - s * 0.213, 0.715 - c * 0.715 - s * 0.715,
+             0.072 - c * 0.072 + s * 0.928],
+            [0.213 - c * 0.213 + s * 0.143, 0.715 + c * 0.285 + s * 0.140,
+             0.072 - c * 0.072 - s * 0.283],
+            [0.213 - c * 0.213 - s * 0.787, 0.715 - c * 0.715 + s * 0.715,
+             0.072 + c * 0.928 + s * 0.072],
+        ],
+        dtype=np.float32,
+    )
+
+
+@kernel("hue_saturation")
+def hue_saturation(ctx, input_image, *, hue=0.0, saturation=1.0, lightness=0.0):
+    """Hue rotation (degrees) + saturation scale + lightness offset."""
+    m = jnp.asarray(_hue_rotate_matrix(hue))
+
+    def f(rgb):
+        out = jnp.einsum("ij,jhw->ihw", m, rgb)
+        y = (out[0] * 0.2126 + out[1] * 0.7152 + out[2] * 0.0722)[None]
+        out = y + (out - y) * saturation
+        return out + lightness
+
+    return map_rgb(input_image, f)
+
+
+@kernel("levels")
+def levels(ctx, input_image, *, in_black=0.0, in_white=1.0, gamma=1.0,
+           out_black=0.0, out_white=1.0):
+    """Photoshop-style levels: input range remap, gamma, output range."""
+    span = max(float(in_white) - float(in_black), 1e-6)
+
+    def f(rgb):
+        t = jnp.clip((rgb - in_black) / span, 0.0, 1.0)
+        t = t ** (1.0 / max(float(gamma), 1e-6))
+        return out_black + t * (float(out_white) - float(out_black))
+
+    return map_rgb(input_image, f)
+
+
+# ---- edge-preserving / stylized -----------------------------------------
+
+
+def _bilateral_halo(p):
+    return int(p["radius"])
+
+
+@kernel("bilateral", halo=_bilateral_halo)
+def bilateral(ctx, input_image, *, radius=3, sigma_space=2.0, sigma_range=0.15):
+    """Edge-preserving bilateral filter.
+
+    Shifted-window formulation: every (dy, dx) tap is an edge-padded shift
+    (no gather — stays halo-shardable and XLA-fusable); the range kernel
+    weights each shifted neighbor by luminance similarity."""
+    r = max(int(radius), 1)
+    ss = max(float(sigma_space), 1e-3)
+    sr = max(float(sigma_range), 1e-3)
+    x = input_image
+    y0 = luma(x)
+    xp = ops.pad_edge(x, r, r)
+    yp = ops.pad_edge(y0[None], r, r)[0]
+    h, w = x.shape[AXIS_H], x.shape[AXIS_W]
+    acc = jnp.zeros_like(x[:3])
+    norm = jnp.zeros_like(y0)
+    inv2ss = 1.0 / (2.0 * ss * ss)
+    inv2sr = 1.0 / (2.0 * sr * sr)
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            ws = math.exp(-((dy - r) ** 2 + (dx - r) ** 2) * inv2ss)
+            if ws < 1e-4:
+                continue
+            n = xp[:3, dy : dy + h, dx : dx + w]
+            ny = yp[dy : dy + h, dx : dx + w]
+            wr = jnp.exp(-((ny - y0) ** 2) * inv2sr) * ws
+            acc = acc + n * wr
+            norm = norm + wr
+    return ops.with_alpha(acc / norm[None], x[3])
+
+
+@kernel("halftone", halo=lambda p: None)
+def halftone(ctx, input_image, *, size=8, angle=0.0):
+    """Newspaper halftone: per-cell luminance controls a round dot."""
+    cell = max(int(size), 2)
+    ys, xs = ops.grid_coords(ctx)
+    a = math.radians(float(angle))
+    ca, sa = math.cos(a), math.sin(a)
+    # Rotated grid coordinates.
+    u = xs * ca + ys * sa
+    v = -xs * sa + ys * ca
+    cu = jnp.floor(u / cell) * cell + cell / 2.0
+    cv = jnp.floor(v / cell) * cell + cell / 2.0
+    # Cell center back in image space (gather → not halo-shardable).
+    cx = cu * ca - cv * sa
+    cy = cu * sa + cv * ca
+    sample = ops.sample_bilinear(input_image, cy, cx)
+    y = (sample[0] * 0.2126 + sample[1] * 0.7152 + sample[2] * 0.0722)
+    dot_r = jnp.sqrt(jnp.clip(1.0 - y, 0.0, 1.0)) * (cell * 0.7)
+    d = jnp.sqrt((u - cu) ** 2 + (v - cv) ** 2)
+    # Inside the dot (d < r-1.5) ink is 1, easing to 0 at the rim; dark
+    # cells grow large black dots on the white page.
+    ink = smoothstep(dot_r, dot_r - 1.5, d)
+    out = jnp.broadcast_to((1.0 - ink)[None], input_image[:3].shape)
+    return ops.with_alpha(out, input_image[3])
+
+
+@kernel("radial_blur", halo=lambda p: None)
+def radial_blur(ctx, input_image, *, strength=0.15, samples=12,
+                center_x=0.5, center_y=0.5):
+    """Zoom blur: average samples along the ray toward the center."""
+    n = max(int(samples), 2)
+    ys, xs = ops.grid_coords(ctx)
+    cy = float(center_y) * (ctx.height - 1)
+    cx = float(center_x) * (ctx.width - 1)
+    acc = None
+    for i in range(n):
+        t = 1.0 - float(strength) * (i / (n - 1))
+        sy = cy + (ys - cy) * t
+        sx = cx + (xs - cx) * t
+        s = ops.sample_bilinear(input_image, sy, sx)
+        acc = s if acc is None else acc + s
+    out = acc / n
+    return ops.with_alpha(out[:3], input_image[3])

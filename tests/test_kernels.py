@@ -234,3 +234,77 @@ class TestArtisticKernels:
         ctx = KernelContext(width=24, height=16)
         out = spec(ctx, {"input_image": imgq, "Curve": curve}, {})["output_image"]
         np.testing.assert_allclose(np.asarray(out)[:3], np.asarray(imgq)[:3], atol=1e-6)
+
+
+class TestColorGradingKernels:
+    def test_hue_rotate_360_is_identity(self):
+        img = rand_image()
+        out = run("hue_saturation", img, {"hue": 360.0})
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+    def test_saturation_zero_is_grayscale(self):
+        img = rand_image()
+        out = np.asarray(run("hue_saturation", img, {"saturation": 0.0}))
+        i = np.asarray(img)
+        y = 0.2126 * i[0] + 0.7152 * i[1] + 0.0722 * i[2]
+        for c in range(3):
+            np.testing.assert_allclose(out[c], y, atol=1e-5)
+
+    def test_levels_remap(self):
+        img = rand_image()
+        out = np.asarray(run("levels", img, {"in_black": 0.2, "in_white": 0.8}))
+        i = np.asarray(img)
+        ref = np.clip((i[:3] - 0.2) / 0.6, 0, 1)
+        np.testing.assert_allclose(out[:3], ref, atol=1e-5)
+
+    def test_levels_gamma_midpoint(self):
+        img = jnp.full((4, 8, 8), 0.25, jnp.float32)
+        out = np.asarray(run("levels", img, {"gamma": 2.0}))
+        np.testing.assert_allclose(out[:3], 0.5, atol=1e-5)  # 0.25^(1/2)
+
+
+class TestEdgePreservingKernels:
+    def test_bilateral_flat_region_equals_gaussian_norm(self):
+        # On a constant image every range weight is 1: output == input.
+        img = jnp.full((4, 16, 16), 0.6, jnp.float32)
+        out = np.asarray(run("bilateral", img, {"radius": 3}))
+        np.testing.assert_allclose(out[:3], 0.6, atol=1e-5)
+
+    def test_bilateral_preserves_step_edge(self):
+        # A hard luminance step must survive; a gaussian of the same radius
+        # smears it.  Measure the edge-adjacent values.
+        i = np.zeros((4, 16, 32), np.float32)
+        i[:3, :, 16:] = 1.0
+        i[3] = 1.0
+        img = jnp.asarray(i)
+        bi = np.asarray(run("bilateral", img, {"radius": 3, "sigma_range": 0.08}))
+        ga = np.asarray(run("gaussian", img, {"sigma": 2.0}))
+        assert bi[0, 8, 15] < 0.05 and bi[0, 8, 16] > 0.95  # edge intact
+        assert 0.2 < ga[0, 8, 15] < 0.8  # gaussian smeared it
+
+    def test_bilateral_alpha_passthrough(self):
+        img = rand_image()
+        out = np.asarray(run("bilateral", img))
+        np.testing.assert_allclose(out[3], np.asarray(img)[3], atol=1e-6)
+
+
+class TestStylizedKernels:
+    def test_halftone_black_and_white_extremes(self):
+        white = jnp.ones((4, 32, 32), jnp.float32)
+        black = jnp.concatenate(
+            [jnp.zeros((3, 32, 32)), jnp.ones((1, 32, 32))], 0
+        ).astype(jnp.float32)
+        ow = np.asarray(run("halftone", white, {"size": 8}))
+        ob = np.asarray(run("halftone", black, {"size": 8}))
+        assert ow[0].mean() > 0.9   # white page: almost no ink
+        assert ob[0].mean() < 0.5   # black page: mostly ink
+
+    def test_radial_blur_center_fixed_point(self):
+        img = rand_image(h=33, w=33, seed=2)
+        out = np.asarray(run("radial_blur", img, {"strength": 0.3}))
+        i = np.asarray(img)
+        # The exact center samples itself at every scale.
+        np.testing.assert_allclose(out[:3, 16, 16], i[:3, 16, 16], atol=1e-4)
+        # Zero strength is identity.
+        out0 = np.asarray(run("radial_blur", img, {"strength": 0.0}))
+        np.testing.assert_allclose(out0[:3], i[:3], atol=1e-4)
