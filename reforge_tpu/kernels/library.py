@@ -408,14 +408,16 @@ def kuwahara(ctx, input_image, *, radius=4):
     lag = half  # window covering [-r, 0]
 
     y = luma(input_image)[None]
-    mean_img = input_image
+    # One conv per quadrant over a channel-stacked (6, H, W) field
+    # (rgba + luma + luma^2): the Pallas kernels grid over channels, so
+    # stacking turns 12 kernel launches into 4 with identical math.
+    stacked = jnp.concatenate([input_image, y, y * y], axis=0)
     best_mean = None
     best_var = None
     for wy in (lag, lead):
         for wx in (lag, lead):
-            m = sep_conv(mean_img, wy, wx)
-            my = sep_conv(y, wy, wx)
-            my2 = sep_conv(y * y, wy, wx)
+            s = sep_conv(stacked, wy, wx)
+            m, my, my2 = s[:4], s[4:5], s[5:6]
             var = my2 - my * my
             if best_var is None:
                 best_mean, best_var = m, var

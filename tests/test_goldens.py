@@ -32,6 +32,17 @@ CONFIGS = {
         "cb: checkerboard { size: 8 }\nmixit: mix { factor: 0.4 }"
     ),
     "rgba8_quantized": "input -> gamma -> output\ngamma: gamma { value: 1.8 }",
+    "newsprint": (
+        "input -> smooth -> dots -> output\n"
+        "smooth: bilateral { radius: 3, sigma_range: 0.12 }\n"
+        "dots: halftone { size: 6, angle: 15.0 }"
+    ),
+    "pop_grade": (
+        "input -> spin -> lv -> zoom -> output\n"
+        "spin: hue_saturation { hue: 40.0, saturation: 1.5 }\n"
+        "lv: levels { in_black: 0.1, gamma: 1.2 }\n"
+        "zoom: radial_blur { strength: 0.1, samples: 8 }"
+    ),
 }
 
 
