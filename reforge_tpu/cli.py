@@ -375,14 +375,37 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
 
     t0 = _t.perf_counter()
     count = 0
-    pending = None  # (device_out,) one frame in flight
+    # Decode, dispatch, and readback+encode run as a three-stage pipeline:
+    # the main thread decodes frame i+2 and dispatches i+1 while a writer
+    # thread fetches frame i from the device and encodes it (the fetch is
+    # the slow stage on tunneled devices).  The bounded queue keeps at most
+    # 3 frames of device memory in flight.
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=3)
+    write_errors: list = []
+
+    def _writer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if write_errors:
+                continue  # drain remaining items after a failure
+            try:
+                enc.write(engine.read_output(item))
+            except Exception as e:  # surfaced on the main thread
+                write_errors.append(e)
+
+    wt = threading.Thread(target=_writer, daemon=True)
+    wt.start()
     try:
         for rgba in frames:
+            if write_errors:
+                break
             engine.load_input(rgba)
-            out = engine.render_frame(t=count / fps)
-            if pending is not None:
-                enc.write(engine.read_output(pending))
-            pending = out
+            q.put(engine.render_frame(t=count / fps))
             count += 1
             if args.frames and count >= args.frames:
                 break
@@ -390,10 +413,19 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
                 rate = count / (_t.perf_counter() - t0)
                 sys.stderr.write(f"\rFrame {count}  ({rate:5.1f} fps)")
                 sys.stderr.flush()
-        if pending is not None:
-            enc.write(engine.read_output(pending))
     except ImageFileError as e:
+        q.put(None)
+        wt.join()
         print(f"\nError: {e}", file=sys.stderr)
+        try:
+            enc.close()
+        except ImageFileError:
+            pass
+        return 1
+    q.put(None)
+    wt.join()
+    if write_errors:
+        print(f"\nError: {write_errors[0]}", file=sys.stderr)
         try:
             enc.close()
         except ImageFileError:
