@@ -14,6 +14,7 @@ class Num:
     value: Any  # int | float
     is_float: bool
     line: int = 0
+    is_uint: bool = False  # 123u / 0xFFu literal
 
 
 @dataclasses.dataclass

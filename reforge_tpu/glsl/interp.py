@@ -36,6 +36,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from . import ast
 from .lexer import GlslError
@@ -314,12 +315,24 @@ class Interp:
             return new
         return jnp.where(self.mask, new, old)
 
+    @staticmethod
+    def _wrap_static_int(x, elem: str) -> int:
+        """Wrap a static Python int to the GLSL 32-bit two's-complement
+        range (uint wraps mod 2^32; int follows the C-style wrap every GPU
+        implements)."""
+        x = int(x)
+        if elem == "uint":
+            return x & 0xFFFFFFFF
+        return ((x + 2**31) % 2**32) - 2**31
+
     def _as_array(self, x: Any, elem: str) -> Any:
-        dt = {"float": jnp.float32, "int": jnp.int32, "uint": jnp.int32,
+        dt = {"float": jnp.float32, "int": jnp.int32, "uint": jnp.uint32,
               "bool": jnp.bool_}[elem]
         if is_static(x):
+            if elem in ("int", "uint"):
+                x = self._wrap_static_int(x, elem)
             return jnp.full((self.h, self.w), x, dt)
-        return jnp.broadcast_to(jnp.asarray(x, dt), (self.h, self.w))
+        return jnp.broadcast_to(jnp.asarray(x).astype(dt), (self.h, self.w))
 
     # ---- running --------------------------------------------------------
 
@@ -898,7 +911,11 @@ class Interp:
         return method(e, scope)
 
     def _eval_Num(self, e: ast.Num, scope) -> Val:
-        return Val("float" if e.is_float else "int", e.value)
+        if e.is_float:
+            return Val("float", e.value)
+        if getattr(e, "is_uint", False):
+            return Val("uint", self._wrap_static_int(e.value, "uint"))
+        return Val("int", e.value)
 
     def _eval_BoolLit(self, e: ast.BoolLit, scope) -> Val:
         return Val("bool", e.value)
@@ -1002,17 +1019,25 @@ class Interp:
             return old if e.op.endswith("post") else new
         v = self.eval_expr(e.expr, scope)
         if e.op == "-":
+            def neg(c):
+                out = self._neg(c)
+                if v.elem_type in ("int", "uint") and is_static(out):
+                    out = self._wrap_static_int(out, v.elem_type)
+                return out
+
             if v.is_vector():
-                return Val(v.type, [self._neg(c) for c in v.data], None)
-            out = Val(v.type, self._neg(v.data))
-            return out
+                return Val(v.type, [neg(c) for c in v.data], None)
+            return Val(v.type, neg(v.data))
         if e.op == "!":
             if v.type != "bool":
                 raise GlslError("'!' needs bool", e.line)
             data = (not v.data) if is_static(v.data) else jnp.logical_not(v.data)
             return Val("bool", data)
         if e.op == "~":
-            data = ~v.data if is_static(v.data) else jnp.invert(v.data)
+            if is_static(v.data):
+                data = self._wrap_static_int(~int(v.data), v.type)
+            else:
+                data = jnp.invert(v.data)
             return Val(v.type, data)
         raise GlslError(f"unsupported unary '{e.op}'", e.line)
 
@@ -1246,9 +1271,10 @@ class Interp:
                 if "float" in (a.type, b.type):
                     a = self.convert(a, "float", line)
                     b = self.convert(b, "float", line)
-                else:
-                    # int/uint mix
-                    pass
+                elif {"int", "uint"} == {a.type, b.type}:
+                    # GLSL usual conversions promote the int to uint.
+                    a = self.convert(a, "uint", line)
+                    b = self.convert(b, "uint", line)
         return a, b
 
     def _arith(self, op: str, a: Val, b: Val, line: int) -> Val:
@@ -1274,8 +1300,33 @@ class Interp:
     ):
         is_int = elem in ("int", "uint")
         static = is_static(x) and is_static(y)
+
+        def ints(a, b):
+            """Coerce int/uint operands to the elem's 32-bit dtype so mixed
+            static/traced math wraps like the GPU instead of overflowing in
+            weak-type promotion (big uint literals exceed int32)."""
+            dt = jnp.uint32 if elem == "uint" else jnp.int32
+
+            def coerce(v):
+                if is_static(v):
+                    # Route through numpy: jnp.asarray would coerce the bare
+                    # Python int to int32 first and overflow on uints.
+                    return jnp.asarray(
+                        _np.asarray(self._wrap_static_int(v, elem), dtype=dt)
+                    )
+                return jnp.asarray(v).astype(dt)
+
+            return coerce(a), coerce(b)
+
         if op == "+":
-            data = x + y
+            if is_int:
+                if static:
+                    data = self._wrap_static_int(x + y, elem)
+                else:
+                    xa, ya = ints(x, y)
+                    data = xa + ya
+            else:
+                data = x + y
             origin = None
             if ox is not None and is_static(y):
                 origin = Origin(ox.axis, ox.offset + int(y), False)
@@ -1283,19 +1334,33 @@ class Interp:
                 origin = Origin(oy.axis, oy.offset + int(x), False)
             return data, origin
         if op == "-":
-            data = x - y
+            if is_int:
+                if static:
+                    data = self._wrap_static_int(x - y, elem)
+                else:
+                    xa, ya = ints(x, y)
+                    data = xa - ya
+            else:
+                data = x - y
             origin = None
             if ox is not None and is_static(y):
                 origin = Origin(ox.axis, ox.offset - int(y), False)
             return data, origin
         if op == "*":
+            if is_int:
+                if static:
+                    return self._wrap_static_int(x * y, elem), None
+                xa, ya = ints(x, y)
+                return xa * ya, None
             return x * y, None
         if op == "/":
             if is_int:
                 if static:
+                    x = self._wrap_static_int(x, elem)
+                    y = self._wrap_static_int(y, elem)
                     q = abs(x) // abs(y) if y != 0 else 0
                     return (q if (x >= 0) == (y >= 0) else -q), None
-                xa, ya = self._as_i32(x), self._as_i32(y)
+                xa, ya = ints(x, y)
                 return jax.lax.div(xa, ya), None
             if static:
                 return (x / y if y != 0 else 0.0), None
@@ -1303,11 +1368,13 @@ class Interp:
         if op == "%":
             if is_int:
                 if static:
+                    x = self._wrap_static_int(x, elem)
+                    y = self._wrap_static_int(y, elem)
                     if y == 0:
                         return 0, None
                     r = abs(x) % abs(y)
                     return (r if x >= 0 else -r), None
-                xa, ya = self._as_i32(x), self._as_i32(y)
+                xa, ya = ints(x, y)
                 return jax.lax.rem(xa, ya), None
             raise GlslError("'%' on floats: use mod()", line)
         if op in ("&", "|", "^", "<<", ">>"):
@@ -1317,9 +1384,22 @@ class Interp:
 
             fn = {"&": _op.and_, "|": _op.or_, "^": _op.xor,
                   "<<": _op.lshift, ">>": _op.rshift}[op]
+            if elem == "bool":
+                if static:
+                    return fn(bool(x), bool(y)), None
+                return fn(jnp.asarray(x, jnp.bool_), jnp.asarray(y, jnp.bool_)), None
             if static:
-                return fn(x, y), None
-            return fn(self._as_i32(x), self._as_i32(y)), None
+                return self._wrap_static_int(
+                    fn(self._wrap_static_int(x, elem),
+                       self._wrap_static_int(y, elem) if op not in ("<<", ">>")
+                       else int(y)),
+                    elem,
+                ), None
+            xa, ya = ints(x, y)
+            if op in ("<<", ">>"):
+                # jnp shifts require matching dtypes; counts are small.
+                ya = ya.astype(xa.dtype)
+            return fn(xa, ya), None
         raise GlslError(f"unsupported operator '{op}'", line)
 
     def _as_i32(self, x):
@@ -1379,13 +1459,17 @@ class Interp:
             if to_t == "float":
                 return float(x)
             if to_t in ("int", "uint"):
-                return int(x)
+                # C-style truncation then 32-bit wrap (int(-1) -> uint is
+                # 4294967295, matching every GPU).
+                return self._wrap_static_int(int(x), to_t)
             if to_t == "bool":
                 return bool(x)
         if to_t == "float":
             return jnp.asarray(x).astype(jnp.float32)
-        if to_t in ("int", "uint"):
+        if to_t == "int":
             return jnp.asarray(x).astype(jnp.int32)
+        if to_t == "uint":
+            return jnp.asarray(x).astype(jnp.uint32)
         if to_t == "bool":
             return jnp.asarray(x).astype(jnp.bool_)
         raise AssertionError(to_t)

@@ -531,7 +531,8 @@ class Parser:
                     value = int(text, 10)
             except ValueError:
                 raise GlslError(f"invalid integer literal '{t.text}'", t.line)
-            return ast.Num(value, False, t.line)
+            return ast.Num(value, False, t.line,
+                           is_uint=t.text[-1] in "uU")
         if t.kind == "float":
             self.next()
             return ast.Num(float(t.text.rstrip("fF")), True, t.line)

@@ -1082,3 +1082,53 @@ class TestJaxprStructure:
             imageStore(output_image, pos, c);
         """)
         assert "gather" in txt
+
+
+class TestUintSemantics:
+    """32-bit unsigned semantics: literals above 2^31, wraparound math,
+    int<->uint reinterpretation — the PCG-hash idiom every noise shader
+    uses (the reference compiles these natively via shaderc)."""
+
+    def test_pcg_hash(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            uint h = uint(pos.x) * 747796405u + 2891336453u;
+            h = ((h >> ((h >> 28u) + 4u)) ^ h) * 277803737u;
+            h = (h >> 22u) ^ h;
+            imageStore(output_image, pos, vec4(float(h & 255u) / 255.0));
+        """, h=2, w=16)
+        x = np.arange(16, dtype=np.uint32)
+        h = x * np.uint32(747796405) + np.uint32(2891336453)
+        h = ((h >> ((h >> np.uint32(28)) + np.uint32(4))) ^ h) * np.uint32(277803737)
+        h = (h >> np.uint32(22)) ^ h
+        np.testing.assert_allclose(
+            np.asarray(out)[0, 0, :], (h & 255) / 255.0, atol=1e-6
+        )
+
+    def test_wraparound_and_reinterpret(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            uint wrap = 4294967295u + 2u;    // 1
+            int neg = int(3000000000u);      // -1294967296
+            uint back = uint(-1);            // 4294967295
+            imageStore(output_image, pos, vec4(
+                float(wrap) / 2.0,
+                float(neg < 0),
+                float(back == 4294967295u),
+                1.0));
+        """, h=4, w=4)
+        o = np.asarray(out)
+        np.testing.assert_allclose(o[0], 0.5, atol=1e-6)
+        np.testing.assert_allclose(o[1], 1.0, atol=1e-6)
+        np.testing.assert_allclose(o[2], 1.0, atol=1e-6)
+
+    def test_int_uint_mix_promotes(self):
+        # GLSL usual conversions: int op uint -> uint.
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            int a = -1;
+            uint b = 2u;
+            imageStore(output_image, pos,
+                       vec4(float((a + b) == 1u), 0.0, 0.0, 1.0));
+        """, h=4, w=4)
+        np.testing.assert_allclose(np.asarray(out)[0], 1.0, atol=1e-6)
