@@ -188,6 +188,10 @@ int rf_encode(const char *path, const uint8_t *rgba, int w, int h, char *err,
   } else {
     ctx->pix_fmt = AV_PIX_FMT_RGBA;
     ctx->compression_level = 9;  // max compression, reference parity
+    // Interlaced (Adam7) PNG, matching the reference encoder
+    // (imagefileio.rs:239-241: AV_CODEC_FLAG_INTERLACED_DCT selects
+    // interlacing in libav's pngenc.c).
+    ctx->flags |= AV_CODEC_FLAG_INTERLACED_DCT;
   }
 
   int ret = avcodec_open2(ctx, enc, nullptr);
