@@ -264,6 +264,40 @@ class TestAsyncReload:
         out2 = np.asarray(eng.render_frame_blocking(0.0))
         np.testing.assert_array_equal(out1, out2)
 
+    def test_rapid_edits_settle_on_last(self, tmp_path):
+        # Five edits fired faster than compiles can finish (including one
+        # broken intermediate) must never crash the frame loop and must
+        # settle on the LAST config (generation counter discards stale
+        # builds).
+        eng, cfg = make_engine(
+            tmp_path, "input -> invert -> output", async_compile=True
+        )
+        eng.render_frame_blocking(0.0)
+        edits = [
+            "input -> passthrough -> output",
+            "input -> gs -> output\ngs: gaussian { sigma: 1.0 }",
+            "broken @@@ config",
+            "input -> invert -> output",
+            "input -> gamma -> output\ngamma: gamma { value: 2.0 }",
+        ]
+        mt = utils.get_modified_time(cfg)
+        for text in edits:
+            write(cfg, text, bump_from=mt)
+            mt = utils.get_modified_time(cfg)
+            eng.trigger_reloads()
+            eng.render_frame_blocking(0.0)
+            time.sleep(0.05)
+        ref = np.asarray(eng._input_planar)
+        deadline = time.time() + 90
+        settled = False
+        while time.time() < deadline and not settled:
+            eng.trigger_reloads()
+            out = np.asarray(eng.render_frame_blocking(0.0))
+            settled = np.allclose(out[:3], ref[:3] ** 0.5, atol=1e-5)
+            time.sleep(0.02)
+        assert settled, "last edit (gamma) never became the rendered program"
+        assert "gamma" in eng.config.graph_pipelines
+
 
 class TestBatchMode:
     def test_batch_directory(self, tmp_path):
