@@ -141,6 +141,66 @@ def test_shader_goldens():
         assert diff.max() <= 1, f"shader golden mismatch: {stem} (max {diff.max()})"
 
 
+# ---- per-builtin-kernel goldens -----------------------------------------
+# One golden per builtin library kernel at default parameters; pins every
+# kernel against refactors (the numeric tests check the math, these catch
+# any drift at all).
+
+
+def builtin_names():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from reforge_tpu.kernels import builtin_kernels
+
+    names = []
+    for name, spec in sorted(builtin_kernels().items()):
+        if spec.ssbos_in or spec.ssbos_out:
+            continue  # SSBO wiring covered by the equalize pipeline golden
+        names.append(name)
+    return names
+
+
+def render_builtin(name: str) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from reforge_tpu.io import decode_image_to_planar, encode_planar_to_image
+    from reforge_tpu.kernels import builtin_kernels
+    from reforge_tpu.kernels.base import KernelContext
+
+    spec = builtin_kernels()[name]
+    rng = np.random.default_rng(11)
+    rgba = rng.integers(0, 256, (48, 48, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    planar = decode_image_to_planar(jnp.asarray(rgba))
+    ctx = KernelContext(width=48, height=48, time=0.3)
+    images = {n: planar for n in spec.images_in}
+    out = spec(ctx, images, spec.resolve_params({}))
+    key = spec.images_out[0] if spec.images_out else "output_image"
+    return np.asarray(encode_planar_to_image(out[key]))
+
+
+def test_builtin_kernel_goldens():
+    from PIL import Image
+
+    names = builtin_names()
+    assert len(names) >= 40, f"builtin sweep shrank: {len(names)}"
+    missing = [
+        n for n in names
+        if not os.path.exists(os.path.join(GOLDEN_DIR, f"kernel_{n}.png"))
+    ]
+    assert not missing, f"missing kernel goldens {missing}; run --regen"
+    for name in names:
+        got = render_builtin(name)
+        want = np.asarray(
+            Image.open(os.path.join(GOLDEN_DIR, f"kernel_{name}.png")).convert("RGBA")
+        )
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, (
+            f"kernel golden mismatch: {name} (max {diff.max()})"
+        )
+
+
 if __name__ == "__main__":
     if "--regen" in sys.argv:
         import jax
@@ -155,6 +215,10 @@ if __name__ == "__main__":
         for stem, path in shader_names():
             gpath = os.path.join(GOLDEN_DIR, f"shader_{stem}.png")
             Image.fromarray(render_shader(path), "RGBA").save(gpath)
+            print(f"wrote {gpath}")
+        for name in builtin_names():
+            gpath = os.path.join(GOLDEN_DIR, f"kernel_{name}.png")
+            Image.fromarray(render_builtin(name), "RGBA").save(gpath)
             print(f"wrote {gpath}")
     else:
         print("use --regen to regenerate goldens")
