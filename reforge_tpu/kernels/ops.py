@@ -103,23 +103,58 @@ def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
     return conv1d(conv1d(x, wh, AXIS_H), ww, AXIS_W)
 
 
+def apply_stencil(x: jnp.ndarray, rh: int, rw: int, fn, temps: int = 4,
+                  mode: str = "edge") -> jnp.ndarray:
+    """Evaluate a per-pixel neighborhood function over (C, H, W).
+
+    ``fn(tap)`` receives ``tap(dy, dx)`` returning the neighbor shifted by
+    ``(dy - rh, dx - rw)`` and must be elementwise in the array it returns
+    (same spatial shape as a tap).  On TPU the whole function runs as one
+    Pallas pass per channel — a single HBM read + write regardless of how
+    many taps or compare-exchanges fn uses; elsewhere taps become shifted
+    slices of one padded array and XLA fuses.  ``temps`` sizes the VMEM
+    model for fn's live intermediates (e.g. 9 for a median-of-9 network)."""
+    if x.ndim == 3 and (rh or rw) and _use_pallas():
+        from . import pallas_ops
+
+        out = pallas_ops.stencil_apply(x, rh, rw, fn, mode=mode, temps=temps)
+        if out is not None:
+            return out
+    pad_mode = "edge" if mode == "edge" else "constant"
+    pad = [(0, 0)] * (x.ndim - 2) + [(rh, rh), (rw, rw)]
+    xp = jnp.pad(x, pad, mode=pad_mode)
+    h, w = x.shape[AXIS_H], x.shape[AXIS_W]
+
+    def tap(dy: int, dx: int):
+        start = (0,) * (x.ndim - 2) + (dy, dx)
+        size = x.shape[: x.ndim - 2] + (h, w)
+        return jax.lax.dynamic_slice(xp, start, size)
+
+    return fn(tap)
+
+
 def conv2d(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
-    """Small dense 2-D correlation (static odd-sized kernel, edge clamp)."""
+    """Small dense 2-D correlation (static odd-sized kernel, edge clamp).
+
+    On TPU, 3-D images run as one Pallas stencil pass (single HBM
+    read + write); elsewhere the jnp shifted-add path fuses under XLA."""
     taps = np.asarray(taps, dtype=np.float32)
     rh, rw = taps.shape[0] // 2, taps.shape[1] // 2
-    xp = pad_edge(x, rh, rw)
-    h, w = x.shape[AXIS_H], x.shape[AXIS_W]
-    acc = None
-    for dy in range(taps.shape[0]):
-        for dx in range(taps.shape[1]):
-            wgt = float(taps[dy, dx])
-            if wgt == 0.0:
-                continue
-            tap = jax.lax.dynamic_slice(
-                xp, (0, dy, dx), (x.shape[0], h, w)
-            )
-            acc = tap * wgt if acc is None else acc + tap * wgt
-    return acc if acc is not None else jnp.zeros_like(x)
+    if rh == 0 and rw == 0:
+        return x * float(taps[0, 0])
+
+    def weighted_sum(tap):
+        acc = None
+        for dy in range(taps.shape[0]):
+            for dx in range(taps.shape[1]):
+                wgt = float(taps[dy, dx])
+                if wgt == 0.0:
+                    continue
+                t = tap(dy, dx) * wgt
+                acc = t if acc is None else acc + t
+        return acc if acc is not None else tap(rh, rw) * 0.0
+
+    return apply_stencil(x, rh, rw, weighted_sum, temps=3)
 
 
 def gaussian_weights(sigma: float, radius: int | None = None) -> np.ndarray:

@@ -505,6 +505,121 @@ def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
     return None
 
 
+def _stencil_kernel(
+    x_hbm, o_ref, scratch, sems, *, fn, tile_h: int, out_w: int,
+    n_tiles: int, strip_rows: int,
+):
+    """Generic per-channel stencil: DMA one (strip_rows, w_total) strip into
+    VMEM (double buffered) and evaluate ``fn`` over lazily sliced neighbor
+    views.  ``fn(tap)`` receives ``tap(dy, dx) -> (tile_h, out_w)`` (dy/dx
+    are 0-based offsets into the halo'd strip) and returns the output tile —
+    any jnp-expressible per-pixel function of the neighborhood (weighted
+    sums, sorting networks, morphology) runs with ONE HBM read + write."""
+    ci = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def strip_dma(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        strip_dma(i, slot).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        strip_dma(i + 1, other).start()
+
+    strip_dma(i, slot).wait()
+
+    def tap(dy: int, dx: int):
+        return scratch[slot, dy : dy + tile_h, dx : dx + out_w]
+
+    o_ref[0, :, :] = fn(tap)
+
+
+def stencil_tile_h(w: int, rh: int, rw: int, temps: int = 4,
+                   itemsize: int = 4) -> int | None:
+    """VMEM model for stencil_apply: double-buffered strips + output blocks
+    + ``temps`` live (tile_h, w) temporaries inside fn + one rotation
+    temporary per off-center lane column (Mosaic materializes a rotated
+    copy for each distinct dx != rw slice offset)."""
+    w_total = _round_up(w + 2 * rw, 128)
+    lane_temps = 2 * rw  # distinct non-center lane offsets
+    for tile_h in (128, 64, 32):
+        strip_rows = _round_up(tile_h + 2 * rh, 8)
+        use = (
+            2 * strip_rows * w_total * itemsize
+            + 2 * tile_h * w * itemsize
+            + (temps + lane_temps) * tile_h * w * itemsize
+        )
+        if use < 13 * 1024 * 1024:
+            return tile_h
+    return None
+
+
+def stencil_apply(
+    x: jnp.ndarray,
+    rh: int,
+    rw: int,
+    fn,
+    mode: str = "edge",
+    tile_h: int | None = None,
+    temps: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Apply a per-pixel neighborhood function as one fused Pallas pass.
+
+    ``fn(tap)`` sees ``tap(dy, dx)`` neighbor views (0-based into the
+    halo'd strip; the center is ``tap(rh, rw)``) of ONE channel and returns
+    the channel's output tile.  Falls back to the caller's jnp path when
+    the working set exceeds VMEM (returns None)."""
+    c, h, w = x.shape
+    if tile_h is None:
+        tile_h = stencil_tile_h(w, rh, rw, temps, x.dtype.itemsize)
+    if tile_h is None:
+        return None
+    pad_mode = "edge" if mode == "edge" else "constant"
+    h_pad = _round_up(h, tile_h)
+    sub = 16 if x.dtype.itemsize == 2 else 8
+    strip_rows = _round_up(tile_h + 2 * rh, sub)
+    row_slack = strip_rows - (tile_h + 2 * rh)
+    w_total = _round_up(w + 2 * rw, 128)
+    xp = jnp.pad(
+        x,
+        ((0, 0), (rh, rh + (h_pad - h) + row_slack), (rw, w_total - w - rw)),
+        mode=pad_mode,
+    )
+    n_tiles = h_pad // tile_h
+    out = pl.pallas_call(
+        functools.partial(
+            _stencil_kernel,
+            fn=fn,
+            tile_h=tile_h,
+            out_w=w,
+            n_tiles=n_tiles,
+            strip_rows=strip_rows,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
+        grid=(c, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip_rows, w_total), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:, :h, :]
+
+
 def mxu_tile_h(w: int, rh: int, rw: int, itemsize: int = 4) -> int | None:
     """Largest tile_h whose MXU-variant VMEM footprint fits, or None.
 

@@ -147,3 +147,71 @@ class TestMxuVariant:
         assert pallas_ops.mxu_tile_h(3840, 12, 12, itemsize=2) == 128
         assert pallas_ops.mxu_tile_h(200, 150, 3) is not None
         assert pallas_ops.mxu_tile_h(3840, 12, 200) is None  # rw > 128
+
+
+class TestStencilEngine:
+    """Generic stencil engine (stencil_apply): arbitrary per-pixel
+    neighborhood functions in one fused pass."""
+
+    def test_weighted_sum_matches_conv2d_jnp(self):
+        import os
+
+        x = rand(h=50, w=90, seed=9)
+        taps = np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], np.float32)
+
+        def wsum(tap):
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    w = float(taps[dy, dx])
+                    if w == 0.0:
+                        continue
+                    t = tap(dy, dx) * w
+                    acc = t if acc is None else acc + t
+            return acc
+
+        got = pallas_ops.stencil_apply(x, 1, 1, wsum, interpret=True)
+        os.environ["REFORGE_NO_PALLAS"] = "1"
+        try:
+            want = ops.conv2d(x, taps)
+        finally:
+            del os.environ["REFORGE_NO_PALLAS"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_median_network_matches_numpy(self):
+        x = rand(c=1, h=30, w=40, seed=10)
+
+        def med9(tap):
+            v = [tap(dy, dx) for dy in range(3) for dx in range(3)]
+            pairs = [
+                (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+                (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
+                (2, 5), (4, 7), (4, 2), (6, 4), (4, 2),
+            ]
+            for i, j in pairs:
+                v[i], v[j] = jnp.minimum(v[i], v[j]), jnp.maximum(v[i], v[j])
+            return v[4]
+
+        got = np.asarray(pallas_ops.stencil_apply(x, 1, 1, med9, interpret=True))
+        xp = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1)), mode="edge")
+        stack = np.stack([
+            xp[:, dy:dy + 30, dx:dx + 40] for dy in range(3) for dx in range(3)
+        ])
+        want = np.median(stack, axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_zero_mode(self):
+        x = rand(c=1, h=20, w=30, seed=11)
+        got = np.asarray(pallas_ops.stencil_apply(
+            x, 1, 1, lambda tap: tap(0, 1), mode="zero", interpret=True
+        ))
+        # tap(0, 1)[y, x] = x[y - 1, x]: the row above, zero at the top edge.
+        want = np.zeros_like(np.asarray(x))
+        want[:, 1:, :] = np.asarray(x)[:, :-1, :]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_tile_model_bounds(self):
+        assert pallas_ops.stencil_tile_h(3840, 1, 1, temps=3) in (128, 64, 32)
+        assert pallas_ops.stencil_tile_h(1920, 1, 1, temps=3) == 128
+        # Pathological temp pressure falls back to the jnp path.
+        assert pallas_ops.stencil_tile_h(3840, 1, 1, temps=200) is None
