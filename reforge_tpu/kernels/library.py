@@ -17,6 +17,7 @@ selected at graph-compile time on TPU backends.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -504,25 +505,56 @@ def bilateral(ctx, input_image, *, radius=3, sigma_space=2.0, sigma_range=0.15):
     ss = max(float(sigma_space), 1e-3)
     sr = max(float(sigma_range), 1e-3)
     x = input_image
-    y0 = luma(x)
-    xp = ops.pad_edge(x, r, r)
-    yp = ops.pad_edge(y0[None], r, r)[0]
-    h, w = x.shape[AXIS_H], x.shape[AXIS_W]
-    acc = jnp.zeros_like(x[:3])
-    norm = jnp.zeros_like(y0)
+    y0_full = luma(x)
     inv2ss = 1.0 / (2.0 * ss * ss)
     inv2sr = 1.0 / (2.0 * sr * sr)
+
+    taps_list = []
+    spatial = {}
     for dy in range(2 * r + 1):
         for dx in range(2 * r + 1):
             ws = math.exp(-((dy - r) ** 2 + (dx - r) ** 2) * inv2ss)
-            if ws < 1e-4:
-                continue
-            n = xp[:3, dy : dy + h, dx : dx + w]
-            ny = yp[dy : dy + h, dx : dx + w]
-            wr = jnp.exp(-((ny - y0) ** 2) * inv2sr) * ws
-            acc = acc + n * wr
-            norm = norm + wr
-    return ops.with_alpha(acc / norm[None], x[3])
+            if ws >= 1e-4:
+                taps_list.append((dy, dx))
+                spatial[(dy, dx)] = ws
+
+    def tap_fn(tap, center, dy, dx):
+        # Channels: r, g, b, luma.  The accumulator carries weighted rgb
+        # plus the weight sum; the range weight is luma similarity to the
+        # center scaled by the spatial gaussian.
+        n = tap(dy, dx)
+        wr = jnp.exp(-((n[3] - center[3]) ** 2) * inv2sr) * spatial[(dy, dx)]
+        return jnp.concatenate([n[:3] * wr, wr[None]], axis=0)
+
+    def final_fn(acc):
+        return acc[:3] / acc[3]
+
+    stacked = jnp.concatenate([x[:3], y0_full[None]], axis=0)
+    rgb = None
+    if not os.environ.get("REFORGE_NO_PALLAS"):
+        from . import pallas_ops
+
+        if pallas_ops.pallas_available():
+            rgb = pallas_ops.stencil_reduce_mc(
+                stacked, r, r, taps_list, tap_fn, final_fn,
+                out_channels=3, acc_channels=4,
+            )
+    if rgb is None:
+        # Portable path: the same taps over shifted slices of one padded
+        # array; XLA fuses the chain.
+        h, w = x.shape[AXIS_H], x.shape[AXIS_W]
+        sp = ops.pad_edge(stacked, r, r)
+
+        def tap(dy, dx):
+            return jax.lax.dynamic_slice(sp, (0, dy, dx), (4, h, w))
+
+        center = tap(r, r)
+        acc = None
+        for dy, dx in taps_list:
+            t = tap_fn(tap, center, dy, dx)
+            acc = t if acc is None else acc + t
+        rgb = final_fn(acc)
+    return ops.with_alpha(rgb, x[3])
 
 
 @kernel("halftone", halo=lambda p: None)

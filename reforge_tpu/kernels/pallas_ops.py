@@ -620,6 +620,268 @@ def stencil_apply(
     return out[:, :h, :]
 
 
+def _stencil_kernel_mc(
+    x_hbm, o_ref, scratch, sems, *, fn, tile_h: int, out_w: int,
+    n_tiles: int, strip_rows: int,
+):
+    """Multi-channel stencil: the strip carries ALL channels so ``fn`` can
+    combine them (e.g. bilateral range weights from a luma channel applied
+    to rgb).  ``tap(dy, dx) -> (C_in, tile_h, out_w)``; fn returns
+    (C_out, tile_h, out_w)."""
+    i = pl.program_id(0)
+
+    def strip_dma(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(step * tile_h, strip_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        strip_dma(i, slot).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        strip_dma(i + 1, other).start()
+
+    strip_dma(i, slot).wait()
+
+    def tap(dy: int, dx: int):
+        return scratch[slot, :, dy : dy + tile_h, dx : dx + out_w]
+
+    o_ref[:, :, :] = fn(tap)
+
+
+def stencil_mc_tile_h(w: int, rh: int, rw: int, c_in: int, c_out: int,
+                      temps: int = 8, itemsize: int = 4) -> int | None:
+    """VMEM model for the multi-channel stencil: all channels ride in each
+    strip, and lane-rotation temporaries are charged per channel."""
+    w_total = _round_up(w + 2 * rw, 128)
+    lane_temps = 2 * rw * c_in
+    for tile_h in (64, 32, 16, 8):
+        strip_rows = _round_up(tile_h + 2 * rh, 8)
+        use = (
+            2 * c_in * strip_rows * w_total * itemsize
+            + 2 * c_out * tile_h * w * itemsize
+            + (temps + lane_temps) * tile_h * w * itemsize
+        )
+        if use < 13 * 1024 * 1024:
+            return tile_h
+    return None
+
+
+def stencil_apply_mc(
+    x: jnp.ndarray,
+    rh: int,
+    rw: int,
+    fn,
+    out_channels: int,
+    mode: str = "edge",
+    tile_h: int | None = None,
+    temps: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray | None:
+    """Cross-channel variant of stencil_apply (see _stencil_kernel_mc).
+
+    Returns None when the working set exceeds VMEM; callers keep their jnp
+    formulation as the fallback."""
+    c, h, w = x.shape
+    if tile_h is None:
+        tile_h = stencil_mc_tile_h(w, rh, rw, c, out_channels, temps,
+                                   x.dtype.itemsize)
+    if tile_h is None:
+        return None
+    pad_mode = "edge" if mode == "edge" else "constant"
+    h_pad = _round_up(h, tile_h)
+    sub = 16 if x.dtype.itemsize == 2 else 8
+    strip_rows = _round_up(tile_h + 2 * rh, sub)
+    row_slack = strip_rows - (tile_h + 2 * rh)
+    w_total = _round_up(w + 2 * rw, 128)
+    xp = jnp.pad(
+        x,
+        ((0, 0), (rh, rh + (h_pad - h) + row_slack), (rw, w_total - w - rw)),
+        mode=pad_mode,
+    )
+    n_tiles = h_pad // tile_h
+    out = pl.pallas_call(
+        functools.partial(
+            _stencil_kernel_mc,
+            fn=fn,
+            tile_h=tile_h,
+            out_w=w,
+            n_tiles=n_tiles,
+            strip_rows=strip_rows,
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_channels, h_pad, w), x.dtype),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((out_channels, tile_h, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, strip_rows, w_total), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:, :h, :]
+
+
+def _stencil_reduce_kernel_mc(
+    x_hbm, o_ref, scratch, acc, sems, *, taps_list, tap_fn, final_fn,
+    tile_h: int, tile_w: int, n_tiles: int, strip_rows: int,
+    rh: int, rw: int,
+):
+    """Reduction-form multi-channel stencil over (row, lane) tiles.
+
+    Per-tap contributions add statement-wise into a VMEM accumulator so
+    each tap's temporaries die before the next is built; tiling BOTH axes
+    keeps every temporary at (C, tile_h, tile_w) — at full 4K width the
+    Mosaic stack-allocates EVERY distinct lane-offset window copy up
+    front (no slot reuse across taps: 49 windows x 4 channels was 23-33 MB
+    at wider tiles), so tiles are sized to fit all windows at once.  The
+    strip
+    carries a full 128-lane halo on each side so the DMA window stays
+    lane-tile aligned for any radius <= 128."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    step = i * nj + j
+
+    def strip_dma(s_idx, slot):
+        si = s_idx // nj
+        sj = s_idx % nj
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(si * tile_h, strip_rows),
+                     pl.ds(sj * tile_w, tile_w + 256)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(step, 2)
+    other = 1 - slot
+
+    @pl.when(step == 0)
+    def _():
+        strip_dma(step, slot).start()
+
+    @pl.when(step + 1 < n_tiles)
+    def _():
+        strip_dma(step + 1, other).start()
+
+    strip_dma(step, slot).wait()
+
+    base = 128 - rw
+
+    def tap(dy: int, dx: int):
+        return scratch[slot, :, dy : dy + tile_h,
+                       base + dx : base + dx + tile_w]
+
+    center = tap(rh, rw)  # sliced once; every tap's weight reads it
+    for k, (dy, dx) in enumerate(taps_list):
+        if k == 0:
+            acc[:, :, :] = tap_fn(tap, center, dy, dx)
+        else:
+            acc[:, :, :] += tap_fn(tap, center, dy, dx)
+    o_ref[:, :, :] = final_fn(acc[:, :, :])
+
+
+def stencil_reduce_mc(
+    x: jnp.ndarray,
+    rh: int,
+    rw: int,
+    taps_list: list,
+    tap_fn,
+    final_fn,
+    out_channels: int,
+    acc_channels: int,
+    mode: str = "edge",
+    tile_h: int | None = None,
+    tile_w: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray | None:
+    """Windowed reduction over all channels in one fused pass.
+
+    ``tap_fn(tap, center, dy, dx)`` returns this tap's
+    (acc_channels, th, tw) contribution (``center`` is the pre-sliced
+    ``tap(rh, rw)``); contributions sum statement-wise in VMEM;
+    ``final_fn(acc)`` maps the accumulator to the (out_channels, th, tw)
+    output.  Requires rw <= 128 (one lane tile of halo each side);
+    returns None otherwise."""
+    c, h, w = x.shape
+    if rw > 128:
+        return None
+    if tile_h is None or tile_w is None:
+        # Mosaic stack-allocates one window copy per tap per channel, so
+        # the tile must shrink as the window grows: pick the largest tile
+        # whose tap windows + strips + accumulator fit the scoped budget.
+        itemsize = x.dtype.itemsize
+        chosen = None
+        for th, tw in ((32, 256), (16, 256), (8, 256), (8, 128)):
+            if rh > th:
+                continue
+            strip_rows = _round_up(th + 2 * rh, 8)
+            use = (
+                len(taps_list) * c * th * tw * itemsize   # tap windows
+                + 2 * c * strip_rows * (tw + 256) * itemsize
+                + (acc_channels + 2 * out_channels + 6) * th * tw * itemsize
+            )
+            if use < 13 * 1024 * 1024:
+                chosen = (th, tw)
+                break
+        if chosen is None:
+            return None
+        tile_h, tile_w = chosen
+    if rh > tile_h:
+        return None
+    pad_mode = "edge" if mode == "edge" else "constant"
+    h_pad = _round_up(h, tile_h)
+    w_pad = _round_up(w, tile_w)
+    sub = 16 if x.dtype.itemsize == 2 else 8
+    strip_rows = _round_up(tile_h + 2 * rh, sub)
+    row_slack = strip_rows - (tile_h + 2 * rh)
+    # One full lane tile of halo each side keeps every DMA window aligned.
+    xp = jnp.pad(
+        x,
+        ((0, 0), (rh, rh + (h_pad - h) + row_slack),
+         (128, 128 + (w_pad - w))),
+        mode=pad_mode,
+    )
+    ni = h_pad // tile_h
+    nj = w_pad // tile_w
+    out = pl.pallas_call(
+        functools.partial(
+            _stencil_reduce_kernel_mc,
+            taps_list=list(taps_list),
+            tap_fn=tap_fn,
+            final_fn=final_fn,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            n_tiles=ni * nj,
+            strip_rows=strip_rows,
+            rh=rh,
+            rw=rw,
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_channels, h_pad, w_pad), x.dtype),
+        grid=(ni, nj),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (out_channels, tile_h, tile_w), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, strip_rows, tile_w + 256), x.dtype),
+            pltpu.VMEM((acc_channels, tile_h, tile_w), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:, :h, :w]
+
+
 def mxu_tile_h(w: int, rh: int, rw: int, itemsize: int = 4) -> int | None:
     """Largest tile_h whose MXU-variant VMEM footprint fits, or None.
 
