@@ -146,6 +146,50 @@ def _length(interp: Interp, args: list[Val], line: int) -> Val:
     return Val("float", math.sqrt(d.data) if is_static(d.data) else jnp.sqrt(d.data))
 
 
+def _screen_derivative(interp: Interp, v: Val, axis: int) -> Val:
+    """Forward difference along screen x (axis=1, lanes) or y (axis=0,
+    sublanes), edge-clamped — the whole-image analog of the GPU's 2x2-quad
+    dFdx/dFdy (which are likewise neighbor differences, just quad-aligned).
+    Derivatives of uniforms are exactly zero."""
+
+    # The row direction is the sharded axis: register a 1-row halo so
+    # spatial sharding exchanges the boundary row (lane-direction
+    # differences never cross shards).
+    interp.stats["max_shift"] = max(interp.stats.get("max_shift", 0), 1)
+    interp.stats["edge_shift"] = True
+
+    def d(comp):
+        if is_static(comp):
+            return 0.0
+        a = interp._as_array(comp, "float")
+        if axis == 1:
+            nxt = jnp.pad(a[:, 1:], ((0, 0), (0, 1)), mode="edge")
+        else:
+            nxt = jnp.pad(a[1:, :], ((0, 1), (0, 0)), mode="edge")
+        return nxt - a
+
+    if v.is_vector():
+        return Val(f"vec{v.size}", [d(c) for c in v.data])
+    return Val("float", d(v.data))
+
+
+def _dfdx(interp: Interp, args: list[Val], line: int) -> Val:
+    (v,) = args
+    return _screen_derivative(interp, v, 1)
+
+
+def _dfdy(interp: Interp, args: list[Val], line: int) -> Val:
+    (v,) = args
+    return _screen_derivative(interp, v, 0)
+
+
+def _fwidth(interp: Interp, args: list[Val], line: int) -> Val:
+    (v,) = args
+    ax = _map1(interp, _dfdx(interp, [v], line), abs, jnp.abs)
+    ay = _map1(interp, _dfdy(interp, [v], line), abs, jnp.abs)
+    return interp._arith("+", ax, ay, line)
+
+
 def _distance(interp: Interp, args: list[Val], line: int) -> Val:
     a, b = args
     diff = interp._arith("-", a, b, line)
@@ -297,6 +341,9 @@ BUILTIN_FUNCS: dict[str, Callable[[Interp, list, int], Val]] = {
     "degrees": _simple(math.degrees, jnp.degrees),
     "dot": _dot,
     "length": _length,
+    "dFdx": _dfdx,
+    "dFdy": _dfdy,
+    "fwidth": _fwidth,
     "distance": _distance,
     "normalize": _normalize,
     "cross": _cross,

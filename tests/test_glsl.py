@@ -1132,3 +1132,50 @@ class TestUintSemantics:
                        vec4(float((a + b) == 1u), 0.0, 0.0, 1.0));
         """, h=4, w=4)
         np.testing.assert_allclose(np.asarray(out)[0], 1.0, atol=1e-6)
+
+
+class TestScreenDerivatives:
+    """dFdx/dFdy/fwidth as whole-image forward differences (the GPU's
+    quad-based derivatives are likewise neighbor differences)."""
+
+    def test_derivatives_match_numpy(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            imageStore(output_image, pos, vec4(
+                dFdx(c.r) + 0.5, dFdy(c.r) + 0.5, fwidth(c.r), dFdx(2.0)));
+        """)
+        i = np.asarray(img)[0]
+        gx = np.pad(i[:, 1:], ((0, 0), (0, 1)), mode="edge") - i
+        gy = np.pad(i[1:, :], ((0, 1), (0, 0)), mode="edge") - i
+        o = np.asarray(out)
+        np.testing.assert_allclose(o[0], gx + 0.5, atol=1e-6)
+        np.testing.assert_allclose(o[1], gy + 0.5, atol=1e-6)
+        np.testing.assert_allclose(o[2], np.abs(gx) + np.abs(gy), atol=1e-6)
+        np.testing.assert_allclose(o[3], 0.0, atol=1e-6)  # uniform -> 0
+
+    def test_derivative_registers_halo(self):
+        src = HEADER + """
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    imageStore(output_image, pos, vec4(fwidth(c.r)));
+}
+"""
+        spec = translate_shader(src, "fw")
+        assert spec.halo_for({}) == 1  # dFdy crosses the sharded row axis
+
+    def test_vector_derivative(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            vec3 g = fwidth(c.rgb);
+            imageStore(output_image, pos, vec4(g, 1.0));
+        """)
+        i = np.asarray(img)
+        for ch in range(3):
+            gx = np.pad(i[ch][:, 1:], ((0, 0), (0, 1)), mode="edge") - i[ch]
+            gy = np.pad(i[ch][1:, :], ((0, 1), (0, 0)), mode="edge") - i[ch]
+            np.testing.assert_allclose(
+                np.asarray(out)[ch], np.abs(gx) + np.abs(gy), atol=1e-6
+            )
