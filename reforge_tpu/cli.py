@@ -59,6 +59,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Path to the kernel directory (.comp / .py files)",
     )
     p.add_argument(
+        "--batch-frames",
+        type=int,
+        default=1,
+        metavar="K",
+        help="Video mode: run K frames per device dispatch (one vmapped "
+        "program with per-frame times) — higher offline-transcode "
+        "throughput at K frames of latency",
+    )
+    p.add_argument(
         "--num-frames",
         type=int,
         default=2,
@@ -400,12 +409,62 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
 
     wt = threading.Thread(target=_writer, daemon=True)
     wt.start()
+
+    # Frame batching (--batch-frames K): K frames run as ONE vmapped
+    # dispatch with per-frame times, amortizing per-dispatch overhead —
+    # the offline-transcode analog of raising --num-frames.  K=1 keeps the
+    # latency-oriented single-frame pipeline.
+    kbatch = max(1, getattr(args, "batch_frames", 1) or 1)
+    vfwd = None
+    pending_planar: list = []
+    pending_t0 = 0
+
+    def _flush_batch():
+        nonlocal vfwd
+        if not pending_planar:
+            return
+        import jax
+
+        import jax.numpy as jnp
+
+        if vfwd is None:
+            # Unroll K forward calls inside ONE jit rather than vmap: the
+            # manual-DMA Pallas kernels (ANY memory space) reject a vmap
+            # batch dimension, and a static unroll gives XLA K independent
+            # subgraphs to schedule in a single dispatch anyway.
+            fwd = engine.program._forward
+
+            def _kfwd(batch, times):
+                import jax.numpy as _jnp
+
+                return _jnp.stack(
+                    [fwd(batch[i], times[i]) for i in range(kbatch)]
+                )
+
+            vfwd = jax.jit(_kfwd)
+        n = len(pending_planar)
+        batch = pending_planar + [pending_planar[-1]] * (kbatch - n)
+        times = jnp.asarray(
+            [(pending_t0 + i) / fps for i in range(kbatch)], jnp.float32
+        )
+        outs = vfwd(jnp.stack(batch), times)
+        for i in range(n):
+            q.put(outs[i])
+        pending_planar.clear()
+
     try:
         for rgba in frames:
             if write_errors:
                 break
-            engine.load_input(rgba)
-            q.put(engine.render_frame(t=count / fps))
+            if kbatch > 1:
+                if not pending_planar:
+                    pending_t0 = count
+                pending_planar.append(engine.decode_to_planar(rgba))
+                if len(pending_planar) == kbatch:
+                    _flush_batch()
+            else:
+                engine.load_input(rgba)
+                q.put(engine.render_frame(t=count / fps))
             count += 1
             if args.frames and count >= args.frames:
                 break
@@ -413,6 +472,8 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
                 rate = count / (_t.perf_counter() - t0)
                 sys.stderr.write(f"\rFrame {count}  ({rate:5.1f} fps)")
                 sys.stderr.flush()
+        if kbatch > 1 and not write_errors:
+            _flush_batch()
     except ImageFileError as e:
         q.put(None)
         wt.join()

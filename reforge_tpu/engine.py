@@ -197,6 +197,11 @@ class Engine:
         dev = jnp.asarray(rgba_u8)
         self._input_planar = _decode_jit(dev)
 
+    def decode_to_planar(self, rgba_u8: np.ndarray) -> jnp.ndarray:
+        """Decode one sRGB frame to a linear planar array without touching
+        the engine's current input (video frame-batching path)."""
+        return _decode_jit(jnp.asarray(rgba_u8))
+
     def _file_input(self) -> jnp.ndarray:
         if self._input_planar is not None:
             return self._input_planar

@@ -1525,8 +1525,10 @@ class Interp:
             return self._image_store(arg_exprs, scope, line)
         if name in ("imageSize", "textureSize"):
             return self._image_size(arg_exprs, scope, line)
-        if name == "texture":
-            return self._texture(arg_exprs, scope, line)
+        if name in ("texture", "textureLod"):
+            # No mip chain exists (storage images, one resolution), so the
+            # explicit-LOD variant samples level 0.
+            return self._texture(arg_exprs[:2], scope, line)
         if name == "texelFetch":
             return self._image_load(arg_exprs[:2], scope, line)
         if name == "atomicAdd":

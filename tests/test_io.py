@@ -140,3 +140,33 @@ class TestVideo:
         frames = list(VideoFrames(ImageFileDecoder(outp), 64, 48))
         assert len(frames) == 8
         assert frames[0][:, :, 0].mean() > 180  # dark input inverted bright
+
+    def test_video_batch_frames_identical(self, tmp_path):
+        # --batch-frames K runs K frames per dispatch; output must be
+        # frame-exact vs the single-frame pipeline, including the padded
+        # tail batch (8 frames at K=3 leaves a 2-frame remainder).
+        if not native_backend_available():
+            pytest.skip("native backend not built")
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import VideoEncoder, VideoFrames
+
+        inp = str(tmp_path / "in.mp4")
+        with VideoEncoder(inp, 64, 48, fps=25) as enc:
+            rng = np.random.default_rng(9)
+            for i in range(8):
+                f = rng.integers(0, 255, (48, 64, 4), np.uint8)
+                f[:, :, 3] = 255
+                enc.write(f)
+        cfg = tmp_path / "g.rf"
+        cfg.write_text("input -> invert -> output")
+        o1 = str(tmp_path / "k1.mp4")
+        o3 = str(tmp_path / "k3.mp4")
+        assert main(["-i", inp, "-o", o1, "--config", str(cfg),
+                     "--shader-path", str(tmp_path)]) == 0
+        assert main(["-i", inp, "-o", o3, "--config", str(cfg),
+                     "--shader-path", str(tmp_path), "--batch-frames", "3"]) == 0
+        f1 = list(VideoFrames(ImageFileDecoder(o1), 64, 48))
+        f3 = list(VideoFrames(ImageFileDecoder(o3), 64, 48))
+        assert len(f1) == len(f3) == 8
+        for a, b in zip(f1, f3):
+            np.testing.assert_array_equal(a, b)
