@@ -531,11 +531,10 @@ def bilateral(ctx, input_image, *, radius=3, sigma_space=2.0, sigma_range=0.15):
 
     stacked = jnp.concatenate([x[:3], y0_full[None]], axis=0)
     rgb = None
-    if not os.environ.get("REFORGE_NO_PALLAS"):
+    if ops._use_pallas():
         from . import pallas_ops
 
-        if pallas_ops.pallas_available():
-            rgb = pallas_ops.stencil_reduce_mc(
+        rgb = pallas_ops.stencil_reduce_mc(
                 stacked, r, r, taps_list, tap_fn, final_fn,
                 out_channels=3, acc_channels=4,
             )

@@ -58,10 +58,34 @@ def conv1d(x: jnp.ndarray, weights: np.ndarray, axis: int) -> jnp.ndarray:
     return acc if acc is not None else jnp.zeros_like(x)
 
 
+_pallas_suppressed = 0
+
+
+class no_pallas:
+    """Trace-scoped Pallas opt-out (re-entrant context manager).
+
+    Multi-device program wrappers trace kernels under this: a pallas_call
+    cannot take a vmap batch dimension (ANY-memory operands require a
+    trivial index_map) and GSPMD cannot partition the custom call, so
+    vmapped/auto-sharded programs must trace the portable jnp formulations
+    instead.  The flag is consulted at trace time, so wrapping the traced
+    callable is sufficient."""
+
+    def __enter__(self):
+        global _pallas_suppressed
+        _pallas_suppressed += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _pallas_suppressed
+        _pallas_suppressed -= 1
+        return False
+
+
 def _use_pallas() -> bool:
     import os
 
-    if os.environ.get("REFORGE_NO_PALLAS"):
+    if _pallas_suppressed or os.environ.get("REFORGE_NO_PALLAS"):
         return False
     from . import pallas_ops
 

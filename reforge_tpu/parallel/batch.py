@@ -32,7 +32,15 @@ class BatchProgram:
     def __init__(self, program: GraphProgram, mesh: Optional[Mesh] = None):
         self.program = program
         self.mesh = mesh
-        fwd = jax.vmap(program._forward, in_axes=(0, None))
+        def _forward_portable(x, t):
+            # A pallas_call cannot take a vmap batch dimension; trace the
+            # portable jnp kernels inside the batch map (ops.no_pallas).
+            from ..kernels import ops as _ops
+
+            with _ops.no_pallas():
+                return program._forward(x, t)
+
+        fwd = jax.vmap(_forward_portable, in_axes=(0, None))
         if mesh is not None:
             batched = NamedSharding(mesh, P(BATCH_AXIS, None, None, None))
             repl = NamedSharding(mesh, P())

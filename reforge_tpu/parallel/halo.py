@@ -96,6 +96,16 @@ class HaloShardedProgram:
 
     # Runs per device on the local slab.
     def _local_forward(self, file_input_local: jnp.ndarray, t: jnp.ndarray):
+        # Per-shard blocks are plain arrays, but the Pallas kernels are
+        # tuned (and tested) single-device; inside shard_map trace the
+        # portable jnp kernels so the multi-chip path has no untestable
+        # Mosaic dependency (ops.no_pallas; see parallel/batch.py).
+        from ..kernels import ops as _ops
+
+        with _ops.no_pallas():
+            return self._local_forward_impl(file_input_local, t)
+
+    def _local_forward_impl(self, file_input_local: jnp.ndarray, t: jnp.ndarray):
         prog = self.program
         n, h_local = self.n, self.h_local
         idx = jax.lax.axis_index(ROW_AXIS)

@@ -119,13 +119,18 @@ class PipelineStagedProgram:
         out_names = list(self._stage_outputs[s])
 
         def stage(inputs: dict, t):
+            # Stages execute on per-stage devices; trace the portable jnp
+            # kernels (ops.no_pallas; see parallel/halo.py for rationale).
+            from ..kernels import ops as _ops
+
             ctx = KernelContext(
                 width=prog.width, height=prog.height, time=t, fmt=prog.fmt
             )
             resources = dict(inputs)
-            for layer in group:
-                for node in layer:
-                    resources.update(prog._run_node(node, ctx, resources))
+            with _ops.no_pallas():
+                for layer in group:
+                    for node in layer:
+                        resources.update(prog._run_node(node, ctx, resources))
             return {name: resources[name] for name in out_names}
 
         return stage

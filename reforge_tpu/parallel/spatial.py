@@ -38,8 +38,17 @@ class ShardedProgram:
         self.mesh = mesh
         rows = row_sharding(mesh)
         repl = replicated(mesh)
+
+        def _forward_portable(x, t):
+            # GSPMD cannot partition a pallas_call custom call; trace the
+            # portable jnp kernels so XLA can shard every op (ops.no_pallas).
+            from ..kernels import ops as _ops
+
+            with _ops.no_pallas():
+                return program._forward(x, t)
+
         self._fused = jax.jit(
-            program._forward,
+            _forward_portable,
             in_shardings=(rows, repl),
             out_shardings=rows,
         )
