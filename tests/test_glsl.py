@@ -1179,3 +1179,26 @@ void main() {
             np.testing.assert_allclose(
                 np.asarray(out)[ch], np.abs(gx) + np.abs(gy), atol=1e-6
             )
+
+
+class TestCPrecedence:
+    """C operator-precedence gotchas must parse exactly as a GPU compiler
+    would (shift below additive, right-associative ternary, unary binding)."""
+
+    def test_precedence_gotchas(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            int a = 1 << 2 + 3;              // 1 << 5 = 32
+            int b = (6 + 2) % 5 * 3;         // ((8 % 5) * 3) = 9
+            int c = 2 + 3 << 1;              // (2 + 3) << 1 = 10
+            float t = true ? 0.1 : false ? 0.2 : 0.3;  // 0.1
+            int d = ~2 + 1;                  // (~2) + 1 = -2
+            int f = -3 * 2;                  // -6
+            imageStore(output_image, pos, vec4(
+                float(a == 32 && b == 9 && c == 10 && d == -2 && f == -6),
+                t, float(!false && true), 1.0));
+        """, h=4, w=4)
+        o = np.asarray(out)
+        np.testing.assert_allclose(o[0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(o[1], 0.1, atol=1e-6)
+        np.testing.assert_allclose(o[2], 1.0, atol=1e-6)
