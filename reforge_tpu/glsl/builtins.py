@@ -10,7 +10,7 @@ imageLoad emit an edge-padded shift instead of a gather (interp._shift).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 

@@ -17,7 +17,6 @@ selected at graph-compile time on TPU backends.
 from __future__ import annotations
 
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,6 @@ from .ops import (
     AXIS_H,
     AXIS_W,
     box_weights,
-    conv1d,
     conv2d,
     gaussian_blur,
     gaussian_radius,

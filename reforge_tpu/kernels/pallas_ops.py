@@ -22,7 +22,6 @@ pass — so the kernels always do "valid" convolution.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
