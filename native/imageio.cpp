@@ -263,10 +263,25 @@ int rf_encode(const char *path, const uint8_t *rgba, int w, int h, char *err,
 
 extern "C" {
 
-// Decode the NEXT frame of the stream into `out` (RGBA8 at out_w x out_h).
-// Returns 0 on success, 1 on end-of-stream, -1 on error.
-int rf_decoder_next(RfDecoder *d, uint8_t *out, int out_w, int out_h,
-                    char *err, int errlen) {
+// Seek the stream to ~`seconds` (lands on the preceding keyframe; callers
+// discard frames until the target pts for exact trims). Returns 0/-1.
+int rf_decoder_seek(RfDecoder *d, double seconds, char *err, int errlen) {
+  AVStream *st = d->fmt->streams[d->stream_index];
+  int64_t ts = (int64_t)llround(seconds / av_q2d(st->time_base));
+  int ret = av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD);
+  if (ret < 0) {
+    set_err(err, errlen, "Seek failed: " + av_errstr(ret));
+    return -1;
+  }
+  avcodec_flush_buffers(d->codec);
+  return 0;
+}
+
+// Decode the NEXT frame into `out` (RGBA8 at out_w x out_h), reporting its
+// presentation time in seconds via `pts_sec` (-1 when unknown; pass NULL to
+// skip). Returns 0 on success, 1 on end-of-stream, -1 on error.
+int rf_decoder_next2(RfDecoder *d, uint8_t *out, int out_w, int out_h,
+                     double *pts_sec, char *err, int errlen) {
   AVPacket *pkt = av_packet_alloc();
   AVFrame *frame = av_frame_alloc();
   int ret = 0;
@@ -308,6 +323,13 @@ int rf_decoder_next(RfDecoder *d, uint8_t *out, int out_w, int out_h,
     return -1;
   }
 
+  if (pts_sec) {
+    int64_t pts = frame->best_effort_timestamp;
+    if (pts == AV_NOPTS_VALUE) pts = frame->pts;
+    AVStream *st = d->fmt->streams[d->stream_index];
+    *pts_sec = (pts == AV_NOPTS_VALUE) ? -1.0 : pts * av_q2d(st->time_base);
+  }
+
   SwsContext *sws = sws_getContext(
       frame->width, frame->height, (AVPixelFormat)frame->format, out_w, out_h,
       AV_PIX_FMT_RGBA, SWS_LANCZOS, nullptr, nullptr, nullptr);
@@ -319,6 +341,12 @@ int rf_decoder_next(RfDecoder *d, uint8_t *out, int out_w, int out_h,
   av_frame_free(&frame);
   av_packet_free(&pkt);
   return 0;
+}
+
+// Back-compat wrapper without the pts report.
+int rf_decoder_next(RfDecoder *d, uint8_t *out, int out_w, int out_h,
+                    char *err, int errlen) {
+  return rf_decoder_next2(d, out, out_w, out_h, nullptr, err, errlen);
 }
 
 // Frame rate of the stream (0 if unknown).

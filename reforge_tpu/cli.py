@@ -59,6 +59,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Path to the kernel directory (.comp / .py files)",
     )
     p.add_argument(
+        "--start",
+        type=float,
+        default=0.0,
+        metavar="SEC",
+        help="Video mode: seek to this timestamp before processing",
+    )
+    p.add_argument(
+        "--duration",
+        type=float,
+        default=None,
+        metavar="SEC",
+        help="Video mode: stop after this many seconds of input",
+    )
+    p.add_argument(
         "--batch-frames",
         type=int,
         default=1,
@@ -375,7 +389,11 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
         print("Error: video output requires an input file (-i)", file=sys.stderr)
         return 1
     try:
-        frames = VideoFrames(decoder, width, height)
+        frames = VideoFrames(
+            decoder, width, height,
+            start=getattr(args, "start", 0.0) or 0.0,
+            duration=getattr(args, "duration", None),
+        )
         fps = frames.fps
         enc = VideoEncoder(args.output_file, width, height, fps)
     except ImageFileError as e:

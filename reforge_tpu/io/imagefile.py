@@ -66,6 +66,23 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.rf_decoder_fps.restype = ctypes.c_double
     lib.rf_decoder_fps.argtypes = [ctypes.c_void_p]
+    lib.rf_decoder_seek.restype = ctypes.c_int
+    lib.rf_decoder_seek.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_double,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.rf_decoder_next2.restype = ctypes.c_int
+    lib.rf_decoder_next2.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
     lib.rf_venc_open.restype = ctypes.c_void_p
     lib.rf_venc_open.argtypes = [
         ctypes.c_char_p,
@@ -186,7 +203,8 @@ class VideoFrames:
     (imagefileio.rs:129-152).
     """
 
-    def __init__(self, decoder: ImageFileDecoder, width: int, height: int):
+    def __init__(self, decoder: ImageFileDecoder, width: int, height: int,
+                 start: float = 0.0, duration: float | None = None):
         if decoder._native is None or _native_lib() is None:
             raise ImageFileError(
                 "Video streaming requires the native io backend (make -C native)"
@@ -194,6 +212,8 @@ class VideoFrames:
         self._dec = decoder
         self.width = width
         self.height = height
+        self.start = max(0.0, float(start))
+        self.duration = duration
 
     @property
     def fps(self) -> float:
@@ -204,13 +224,23 @@ class VideoFrames:
     def __iter__(self):
         lib = _native_lib()
         err = ctypes.create_string_buffer(512)
+        end = None if self.duration is None else self.start + float(self.duration)
+        if self.start > 0.0:
+            # Keyframe seek, then decode-and-discard up to the exact start.
+            if lib.rf_decoder_seek(
+                self._dec._native, self.start, err, len(err)
+            ) != 0:
+                raise ImageFileError(err.value.decode() or "seek failed")
+        pts = ctypes.c_double(-1.0)
+        eps = 1e-6
         while True:
             out = np.empty((self.height, self.width, 4), dtype=np.uint8)
-            rc = lib.rf_decoder_next(
+            rc = lib.rf_decoder_next2(
                 self._dec._native,
                 out.ctypes.data_as(ctypes.c_char_p),
                 self.width,
                 self.height,
+                ctypes.byref(pts),
                 err,
                 len(err),
             )
@@ -218,6 +248,12 @@ class VideoFrames:
                 return
             if rc != 0:
                 raise ImageFileError(err.value.decode() or "video decode failed")
+            t = pts.value
+            if t >= 0.0:
+                if t < self.start - eps:
+                    continue  # pre-roll frames from the keyframe seek
+                if end is not None and t >= end - eps:
+                    return
             yield out
 
 

@@ -170,3 +170,24 @@ class TestVideo:
         assert len(f1) == len(f3) == 8
         for a, b in zip(f1, f3):
             np.testing.assert_array_equal(a, b)
+
+    def test_video_start_duration_trim(self, tmp_path):
+        # --start/--duration: keyframe seek + pts-exact trim.
+        if not native_backend_available():
+            pytest.skip("native backend not built")
+        from reforge_tpu.io import VideoEncoder, VideoFrames
+
+        inp = str(tmp_path / "in.mp4")
+        with VideoEncoder(inp, 64, 48, fps=10) as enc:
+            for i in range(20):
+                f = np.zeros((48, 64, 4), np.uint8)
+                f[:, : 3 * (i + 1), 0] = 255  # frame index encoded in bar width
+                f[:, :, 3] = 255
+                enc.write(f)
+        # Library surface: frames [1.0s, 1.5s) at 10 fps = indices 10..14.
+        dec = ImageFileDecoder(inp)
+        got = list(VideoFrames(dec, 64, 48, start=1.0, duration=0.5))
+        assert len(got) == 5
+        widths = [int((f[:, :, 0].astype(int).mean(axis=0) > 128).sum())
+                  for f in got]
+        assert widths == [3 * (i + 1) for i in range(10, 15)], widths
