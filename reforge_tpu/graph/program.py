@@ -77,6 +77,11 @@ class GraphProgram:
                 raise GraphTraceError(
                     f"node '{node.name}' reads resource '{res}' before it is written"
                 )
+            # GPU semantics: shaders compute in fp32 regardless of the
+            # storage-image format; rgba16f means bfloat16 STORAGE between
+            # nodes, so upcast for the kernel math and truncate on store.
+            if value.dtype == jnp.bfloat16:
+                value = value.astype(jnp.float32)
             images[desc] = value
         outs = node.spec(ctx, images, node.params)
         written = {}

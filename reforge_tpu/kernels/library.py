@@ -126,21 +126,26 @@ def _sigma_halo(p):
     return gaussian_radius(p["sigma"]) if p["sigma"] > 0 else 0
 
 
+def _mxu_ok(ctx) -> bool:
+    """bf16 storage (rgba16f) tolerates the MXU's operand truncation."""
+    return ctx.fmt == "rgba16f"
+
+
 @kernel("gaussian", halo=_sigma_halo, doc="Separable gaussian blur.")
 def gaussian(ctx, input_image, *, sigma=4.0):
-    return gaussian_blur(input_image, sigma)
+    return gaussian_blur(input_image, sigma, prefer_mxu=_mxu_ok(ctx))
 
 
 # "blur" is the name the reference README configs use.
 @kernel("blur", halo=_sigma_halo)
 def blur(ctx, input_image, *, sigma=4.0):
-    return gaussian_blur(input_image, sigma)
+    return gaussian_blur(input_image, sigma, prefer_mxu=_mxu_ok(ctx))
 
 
 @kernel("box_blur", halo=lambda p: int(p["radius"]))
 def box_blur(ctx, input_image, *, radius=4):
     w = box_weights(radius)
-    return sep_conv(input_image, w, w)
+    return sep_conv(input_image, w, w, prefer_mxu=_mxu_ok(ctx))
 
 
 @kernel("sharpen", halo=lambda p: 1)
@@ -153,7 +158,7 @@ def sharpen(ctx, input_image, *, amount=1.0):
 
 @kernel("unsharp", halo=_sigma_halo)
 def unsharp(ctx, input_image, *, sigma=2.0, amount=0.8):
-    blurred = gaussian_blur(input_image, sigma)
+    blurred = gaussian_blur(input_image, sigma, prefer_mxu=_mxu_ok(ctx))
     return map_rgb(input_image, lambda rgb: rgb + amount * (rgb - blurred[:3]))
 
 
@@ -201,7 +206,8 @@ def median3(ctx, input_image):
 def bloom(ctx, input_image, *, threshold=0.7, sigma=8.0, intensity=0.6):
     y = luma(input_image)
     glow_mask = smoothstep(threshold, threshold + 0.2, y)[None]
-    glow = gaussian_blur(input_image[:3] * glow_mask, sigma)
+    glow = gaussian_blur(input_image[:3] * glow_mask, sigma,
+                         prefer_mxu=_mxu_ok(ctx))
     return map_rgb(input_image, lambda rgb: rgb + intensity * glow)
 
 
@@ -413,7 +419,7 @@ def kuwahara(ctx, input_image, *, radius=4):
     best_var = None
     for wy in (lag, lead):
         for wx in (lag, lead):
-            s = sep_conv(stacked, wy, wx)
+            s = sep_conv(stacked, wy, wx, prefer_mxu=_mxu_ok(ctx))
             m, my, my2 = s[:4], s[4:5], s[5:6]
             var = my2 - my * my
             if best_var is None:

@@ -92,13 +92,17 @@ def _use_pallas() -> bool:
     return pallas_ops.pallas_available()
 
 
-def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
+def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
+             prefer_mxu: bool = False) -> jnp.ndarray:
     """Separable 2-D convolution: 1-D pass along H then along W.
 
     On TPU, widths whose working set fits VMEM use the single fused
     Pallas kernel (one HBM read + one write for both directions);
     otherwise two per-direction Pallas kernels (or the jnp fallback off
-    TPU)."""
+    TPU).  ``prefer_mxu`` routes to the banded-matmul MXU variant, whose
+    default-precision f32 matmul truncates operands to bf16 — callers set
+    it when the surrounding storage format is bf16 anyway (rgba16f), where
+    the truncation is below storage precision."""
     if x.ndim == 3 and _use_pallas():
         import os
 
@@ -108,19 +112,22 @@ def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
         ww_arr = np.asarray(ww, np.float32)
         rh, rw = (len(wh_arr) - 1) // 2, (len(ww_arr) - 1) // 2
         if rh > 0 and rw > 0:
-            # bfloat16 images (rgba16f) route to the MXU variant: with bf16
-            # operands the systolic matmul is exact (no f32->bf16 truncation)
-            # and ~2.3x faster at 4K than the VPU tap loops.  f32 keeps the
-            # VPU path for sub-ULP accuracy unless the user opts into the
-            # MXU's bf16-truncated f32 matmul (~1e-3 abs) explicitly.
             fast = os.environ.get("REFORGE_CONV_PRECISION") == "fast"
-            if (x.dtype == jnp.bfloat16 or fast) and rw <= 128:
+            if (x.dtype == jnp.bfloat16 or prefer_mxu or fast) and rw <= 128:
+                # Under prefer_mxu the caller's storage is bf16 (the f32
+                # input was just upcast from it), so running the kernel on
+                # bf16 strips is lossless and halves strip DMA; the output
+                # returns in the caller's dtype.
+                xk = x
+                if prefer_mxu and x.dtype == jnp.float32:
+                    xk = x.astype(jnp.bfloat16)
                 tile_h = pallas_ops.mxu_tile_h(x.shape[2], rh, rw,
-                                               x.dtype.itemsize)
+                                               xk.dtype.itemsize)
                 if tile_h is not None:
-                    return pallas_ops.sep_conv_fused_mxu(
-                        x, wh_arr, ww_arr, tile_h=tile_h
+                    out = pallas_ops.sep_conv_fused_mxu(
+                        xk, wh_arr, ww_arr, tile_h=tile_h
                     )
+                    return out.astype(x.dtype)
             tile_h = pallas_ops.fused_tile_h(x.shape[2], rh, rw)
             if tile_h is not None:
                 return pallas_ops.sep_conv_fused(x, wh_arr, ww_arr, tile_h=tile_h)
@@ -198,11 +205,12 @@ def gaussian_radius(sigma: float) -> int:
     return int(min(MAX_GAUSSIAN_RADIUS, max(1, math.ceil(3.0 * float(sigma)))))
 
 
-def gaussian_blur(x: jnp.ndarray, sigma: float) -> jnp.ndarray:
+def gaussian_blur(x: jnp.ndarray, sigma: float,
+                  prefer_mxu: bool = False) -> jnp.ndarray:
     if float(sigma) <= 0.0:
         return x
     w = gaussian_weights(sigma)
-    return sep_conv(x, w, w)
+    return sep_conv(x, w, w, prefer_mxu=prefer_mxu)
 
 
 def box_weights(radius: int) -> np.ndarray:

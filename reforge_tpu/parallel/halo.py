@@ -121,10 +121,18 @@ class HaloShardedProgram:
                 local_height=local_height,
             )
 
+        def compute_dtype(v):
+            # Mirror GraphProgram._run_node: kernels compute in fp32;
+            # bfloat16 is a storage format between nodes (rgba16f).
+            return v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
+
         for layer in prog.graph.layers:
             for node in layer:
                 spec = node.spec
-                ins_local = {desc: resources[res] for res, desc in node.inputs}
+                ins_local = {
+                    desc: compute_dtype(resources[res])
+                    for res, desc in node.inputs
+                }
                 r = node.halo
                 if r is not None and r > h_local:
                     # Halo wider than a slab would need multi-hop exchange;

@@ -58,6 +58,15 @@ CASES = {
         "cb -> mixit:input_image2\n"
         "cb: checkerboard { size: 8 }\nmixit: mix { factor: 0.3 }"
     ),
+    "edge_preserving": (
+        "input -> med -> smooth -> output\n"
+        "med: median3 {}\n"
+        "smooth: bilateral { radius: 3, sigma_range: 0.1 }"
+    ),
+    "stylized": (
+        "input -> grade -> dots -> output\n"
+        "grade: levels { in_black: 0.05 }\ndots: halftone { size: 8 }"
+    ),
 }
 
 
@@ -84,6 +93,72 @@ class TestHaloSharding:
         prog = build("input -> invert -> output", h=60)
         with pytest.raises(ValueError, match="not divisible"):
             HaloShardedProgram(prog, mesh)
+
+    @pytest.mark.parametrize("fmt", ["rgba8", "rgba16f"])
+    def test_non_f32_formats_sharded(self, mesh, fmt):
+        cfg = parse(CASES["conv"], expects_input=True)
+        prog = make_program(build_graph(cfg), 64, 64, fmt)
+        img = rand_image()
+        want = np.asarray(prog(img, 0.0), np.float32)
+        sharded = HaloShardedProgram(prog, mesh)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.0), np.float32)
+        # rgba16f: kernels compute f32 but store bf16 between nodes;
+        # XLA's per-program reassociation flips occasional bf16 rounding
+        # buckets (1 ulp ~ 0.008), which sharpen's ~5x high-pass gain then
+        # amplifies. Bound the flip amplitude, and require the bulk exact.
+        tol = 1e-5 if fmt == "rgba8" else 6e-2
+        np.testing.assert_allclose(got, want, atol=tol, err_msg=fmt)
+        if fmt == "rgba16f":
+            assert (np.abs(got - want) > 1e-5).mean() < 0.2
+
+    def test_ssbo_pipeline_sharded(self, mesh, tmp_path):
+        """histogram -> equalize: SSBO nodes run full-image so the buffer is
+        replicated; image nodes stay sharded; output must match exactly."""
+        import shutil
+
+        for f in ("histogram.comp", "equalize.comp"):
+            shutil.copy(f"shaders/{f}", tmp_path / f)
+        from reforge_tpu.config import parse_file
+
+        cfg = parse_file(
+            "input -> histogram\n"
+            "histogram:Bins -> equalize:Bins\n"
+            "input -> equalize -> output",
+            True,
+            str(tmp_path),
+        )
+        graph = build_graph(cfg)
+        prog = make_program(graph, 64, 64)
+        img = rand_image(seed=5)
+        want = np.asarray(prog(img, 0.0))
+        sharded = HaloShardedProgram(prog, mesh)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.0))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_derivative_kernel_sharded(self, mesh, tmp_path):
+        """fwidth reads the next row: the registered 1-row halo must make
+        sharded output bit-match single-device."""
+        (tmp_path / "outline.comp").write_text("""
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly  image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    float y = dot(c.rgb, vec3(0.2126, 0.7152, 0.0722));
+    imageStore(output_image, pos, vec4(vec3(fwidth(y) * 4.0), c.a));
+}
+""")
+        from reforge_tpu.config import parse_file
+
+        cfg = parse_file("input -> outline -> output", True, str(tmp_path))
+        prog = make_program(build_graph(cfg), 64, 64)
+        img = rand_image(seed=6)
+        want = np.asarray(prog(img, 0.0))
+        sharded = HaloShardedProgram(prog, mesh)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.0))
+        np.testing.assert_allclose(got, want, atol=1e-6)
 
     def test_glsl_kernel_sharded(self, mesh, tmp_path):
         """A .comp kernel with clamp-origin conv shards exactly."""
