@@ -67,6 +67,23 @@ class GraphProgram:
     def _ctx(self, t) -> KernelContext:
         return KernelContext(width=self.width, height=self.height, time=t, fmt=self.fmt)
 
+    def compute_input(self, value):
+        """Storage -> compute dtype for a kernel input.
+
+        GPU semantics: shaders compute in fp32 regardless of the
+        storage-image format; rgba16f means bfloat16 STORAGE between
+        nodes (the halo-sharded executor shares this policy)."""
+        if value.dtype == jnp.bfloat16:
+            return value.astype(jnp.float32)
+        return value
+
+    def store_output(self, value):
+        """Compute -> storage dtype for a node's image output (including
+        the rgba8 UNORM-grid quantization)."""
+        if self.fmt == "rgba8":
+            value = quantize_rgba8(value)
+        return value.astype(self.storage_dtype)
+
     def _run_node(
         self, node: PipelineNode, ctx: KernelContext, resources: dict[str, Any]
     ) -> dict[str, Any]:
@@ -77,12 +94,7 @@ class GraphProgram:
                 raise GraphTraceError(
                     f"node '{node.name}' reads resource '{res}' before it is written"
                 )
-            # GPU semantics: shaders compute in fp32 regardless of the
-            # storage-image format; rgba16f means bfloat16 STORAGE between
-            # nodes, so upcast for the kernel math and truncate on store.
-            if value.dtype == jnp.bfloat16:
-                value = value.astype(jnp.float32)
-            images[desc] = value
+            images[desc] = self.compute_input(value)
         outs = node.spec(ctx, images, node.params)
         written = {}
         for res, desc in node.outputs:
@@ -107,9 +119,7 @@ class GraphProgram:
                     f"kernel '{node.spec.name}' output '{desc}' has shape "
                     f"{tuple(value.shape)}, expected {expected}"
                 )
-            if self.fmt == "rgba8":
-                value = quantize_rgba8(value)
-            written[res] = value.astype(self.storage_dtype)
+            written[res] = self.store_output(value)
         return written
 
     def _forward(self, file_input: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -150,10 +160,13 @@ class GraphProgram:
 
             def run(images, t, _node=node):
                 ctx = self._ctx(t)
-                resources = dict(images)
-                # Per-node execution reuses the same trace path with inputs
+                # Per-node execution reuses the same dtype policy as the
+                # fused trace (compute_input/store_output) with inputs
                 # provided directly.
-                ins = {desc: images[res] for res, desc in _node.inputs}
+                ins = {
+                    desc: self.compute_input(images[res])
+                    for res, desc in _node.inputs
+                }
                 outs = _node.spec(ctx, ins, _node.params)
                 written = {}
                 for res, desc in _node.outputs:
@@ -162,9 +175,7 @@ class GraphProgram:
                         # Buffers stay f32 regardless of image format.
                         written[res] = value.astype(jnp.float32)
                         continue
-                    if self.fmt == "rgba8":
-                        value = quantize_rgba8(value)
-                    written[res] = value.astype(self.storage_dtype)
+                    written[res] = self.store_output(value)
                 return written
 
             fn = jax.jit(run)

@@ -121,16 +121,11 @@ class HaloShardedProgram:
                 local_height=local_height,
             )
 
-        def compute_dtype(v):
-            # Mirror GraphProgram._run_node: kernels compute in fp32;
-            # bfloat16 is a storage format between nodes (rgba16f).
-            return v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
-
         for layer in prog.graph.layers:
             for node in layer:
                 spec = node.spec
                 ins_local = {
-                    desc: compute_dtype(resources[res])
+                    desc: prog.compute_input(resources[res])
                     for res, desc in node.inputs
                 }
                 r = node.halo
@@ -181,10 +176,7 @@ class HaloShardedProgram:
                     if is_buffer(desc):
                         resources[res] = outs[desc].astype(jnp.float32)
                         continue
-                    value = crop(outs[desc])
-                    if prog.fmt == "rgba8":
-                        value = quantize_rgba8(value)
-                    resources[res] = value.astype(prog.storage_dtype)
+                    resources[res] = prog.store_output(crop(outs[desc]))
         return resources[FINAL_OUTPUT]
 
     def __call__(self, file_input: jnp.ndarray, t) -> jnp.ndarray:
