@@ -159,6 +159,11 @@ class Engine:
         if self.info.pipeline_stages:
             from .parallel import PipelineStagedProgram
 
+            if self.info.shard:
+                warnln(
+                    "--shard is ignored when --pipeline is given; "
+                    "running pipeline-staged only"
+                )
             try:
                 program.sharded = PipelineStagedProgram(  # type: ignore[attr-defined]
                     program, n_stages=self.info.pipeline_stages

@@ -249,26 +249,45 @@ def translate_shader(
 
     @functools.lru_cache(maxsize=64)
     def _reflect_spatial(params_key: tuple) -> tuple:
-        """(halo, border) by dry abstract interpretation for given params."""
-        params = dict(params_key)
-        stats = {
-            "max_shift": 0, "gather": False,
-            "edge_shift": False, "zero_shift": False,
-        }
+        """(halo, border) by dry abstract interpretation for given params.
 
-        def dry(time):
-            imgs = {
-                n: jnp.zeros((4, 64, 64), jnp.float32)
-                for n in bindings["images_in"]
+        The shader is probed at TWO different grid extents: a load offset
+        derived from imageSize() (e.g. ``pos + ivec2(0, size.y / 2)``)
+        probes as a static shift whose magnitude tracks the grid, so if the
+        reflected stats differ between extents the halo is size-dependent
+        and the shader is demoted to the always-correct gather (halo=None)
+        path.  Size-*bounded* offsets (``min(size.x / 2, 5)``) probe
+        identically and correctly keep their finite halo.
+        """
+        params = dict(params_key)
+
+        def dry_stats(h: int, w: int):
+            stats = {
+                "max_shift": 0, "gather": False,
+                "edge_shift": False, "zero_shift": False,
             }
-            interp = Interp(shader, 64, 64, imgs, params, time=time, stats=stats)
-            interp.run_main()
-            return 0
+
+            def dry(time):
+                imgs = {
+                    n: jnp.zeros((4, h, w), jnp.float32)
+                    for n in bindings["images_in"]
+                }
+                interp = Interp(shader, h, w, imgs, params, time=time,
+                                stats=stats)
+                interp.run_main()
+                return 0
+
+            jax.eval_shape(dry, jax.ShapeDtypeStruct((), jnp.float32))
+            return stats
 
         try:
-            jax.eval_shape(dry, jax.ShapeDtypeStruct((), jnp.float32))
+            stats = dry_stats(64, 64)
+            stats2 = dry_stats(96, 80)
         except Exception:
             return (None, "edge")  # conservatively unshardable on dry failure
+        keys = ("max_shift", "gather", "edge_shift", "zero_shift")
+        if any(stats[k] != stats2[k] for k in keys):
+            return (None, "edge")  # extent-dependent halo: gather path
         if stats["gather"]:
             return (None, "edge")
         if stats["edge_shift"] and stats["zero_shift"]:

@@ -192,7 +192,10 @@ class GraphProgram:
         (vkutils.rs:104-134).
         """
         t = jnp.float32(t)
-        resources: dict[str, Any] = {FILE_INPUT: file_input}
+        # Same storage-dtype cast as _forward, for cross-mode parity.
+        resources: dict[str, Any] = {
+            FILE_INPUT: file_input.astype(self.storage_dtype)
+        }
         times: dict[str, float] = {}
         for layer in self.graph.layers:
             for node in layer:

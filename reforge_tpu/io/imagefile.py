@@ -274,10 +274,19 @@ class VideoEncoder:
         if not handle:
             raise ImageFileError(err.value.decode() or f"cannot open {path}")
         self._enc = ctypes.c_void_p(handle)
+        self.width = width
+        self.height = height
         self.frames_written = 0
 
     def write(self, rgba: np.ndarray) -> None:
         rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+        expected = (self.height, self.width, 4)
+        if rgba.shape != expected:
+            # The C side assumes stride width*4; a mismatched array would
+            # make sws_scale read out of bounds.
+            raise ImageFileError(
+                f"encoder expects frames of shape {expected}, got {rgba.shape}"
+            )
         err = ctypes.create_string_buffer(512)
         rc = self._lib.rf_venc_write(
             self._enc, rgba.ctypes.data_as(ctypes.c_char_p), err, len(err)

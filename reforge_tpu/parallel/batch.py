@@ -23,6 +23,8 @@ BATCH_AXIS = "batch"
 def make_batch_mesh(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
     return Mesh(devices[:n], axis_names=(BATCH_AXIS,))
 
 

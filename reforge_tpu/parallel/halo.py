@@ -36,6 +36,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..config import FILE_INPUT, FINAL_OUTPUT
 from ..kernels.base import KernelContext, quantize_rgba8
 from ..graph.program import GraphProgram
+from ..utils import warnln
 from .mesh import Mesh, ROW_AXIS
 
 
@@ -81,25 +82,34 @@ class HaloShardedProgram:
                 f"image height {h} is not divisible by the {self.n}-device mesh"
             )
         self.h_local = h // self.n
+        self._mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
 
         self._compiled = None
         rows = P(None, ROW_AXIS, None)
         scalar = P()
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, so the vma checker would reject the (legal) per-device
+        # Pallas kernels inside the shard_map body.
         self._fused = jax.jit(
             shard_map(
                 self._local_forward,
                 mesh=mesh,
                 in_specs=(rows, scalar),
                 out_specs=rows,
+                check_vma=False,
             )
         )
 
     # Runs per device on the local slab.
     def _local_forward(self, file_input_local: jnp.ndarray, t: jnp.ndarray):
-        # Per-shard blocks are plain arrays, but the Pallas kernels are
-        # tuned (and tested) single-device; inside shard_map trace the
-        # portable jnp kernels so the multi-chip path has no untestable
-        # Mosaic dependency (ops.no_pallas; see parallel/batch.py).
+        # shard_map bodies are per-device programs over local slabs, so the
+        # single-device Pallas kernels apply directly on TPU meshes — the
+        # scale path keeps the fast kernels instead of shipping a ~4x
+        # kernel regression.  CPU meshes (the test environment) trace the
+        # portable jnp kernels (ops.no_pallas); GSPMD/vmap wrappers still
+        # must (see parallel/spatial.py, parallel/batch.py).
+        if self._mesh_is_tpu:
+            return self._local_forward_impl(file_input_local, t)
         from ..kernels import ops as _ops
 
         with _ops.no_pallas():
@@ -109,7 +119,11 @@ class HaloShardedProgram:
         prog = self.program
         n, h_local = self.n, self.h_local
         idx = jax.lax.axis_index(ROW_AXIS)
-        resources: dict[str, Any] = {FILE_INPUT: file_input_local}
+        # Same storage-dtype cast GraphProgram._forward applies, so the
+        # sharded and fused paths are numerically identical under rgba16f.
+        resources: dict[str, Any] = {
+            FILE_INPUT: file_input_local.astype(prog.storage_dtype)
+        }
 
         def ctx_for(local_height: int, row0) -> KernelContext:
             return KernelContext(
@@ -131,7 +145,15 @@ class HaloShardedProgram:
                 r = node.halo
                 if r is not None and r > h_local:
                     # Halo wider than a slab would need multi-hop exchange;
-                    # the all-gather path is simpler and still correct.
+                    # the all-gather path is simpler and still correct, but
+                    # it is a per-frame collective over the whole image —
+                    # say so rather than degrade silently (trace-time, so
+                    # the warning fires once per compile, not per frame).
+                    warnln(
+                        f"node '{node.name}': halo {r} exceeds the "
+                        f"{h_local}-row local slab; falling back to "
+                        f"all-gather (full-image collective per frame)"
+                    )
                     r = None
                 if spec.ssbos_in or spec.ssbos_out:
                     # Buffer-touching nodes (histograms, LUTs) compute on the

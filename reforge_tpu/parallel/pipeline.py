@@ -117,20 +117,34 @@ class PipelineStagedProgram:
         prog = self.program
         group = self.stage_layers[s]
         out_names = list(self._stage_outputs[s])
+        # Each stage is an ordinary single-device jit, so the Pallas
+        # kernels apply directly on TPU stage devices; CPU stages (the
+        # test environment) trace the portable jnp kernels.
+        stage_is_tpu = self.devices[s].platform == "tpu"
 
         def stage(inputs: dict, t):
-            # Stages execute on per-stage devices; trace the portable jnp
-            # kernels (ops.no_pallas; see parallel/halo.py for rationale).
             from ..kernels import ops as _ops
 
             ctx = KernelContext(
                 width=prog.width, height=prog.height, time=t, fmt=prog.fmt
             )
             resources = dict(inputs)
-            with _ops.no_pallas():
+            if FILE_INPUT in resources:
+                # Storage-dtype cast parity with GraphProgram._forward.
+                resources[FILE_INPUT] = resources[FILE_INPUT].astype(
+                    prog.storage_dtype
+                )
+
+            def run_all():
                 for layer in group:
                     for node in layer:
                         resources.update(prog._run_node(node, ctx, resources))
+
+            if stage_is_tpu:
+                run_all()
+            else:
+                with _ops.no_pallas():
+                    run_all()
             return {name: resources[name] for name in out_names}
 
         return stage

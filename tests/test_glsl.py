@@ -266,6 +266,27 @@ void main() {
         assert spec.halo_for({"radius": 5}) == 5
         assert spec.halo_for({"radius": 9}) == 9
 
+    def test_imagesize_derived_offset_marks_unshardable(self):
+        # An offset derived from imageSize() probes small on the fixed
+        # reflection grid but is image-scale at real resolution; the probe
+        # taints imageSize so such shaders take the gather (halo=None) path
+        # instead of silently reading halo padding under --shard.
+        src = HEADER + """
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 size = imageSize(input_image);
+    imageStore(output_image, pos,
+               imageLoad(input_image, pos + ivec2(0, size.y / 2)));
+}
+"""
+        spec = translate_shader(src, "half_shift")
+        assert spec.halo_for({}) is None
+        # But the shader still executes correctly single-device.
+        img = jnp.zeros((4, 8, 8), jnp.float32).at[:, 6, :].set(1.0)
+        ctx = KernelContext(width=8, height=8)
+        out = spec(ctx, {"input_image": img}, {})["output_image"]
+        np.testing.assert_allclose(out[:, 2, :], 1.0)
+
 
 class TestReflection:
     def test_multi_image_bindings(self):

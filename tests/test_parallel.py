@@ -88,6 +88,16 @@ class TestHaloSharding:
         sharded = HaloShardedProgram(prog, mesh)
         got = np.asarray(sharded(sharded.shard_input(img), 0.0))
         np.testing.assert_allclose(got, want, atol=1e-5)
+        # The demotion is observable, not silent: one warning at trace time.
+        assert any(
+            "all-gather" in w and "gs" in w for w in utils.recent_warnings()
+        ), utils.recent_warnings()
+
+    def test_batch_mesh_rejects_oversubscription(self):
+        from reforge_tpu.parallel import make_batch_mesh
+
+        with pytest.raises(ValueError, match="have"):
+            make_batch_mesh(len(jax.devices()) + 1)
 
     def test_indivisible_height_rejected(self, mesh):
         prog = build("input -> invert -> output", h=60)
@@ -102,14 +112,10 @@ class TestHaloSharding:
         want = np.asarray(prog(img, 0.0), np.float32)
         sharded = HaloShardedProgram(prog, mesh)
         got = np.asarray(sharded(sharded.shard_input(img), 0.0), np.float32)
-        # rgba16f: kernels compute f32 but store bf16 between nodes;
-        # XLA's per-program reassociation flips occasional bf16 rounding
-        # buckets (1 ulp ~ 0.008), which sharpen's ~5x high-pass gain then
-        # amplifies. Bound the flip amplitude, and require the bulk exact.
-        tol = 1e-5 if fmt == "rgba8" else 6e-2
-        np.testing.assert_allclose(got, want, atol=tol, err_msg=fmt)
-        if fmt == "rgba16f":
-            assert (np.abs(got - want) > 1e-5).mean() < 0.2
+        # Exact across modes: the sharded path applies the same FILE_INPUT
+        # storage-dtype cast as the fused path, so under rgba16f both
+        # quantize identically before the first node.
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=fmt)
 
     def test_ssbo_pipeline_sharded(self, mesh, tmp_path):
         """histogram -> equalize: SSBO nodes run full-image so the buffer is
