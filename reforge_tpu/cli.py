@@ -275,6 +275,7 @@ def main(argv: Optional[list[str]] = None) -> int:
             return 0
         return _run_live_loop(engine, args)
     finally:
+        engine.close()
         if profiling:
             import jax
 

@@ -258,6 +258,10 @@ class Engine:
         if pending is None:
             return False
         config, program = pending
+        if program is self.program:
+            # Interim program already adopted; the fused executable flipped
+            # in place when its background compile landed.
+            return False
         self._swap(config, program)
         return True
 
@@ -281,26 +285,78 @@ class Engine:
             self._build_seq += 1
             seq = self._build_seq
 
+        def publish(program):
+            with self._compile_lock:
+                if seq >= self._pending_seq:
+                    self._pending = (config, program)
+                    self._pending_seq = seq
+                    return True
+                return False
+
         def work():
             try:
                 program = self._build_program(config)
                 if program is None:
                     return  # warned already; keep last good
                 sharded = getattr(program, "sharded", None)
+                if sharded is None and program._compiled is not None:
+                    # Fused executable already cached (make_program adopted
+                    # it): swap immediately, nothing to compile.
+                    publish(program)
+                    return
+                if sharded is None:
+                    # Stage 1: interim unfused program.  Unchanged nodes hit
+                    # the global per-node jit cache, so this compiles only
+                    # the edited node — the new output becomes visible at
+                    # per-node latency (reference: per-pipeline rebuild,
+                    # render.rs:497-519), while the fused whole-graph
+                    # compile continues below.
+                    try:
+                        program.warm_unfused()
+                        program._use_unfused = True
+                        publish(program)
+                    except Exception as e:
+                        warnln(f"Interim per-node program failed: {e}")
+                        program._use_unfused = False
                 if sharded is not None:
                     sharded.compile()
                 else:
+                    # Setting _compiled flips __call__ to the fused
+                    # executable; no republish needed if the interim
+                    # program was already adopted.
                     program.compile()
             except Exception as e:  # any failure: keep last good
                 warnln(f"Background rebuild failed: {e}")
                 return
-            with self._compile_lock:
-                if seq >= self._pending_seq:
-                    self._pending = (config, program)
-                    self._pending_seq = seq
+            publish(program)
 
-        threading.Thread(target=work, daemon=True, name="rf-compile").start()
+        thread = threading.Thread(target=work, daemon=True, name="rf-compile")
+        self._build_threads = [
+            th for th in getattr(self, "_build_threads", []) if th.is_alive()
+        ]
+        self._build_threads.append(thread)
+        thread.start()
         return False
+
+    def wait_for_compiles(self) -> None:
+        """Block until all background rebuilds (and their fused compiles)
+        have landed, then adopt the result."""
+        for th in list(getattr(self, "_build_threads", [])):
+            th.join()
+        self._adopt_pending()
+
+    def close(self) -> None:
+        """Join outstanding background compiles and drain in-flight frames.
+
+        XLA compile threads alive at interpreter teardown abort the
+        process; anything embedding the engine (CLI, benchmarks, tests)
+        should close it before exit."""
+        for th in getattr(self, "_build_threads", []):
+            th.join()
+        self._drain()
+        if getattr(self, "_watcher", None) is not None:
+            self._watcher.close()
+            self._watcher = None
 
     def _config_changed(self) -> bool:
         path = self.info.config_path

@@ -35,6 +35,41 @@ class GraphTraceError(Exception):
     pass
 
 
+# ---- global per-node jit cache -------------------------------------------
+#
+# Per-node programs are cached ACROSS GraphPrograms, keyed by everything
+# that shapes the traced computation: the kernel spec's identity, the
+# resolved (static) params, the node's wiring and the program extent/format.
+# Combined with the kernel loader's source cache (same spec object while a
+# source file is unchanged), a live edit of one node rebuilds exactly one
+# per-node program — every other node's executable is reused, which is what
+# makes the interim unfused program (run_unfused) swap in at sub-frame
+# latency while the fused XLA recompile proceeds off-thread.  The analog of
+# the reference rebuilding only the edited pipeline
+# (pipeline_graph.rs:329-343).
+_NODE_FN_CACHE: dict[tuple, tuple[Any, Any]] = {}
+_NODE_FN_CACHE_MAX = 512
+
+
+def _node_fn_key(node: PipelineNode, width: int, height: int, fmt: str):
+    return (
+        id(node.spec),
+        tuple(sorted(node.params.items())),
+        tuple(node.inputs),
+        tuple(node.outputs),
+        width,
+        height,
+        fmt,
+    )
+
+
+# Fused AOT executables cached across GraphPrograms by the full graph
+# signature: revisiting a previously compiled graph (toggling an edit back,
+# A->B->A) swaps the fused program with zero XLA compile.
+_FUSED_CACHE: dict[tuple, tuple[Any, Any]] = {}
+_FUSED_CACHE_MAX = 64
+
+
 class GraphProgram:
     # Inter-node storage dtype per format: rgba8 keeps f32 but quantizes to
     # the UNORM grid (Vulkan storage-image parity); rgba16f stores bfloat16
@@ -61,6 +96,10 @@ class GraphProgram:
         self._fused = jax.jit(self._forward)
         self._node_fns: dict[str, Any] = {}
         self._compiled = None  # AOT executable from compile()
+        # Interim mode after a live edit: render via cached per-node
+        # programs while the fused XLA compile proceeds off-thread; flips
+        # off automatically when compile() lands (engine.py:_finish_build).
+        self._use_unfused = False
 
     # ---- tracing --------------------------------------------------------
 
@@ -140,7 +179,38 @@ class GraphProgram:
     def __call__(self, file_input: jnp.ndarray, t: float | jnp.ndarray) -> jnp.ndarray:
         if self._compiled is not None:
             return self._compiled(file_input, jnp.float32(t))
+        if self._use_unfused:
+            return self.run_unfused(file_input, t)
         return self._fused(file_input, jnp.float32(t))
+
+    def run_unfused(self, file_input: jnp.ndarray, t: float | jnp.ndarray) -> jnp.ndarray:
+        """Execute node-by-node through the cached per-node programs
+        (non-blocking dispatch, same numerics as the fused path).
+
+        This is the interim program after a live edit: unchanged nodes hit
+        the global per-node jit cache, so only the edited node compiles —
+        new output is visible at per-node-compile latency instead of
+        whole-program XLA-compile latency (the reference's per-pipeline
+        rebuild, render.rs:497-519)."""
+        t = jnp.float32(t)
+        resources: dict[str, Any] = {
+            FILE_INPUT: file_input.astype(self.storage_dtype)
+        }
+        for layer in self.graph.layers:
+            for node in layer:
+                fn = self._node_fn(node)
+                needed = {res: resources[res] for res, _ in node.inputs}
+                resources.update(fn(needed, t))
+        out = resources.get(FINAL_OUTPUT)
+        if out is None:
+            raise GraphTraceError("no node wrote the final output")
+        return out
+
+    def warm_unfused(self) -> None:
+        """Compile any per-node programs missing from the cache (run on the
+        background rebuild thread before the interim swap)."""
+        zeros = jnp.zeros((4, self.height, self.width), jnp.float32)
+        jax.block_until_ready(self.run_unfused(zeros, 0.0))
 
     def compile(self) -> None:
         """Eagerly AOT-compile the fused program for this graph's extent.
@@ -150,21 +220,67 @@ class GraphProgram:
         rendering (the fused-program analog of the reference rebuilding a
         pipeline while the old one stays bound, pipeline_graph.rs:329-343).
         """
+        key = self._fused_key()
+        hit = _FUSED_CACHE.get(key)
+        if hit is not None:
+            self._compiled = hit[1]
+            return
         shape = jax.ShapeDtypeStruct((4, self.height, self.width), jnp.float32)
         t = jax.ShapeDtypeStruct((), jnp.float32)
-        self._compiled = self._fused.lower(shape, t).compile()
+        compiled = self._fused.lower(shape, t).compile()
+        if len(_FUSED_CACHE) >= _FUSED_CACHE_MAX:
+            for k in list(_FUSED_CACHE)[: _FUSED_CACHE_MAX // 2]:
+                del _FUSED_CACHE[k]
+        # Pin the specs so the id()-based node keys stay unambiguous.
+        specs = tuple(
+            n.spec for layer in self.graph.layers for n in layer
+        )
+        _FUSED_CACHE[key] = (specs, compiled)
+        self._compiled = compiled
+
+    def compile_cached(self) -> bool:
+        """Adopt a previously compiled fused executable for this exact
+        graph signature, if one exists.  A hit also implies the graph was
+        already validated, so callers can skip abstract-eval."""
+        hit = _FUSED_CACHE.get(self._fused_key())
+        if hit is None:
+            return False
+        self._compiled = hit[1]
+        return True
+
+    def _fused_key(self) -> tuple:
+        return (
+            tuple(
+                _node_fn_key(n, self.width, self.height, self.fmt)
+                for layer in self.graph.layers
+                for n in layer
+            ),
+            tuple(sorted(self.graph.buffer_sizes.items())),
+        )
 
     def _node_fn(self, node: PipelineNode):
         fn = self._node_fns.get(node.name)
-        if fn is None:
+        if fn is not None:
+            return fn
+        key = _node_fn_key(node, self.width, self.height, self.fmt)
+        hit = _NODE_FN_CACHE.get(key)
+        if hit is not None:
+            fn = hit[1]
+        else:
+            width, height, fmt = self.width, self.height, self.fmt
+            storage_dtype = self.storage_dtype
 
             def run(images, t, _node=node):
-                ctx = self._ctx(t)
+                ctx = KernelContext(width=width, height=height, time=t, fmt=fmt)
                 # Per-node execution reuses the same dtype policy as the
                 # fused trace (compute_input/store_output) with inputs
                 # provided directly.
                 ins = {
-                    desc: self.compute_input(images[res])
+                    desc: (
+                        images[res].astype(jnp.float32)
+                        if images[res].dtype == jnp.bfloat16
+                        else images[res]
+                    )
                     for res, desc in _node.inputs
                 }
                 outs = _node.spec(ctx, ins, _node.params)
@@ -175,11 +291,19 @@ class GraphProgram:
                         # Buffers stay f32 regardless of image format.
                         written[res] = value.astype(jnp.float32)
                         continue
-                    written[res] = self.store_output(value)
+                    if fmt == "rgba8":
+                        value = quantize_rgba8(value)
+                    written[res] = value.astype(storage_dtype)
                 return written
 
             fn = jax.jit(run)
-            self._node_fns[node.name] = fn
+            if len(_NODE_FN_CACHE) >= _NODE_FN_CACHE_MAX:
+                # Drop the oldest half; plain dicts preserve insertion order.
+                for k in list(_NODE_FN_CACHE)[: _NODE_FN_CACHE_MAX // 2]:
+                    del _NODE_FN_CACHE[k]
+            # The value pins the spec object so id() keys cannot be reused.
+            _NODE_FN_CACHE[key] = (node.spec, fn)
+        self._node_fns[node.name] = fn
         return fn
 
     def run_per_node(
@@ -223,6 +347,11 @@ def make_program(
     keeps rendering.
     """
     program = GraphProgram(graph, width, height, fmt)
+    if program.compile_cached():
+        # This exact graph signature compiled (hence validated) before —
+        # a live re-edit back to a known-good state swaps with zero
+        # tracing or compilation.
+        return program
     try:
         shape = jax.ShapeDtypeStruct((4, height, width), jnp.float32)
         t = jax.ShapeDtypeStruct((), jnp.float32)

@@ -25,6 +25,14 @@ from .base import KernelSpec, lookup_builtin
 from ..utils import warnln
 
 
+# Loaded specs keyed by path, valid while the source text is unchanged.
+# Returning the SAME spec object for unchanged sources is what lets the
+# per-node jit cache (graph/program.py) reuse compiled executables across
+# rebuilds — the enabler of sub-frame live reload: a one-kernel edit
+# recompiles one node, every other node is already compiled.
+_spec_cache: dict[str, tuple[str, KernelSpec]] = {}
+
+
 def load_kernel_file(path: str) -> Optional[KernelSpec]:
     ext = os.path.splitext(path)[1]
     try:
@@ -34,12 +42,20 @@ def load_kernel_file(path: str) -> Optional[KernelSpec]:
         warnln(f"Unable to read kernel file {path}: {e}")
         return None
 
+    cached = _spec_cache.get(path)
+    if cached is not None and cached[0] == source:
+        return cached[1]
+
     if ext == ".py":
-        return _load_py_kernel(path, source)
-    if ext in (".comp", ".frag", ".glsl"):
-        return _load_glsl_kernel(path, source)
-    warnln(f"Unknown kernel source extension '{ext}' for {path}")
-    return None
+        spec = _load_py_kernel(path, source)
+    elif ext in (".comp", ".frag", ".glsl"):
+        spec = _load_glsl_kernel(path, source)
+    else:
+        warnln(f"Unknown kernel source extension '{ext}' for {path}")
+        return None
+    if spec is not None:
+        _spec_cache[path] = (source, spec)
+    return spec
 
 
 def _load_py_kernel(path: str, source: str) -> Optional[KernelSpec]:

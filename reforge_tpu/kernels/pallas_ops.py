@@ -405,6 +405,258 @@ def sep_conv_fused_mxu(
     return out[:, :h, :w]
 
 
+def _split3_np(m: np.ndarray) -> np.ndarray:
+    """Split an f32 matrix into 3 stacked bf16 terms summing to ~m exactly.
+
+    bf16 has 8 mantissa bits, f32 has 24: three rounds of
+    round-and-subtract capture the full f32 mantissa (Dekker-style
+    splitting; each residual subtraction is exact in f32)."""
+    import ml_dtypes
+
+    terms = []
+    rem = m.astype(np.float32)
+    for _ in range(3):
+        t = rem.astype(ml_dtypes.bfloat16)
+        terms.append(t)
+        rem = rem - t.astype(np.float32)
+    return np.stack(terms)
+
+
+# The 6 split-product passes that matter for f32: term (a, b) contributes
+# at relative magnitude ~2^(-8(a+b)), so pairs with a+b <= 2 cover the
+# full 24-bit mantissa and the dropped tail is below half an f32 ulp.
+_X3_PAIRS = ((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0))
+
+
+def _band_matrices_w2(weights: np.ndarray) -> np.ndarray:
+    """Two (128, 128) matrices for the 2-tile W pass (radius <= 64).
+
+    With the input padded 64 lanes on the left, output tile j's tap window
+    [n - r, n + r] spans only xpad tiles j and j+1:
+    out[:, q] = sum_t xpad_tile_{j+t}[:, p] * C_t[p, q] with
+    C_t[p, q] = w[128 t + p - 64 - q + r].  One third less MXU work than
+    the generic 3-tile band."""
+    r = (len(weights) - 1) // 2
+    cs = np.zeros((2, 128, 128), dtype=np.float32)
+    for t in range(2):
+        for p in range(128):
+            for q in range(128):
+                k = 128 * t + p - 64 - q + r
+                if 0 <= k < len(weights):
+                    cs[t, p, q] = weights[k]
+    return cs
+
+
+def _sep_fused_kernel_mxu_x3(
+    x_hbm, a_ref, c_ref, o_ref, scratch, xs, tmp, ts, sems, *,
+    tile_h: int, n_tiles: int, strip_rows: int, n_wtiles: int,
+    n_ctiles: int,
+):
+    """f32-exact MXU variant: both conv passes as banded matmuls on bf16
+    split triples.
+
+    The TPU MXU contracts bf16 natively (an f32 dot truncates operands to
+    bf16, ~1e-3 abs on [0,1] images — fine for rgba16f storage, not for
+    rgba32f).  Here every f32 operand is split into three bf16 terms
+    (exactly, 3 x 8 mantissa bits = f32's 24) and each conv pass runs the
+    six significant cross-products as bf16 dots accumulating in f32 —
+    full f32 precision at MXU speed, the image-kernel analog of the
+    bf16x3 matmul decomposition XLA uses for Precision.HIGHEST (which
+    Mosaic does not support inside kernels, hence hand-rolled)."""
+    ci = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def strip_dma(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        strip_dma(i, slot).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        strip_dma(i + 1, other).start()
+
+    strip_dma(i, slot).wait()
+
+    # Split the f32 strip into bf16 terms (each residual subtraction is
+    # exact in f32; the split terms land in dedicated bf16 scratch).
+    s = scratch[slot]
+    t0 = s.astype(jnp.bfloat16)
+    xs[0, :, :] = t0
+    s = s - t0.astype(jnp.float32)
+    t1 = s.astype(jnp.bfloat16)
+    xs[1, :, :] = t1
+    xs[2, :, :] = (s - t1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # H pass: tmp = A @ strip over the six split products (statement-wise
+    # ref accumulation keeps the VMEM stack flat).
+    tmp[:, :] = jnp.dot(a_ref[0], xs[0], preferred_element_type=jnp.float32)
+    for a, b in _X3_PAIRS[1:]:
+        tmp[:, :] += jnp.dot(a_ref[a], xs[b], preferred_element_type=jnp.float32)
+
+    # Split tmp for the W pass.
+    s = tmp[:, :]
+    t0 = s.astype(jnp.bfloat16)
+    ts[0, :, :] = t0
+    s = s - t0.astype(jnp.float32)
+    t1 = s.astype(jnp.bfloat16)
+    ts[1, :, :] = t1
+    ts[2, :, :] = (s - t1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # W pass: output tile j = tmp_tiles_{j..j+n_ctiles-1} @ [C_0; ...] over
+    # split products.  The C tiles are pre-concatenated along K so each
+    # (a, b) product is ONE (tile_h, 128 n_ctiles) x (128 n_ctiles, 128)
+    # dot — dot-dispatch count is what bounds this pass, not FLOPs.
+    kw = n_ctiles * 128
+    for j in range(n_wtiles):
+        acc = None
+        for a, b in _X3_PAIRS:
+            d = jnp.dot(
+                ts[a, :, j * 128 : j * 128 + kw],
+                c_ref[b],
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        o_ref[0, :, j * 128 : (j + 1) * 128] = acc
+
+
+def sep_conv_fused_mxu_x3(
+    x: jnp.ndarray,
+    wh: np.ndarray,
+    ww: np.ndarray,
+    mode: str = "edge",
+    tile_h: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """f32-exact separable conv with both passes on the MXU via bf16x3
+    splits (see _sep_fused_kernel_mxu_x3).  Same band/tile layout as
+    sep_conv_fused_mxu; requires rw <= 128."""
+    wh = np.asarray(wh, dtype=np.float32)
+    ww = np.asarray(ww, dtype=np.float32)
+    rh = (len(wh) - 1) // 2
+    rw = (len(ww) - 1) // 2
+    if rw > 128:
+        return sep_conv_fused(x, wh, ww, mode, tile_h, interpret)
+    c, h, w = x.shape
+    if rh == 0 and rw == 0:
+        return x * float(wh[0]) * float(ww[0])
+    pad_mode = "edge" if mode == "edge" else "constant"
+    h_pad = _round_up(h, tile_h)
+    strip_rows = _round_up(tile_h + 2 * rh, 8)
+    row_slack = strip_rows - (tile_h + 2 * rh)
+    w_out_pad = _round_up(w, 128)
+    n_wtiles = w_out_pad // 128
+    # Radius <= 64: the tap window fits two aligned lane tiles with a
+    # 64-lane left pad (one third less W-pass MXU work than 3-tile).
+    n_ctiles = 2 if rw <= 64 else 3
+    left = 64 if n_ctiles == 2 else 128
+    w_total = (n_wtiles + n_ctiles - 1) * 128
+    xp = jnp.pad(
+        x,
+        ((0, 0), (rh, rh + (h_pad - h) + row_slack), (left, w_total - w - left)),
+        mode=pad_mode,
+    )
+    n_tiles = h_pad // tile_h
+    a3 = jnp.asarray(_split3_np(_band_matrix_h(wh, tile_h, strip_rows)))
+    if n_ctiles == 2:
+        cmats = _band_matrices_w2(ww)
+    else:
+        cmats = np.stack(_band_matrices_w(ww))
+    # Concatenate the per-tile C matrices along K (split term b stays the
+    # leading axis): one dot per split product in the kernel's W pass.
+    c3 = jnp.asarray(
+        np.stack(
+            [
+                np.concatenate([_split3_np(m)[b] for m in cmats], axis=0)
+                for b in range(3)
+            ]
+        )
+    )
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda ci, i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    vmem_use = (
+        2 * strip_rows * w_total * 4
+        + 3 * _round_up(strip_rows, 16) * w_total * 2
+        + tile_h * w_total * 4
+        + 3 * _round_up(tile_h, 16) * w_total * 2
+        + 2 * tile_h * w_out_pad * 4
+        + strip_rows * w_total * 4  # split residual temporary
+        + 3 * tile_h * strip_rows * 2
+        + 3 * n_ctiles * 128 * 128 * 2
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _sep_fused_kernel_mxu_x3,
+            tile_h=tile_h,
+            n_tiles=n_tiles,
+            strip_rows=strip_rows,
+            n_wtiles=n_wtiles,
+            n_ctiles=n_ctiles,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, h_pad, w_out_pad), x.dtype),
+        grid=(c, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            const_spec((3, tile_h, strip_rows)),
+            const_spec((3, n_ctiles * 128, 128)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w_out_pad), lambda ci, i: (ci, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip_rows, w_total), jnp.float32),
+            pltpu.VMEM((3, strip_rows, w_total), jnp.bfloat16),
+            pltpu.VMEM((tile_h, w_total), jnp.float32),
+            pltpu.VMEM((3, tile_h, w_total), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_use + 4 * 1024 * 1024, 100 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(xp, a3, c3)
+    return out[:, :h, :w]
+
+
+def mxu_x3_tile_h(w: int, rh: int, rw: int) -> int | None:
+    """Largest tile_h whose f32-split MXU VMEM footprint fits, or None.
+
+    Budget: double-buffered f32 strips + their 3-term bf16 splits + the
+    f32 H-pass tmp + its bf16 splits + double-buffered f32 output blocks
+    + tap-matrix terms, against the same ~15.5 MB budget as fused_tile_h."""
+    if rw > 128:
+        return None
+    n_wtiles = _round_up(w, 128) // 128
+    n_ctiles = 2 if rw <= 64 else 3
+    w_total = (n_wtiles + n_ctiles - 1) * 128
+    # The x3 wrapper raises the Mosaic VMEM limit to its computed
+    # footprint (v5e has far more physical VMEM than the ~16 MB default
+    # scoped budget), so tile_h=128 — full MXU row utilization — fits at
+    # 4K; budget against a conservative 40 MB ceiling.
+    for tile_h in (128, 64, 32):
+        strip_rows = _round_up(tile_h + 2 * rh, 8)
+        sr16 = _round_up(strip_rows, 16)
+        strips = 2 * strip_rows * w_total * 4
+        xsplits = 3 * sr16 * w_total * 2
+        tmp = tile_h * w_total * 4
+        tsplits = 3 * _round_up(tile_h, 16) * w_total * 2
+        out = 2 * tile_h * n_wtiles * 128 * 4
+        temps = 2 * strip_rows * w_total * 4
+        consts = 3 * tile_h * strip_rows * 2 + 3 * n_ctiles * 128 * 128 * 2
+        use = strips + xsplits + tmp + tsplits + out + temps + consts
+        if use < 40 * 1024 * 1024:
+            return tile_h
+    return None
+
+
 # Above this width the in-VMEM transpose variant wins (measured: at 4K it
 # is ~25% faster; at 1080p the lane variant is ~25% faster).
 TRANSPOSE_MIN_WIDTH = 2560

@@ -412,3 +412,94 @@ class TestReloadSoak:
             np.asarray(eng._input_planar) * 4.0,
             atol=1e-5,
         )
+
+
+class TestReloadCaches:
+    def test_unfused_matches_fused(self, tmp_path):
+        eng, _ = make_engine(
+            tmp_path,
+            "input -> gs -> tone -> output\n"
+            "gs: gaussian { sigma: 1.5 }\ntone: tonemap { exposure: 1.2 }",
+        )
+        x = eng._file_input()
+        fused = np.asarray(eng.program(x, 0.25))
+        unfused = np.asarray(eng.program.run_unfused(x, 0.25))
+        np.testing.assert_allclose(unfused, fused, atol=1e-6)
+
+    def test_node_fns_reused_across_programs(self, tmp_path):
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        src = (
+            "input -> gs -> tone -> output\n"
+            "gs: gaussian { sigma: 1.5 }\ntone: tonemap { exposure: 1.2 }"
+        )
+        p1 = GraphProgram(build_graph(parse(src, expects_input=True)), 24, 16)
+        p2 = GraphProgram(build_graph(parse(src, expects_input=True)), 24, 16)
+        for layer1, layer2 in zip(p1.graph.layers, p2.graph.layers):
+            for n1, n2 in zip(layer1, layer2):
+                assert p1._node_fn(n1) is p2._node_fn(n2), n1.name
+
+    def test_fused_executable_reused_across_rebuilds(self, tmp_path):
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        src = "input -> vig -> output\nvig: vignette { strength: 0.3 }"
+        p1 = GraphProgram(build_graph(parse(src, expects_input=True)), 24, 16)
+        assert not p1.compile_cached()  # never compiled yet
+        p1.compile()
+        p2 = GraphProgram(build_graph(parse(src, expects_input=True)), 24, 16)
+        assert p2.compile_cached()
+        assert p2._compiled is p1._compiled
+        # A param change must NOT hit the cache.
+        src3 = "input -> vig -> output\nvig: vignette { strength: 0.7 }"
+        p3 = GraphProgram(build_graph(parse(src3, expects_input=True)), 24, 16)
+        assert not p3.compile_cached()
+
+    def test_warm_reedit_adopts_without_compile(self, tmp_path):
+        """Editing back to a previously compiled config swaps via the fused
+        cache (interim per-node stage skipped entirely)."""
+        eng, cfg = make_engine(
+            tmp_path, "input -> invert -> output", async_compile=True
+        )
+        eng.render_frame_blocking(0.0)
+        mt = utils.get_modified_time(cfg)
+        for text in (
+            "input -> passthrough -> output",
+            "input -> invert -> output",
+            "input -> passthrough -> output",
+        ):
+            write(cfg, text, bump_from=mt)
+            mt = utils.get_modified_time(cfg)
+            eng.trigger_reloads()
+            eng.wait_for_compiles()
+        # The final passthrough program must have adopted the SAME cached
+        # executable compiled for the first passthrough edit.
+        assert eng.program._compiled is not None
+        out = np.asarray(eng.render_frame_blocking(0.0))
+        np.testing.assert_allclose(out, np.asarray(eng._input_planar), atol=1e-6)
+        eng.close()
+
+    def test_kernel_spec_cache_by_source(self, tmp_path):
+        from reforge_tpu.kernels.loader import load_kernel_file
+
+        path = tmp_path / "k.py"
+        path.write_text(
+            "from reforge_tpu.kernels.base import kernel\n"
+            "@kernel('k')\n"
+            "def k(ctx, input_image):\n"
+            "    return input_image * 0.5\n"
+        )
+        s1 = load_kernel_file(str(path))
+        s2 = load_kernel_file(str(path))
+        assert s1 is s2  # unchanged source -> same spec object
+        path.write_text(
+            "from reforge_tpu.kernels.base import kernel\n"
+            "@kernel('k')\n"
+            "def k(ctx, input_image):\n"
+            "    return input_image * 0.25\n"
+        )
+        s3 = load_kernel_file(str(path))
+        assert s3 is not s1
