@@ -92,6 +92,12 @@ def _use_pallas() -> bool:
     return pallas_ops.pallas_available()
 
 
+# Combined (H + W) tap count above which the f32-exact bf16x3 MXU conv
+# beats the VPU fused kernel (whose cost scales per tap); measured on v5e
+# at 4K (BENCH.md).
+X3_MIN_TAPS = 56
+
+
 def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
              prefer_mxu: bool = False) -> jnp.ndarray:
     """Separable 2-D convolution: 1-D pass along H then along W.
@@ -128,6 +134,20 @@ def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
                         xk, wh_arr, ww_arr, tile_h=tile_h
                     )
                     return out.astype(x.dtype)
+            if (
+                x.dtype == jnp.float32
+                and len(wh_arr) + len(ww_arr) >= X3_MIN_TAPS
+            ):
+                # Large radii: the bf16x3 split MXU kernel's cost is nearly
+                # tap-count-independent (banded matmuls), while the VPU
+                # kernel pays ~per-tap; crossover measured at ~50 combined
+                # taps on v5e (BENCH.md).  Full f32 accuracy (6-product
+                # Dekker split).
+                tile_h = pallas_ops.mxu_x3_tile_h(x.shape[2], rh, rw)
+                if tile_h is not None:
+                    return pallas_ops.sep_conv_fused_mxu_x3(
+                        x, wh_arr, ww_arr, tile_h=tile_h
+                    )
             tile_h = pallas_ops.fused_tile_h(x.shape[2], rh, rw)
             if tile_h is not None:
                 return pallas_ops.sep_conv_fused(x, wh_arr, ww_arr, tile_h=tile_h)

@@ -215,3 +215,38 @@ class TestStencilEngine:
         assert pallas_ops.stencil_tile_h(1920, 1, 1, temps=3) == 128
         # Pathological temp pressure falls back to the jnp path.
         assert pallas_ops.stencil_tile_h(3840, 1, 1, temps=200) is None
+
+
+class TestMxuX3Variant:
+    """f32-exact bf16x3-split MXU conv: the Dekker-style decomposition must
+    match the pure-f32 path to float32 rounding noise (~1-2 ulp)."""
+
+    def test_matches_sep_conv_f32_exact(self):
+        x = rand(h=96, w=200, seed=9)
+        w = ops.gaussian_weights(4.0)
+        got = pallas_ops.sep_conv_fused_mxu_x3(x, w, w, tile_h=32, interpret=True)
+        want = ops.sep_conv(x, w, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-7)
+
+    def test_three_tile_band_and_zero_mode(self):
+        # rw > 64 exercises the generic 3-lane-tile W band.
+        x = rand(h=64, w=300, seed=10)
+        wh = ops.gaussian_weights(2.0)
+        ww = ops.gaussian_weights(22.0)  # r = 66
+        got = pallas_ops.sep_conv_fused_mxu_x3(
+            x, wh, ww, mode="zero", tile_h=32, interpret=True
+        )
+        want = pallas_ops.sep_conv(x, wh, ww, mode="zero", interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_split3_reconstructs_f32(self):
+        rng = np.random.default_rng(11)
+        m = (rng.random((64, 64)).astype(np.float32) - 0.5) * 100.0
+        terms = pallas_ops._split3_np(m)
+        back = sum(t.astype(np.float64) for t in terms)
+        # 3 x 8 mantissa bits cover f32's 24: reconstruction is (near) exact.
+        np.testing.assert_allclose(back, m.astype(np.float64), rtol=2e-24, atol=1e-30)
+
+    def test_x3_tile_h_model(self):
+        assert pallas_ops.mxu_x3_tile_h(3840, 12, 12) in (128, 64, 32)
+        assert pallas_ops.mxu_x3_tile_h(3840, 12, 200) is None  # rw > 128
