@@ -259,3 +259,5 @@ class Shader:
     frag_outputs: list = dataclasses.field(default_factory=list)  # names
     frag_inputs: list = dataclasses.field(default_factory=list)  # (type, name)
     structs: dict = dataclasses.field(default_factory=dict)  # name -> [(type, field)]
+    # Workgroup-shared arrays: (elem_type, name, size, line) tuples.
+    shared: list = dataclasses.field(default_factory=list)

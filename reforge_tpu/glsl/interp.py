@@ -167,6 +167,31 @@ class Interp:
             if init is None:
                 init = jnp.zeros((size,), jnp.float32)
             self.buffers[ssbo.block_name] = init
+        # Workgroup-shared arrays, lowered to per-workgroup planes: one
+        # flattened (n_groups * size,) f32 array per declaration, indexed
+        # by group_id * size + element.  The vectorized whole-image model
+        # executes every statement for all invocations before the next, a
+        # strictly stronger guarantee than barrier(), so barriers lower to
+        # no-ops (barrier inside non-uniform control flow is UB in GLSL).
+        # Reference compiles any such shader via shaderc
+        # (src/vulkan/shader.rs:73-93); this covers the tile-reduction /
+        # histogram idiom for the GLSL subset.
+        self.shared_members: dict[str, tuple[str, int]] = {}
+        self.shared_state: dict[str, Any] = {}
+        self._gids: Optional[Any] = None
+        if shader.shared:
+            lsx, lsy, _ = shader.local_size
+            groups = (-(-self.w // lsx)) * (-(-self.global_h // lsy))
+            for elem, sname, size, sline in shader.shared:
+                if groups * size > 64 * 1024 * 1024:
+                    raise GlslError(
+                        f"shared array '{sname}': {groups} workgroups x "
+                        f"{size} elements exceeds the lowering budget "
+                        f"(raise local_size or shrink the array)",
+                        sline,
+                    )
+                self.shared_members[sname] = (elem, size)
+                self.shared_state[sname] = jnp.zeros((groups * size,), jnp.float32)
         # Active lane mask (None = all lanes), combined with function
         # return masks at write time.
         self.mask: Optional[Any] = None
@@ -220,6 +245,9 @@ class Interp:
         )
         self.globals["gl_WorkGroupID"] = Val(
             "uvec3", [gx.data // lsx, gy.data // lsy, 0]
+        )
+        self.globals["gl_LocalInvocationIndex"] = Val(
+            "uint", (gy.data % lsy) * lsx + gx.data % lsx
         )
         for ubo in self.shader.ubos:
             for m in ubo.members:
@@ -928,6 +956,8 @@ class Interp:
                 return Val("ssbo", (block, e.name))
             if e.name in self.ssbo_instances:
                 return Val("ssbo_block", self.ssbo_instances[e.name])
+            if e.name in self.shared_members:
+                return Val("shared", e.name)
             raise GlslError(f"undeclared identifier '{e.name}'", e.line)
         return v
 
@@ -994,6 +1024,8 @@ class Interp:
         idx = self.eval_expr(e.index, scope)
         if base.type == "ssbo":
             return self._ssbo_read(base.data, idx, e.line)
+        if base.type == "shared":
+            return self._shared_read(base.data, idx, e.line)
         if base.type.startswith("array"):
             if not is_static(idx.data):
                 raise GlslError("array index must be uniform", e.line)
@@ -1198,6 +1230,9 @@ class Interp:
             idx = self.eval_expr(target.index, scope)
             if base_old.type == "ssbo":
                 self._ssbo_write(base_old.data, idx, value, scope, line)
+                return
+            if base_old.type == "shared":
+                self._shared_write(base_old.data, idx, value, scope, line)
                 return
             if not is_static(idx.data):
                 raise GlslError("store through non-uniform index", line)
@@ -1533,6 +1568,16 @@ class Interp:
             return self._image_load(arg_exprs[:2], scope, line)
         if name == "atomicAdd":
             return self._atomic_add(arg_exprs, scope, line)
+        if name in (
+            "barrier", "memoryBarrier", "memoryBarrierShared",
+            "memoryBarrierBuffer", "memoryBarrierImage", "groupMemoryBarrier",
+        ):
+            # The vectorized whole-image model executes each statement for
+            # ALL invocations before the next statement — sequentially
+            # consistent, strictly stronger than any barrier; these lower
+            # to no-ops.  (barrier() inside non-uniform control flow is UB
+            # in GLSL, so masked execution needs no special case.)
+            return Val("void", None)
         from .builtins import BUILTIN_FUNCS
 
         fn = BUILTIN_FUNCS.get(name)
@@ -1869,8 +1914,75 @@ class Interp:
         if 0 <= i < size:
             self.buffers[block] = self.buffers[block].at[i].set(v)
 
+    # ---- workgroup-shared arrays ----------------------------------------
+
+    def _group_ids(self):
+        """(H, W) int32 plane of flattened workgroup ids (global coords)."""
+        if self._gids is None:
+            lsx, lsy, _ = self.shader.local_size
+            groups_x = -(-self.w // lsx)
+            ys = self._as_i32(self._iota("y"))
+            off = self.row_offset
+            if not (isinstance(off, int) and off == 0):
+                ys = ys + jnp.asarray(off, jnp.int32)
+            xs = self._as_i32(self._iota("x"))
+            self._gids = (ys // lsy) * groups_x + xs // lsx
+        return self._gids
+
+    def _shared_fid(self, name: str, idx: "Val"):
+        """(flat index plane, in-bounds mask) for shared[idx] per pixel."""
+        _, size = self.shared_members[name]
+        ii = self._as_i32(idx.data)
+        if is_static(idx.data):
+            ii = jnp.full((self.h, self.w), int(idx.data), jnp.int32)
+        else:
+            ii = jnp.broadcast_to(ii, (self.h, self.w))
+        inb = (ii >= 0) & (ii < size)
+        fid = self._group_ids() * size + jnp.clip(ii, 0, size - 1)
+        return fid, inb
+
+    def _shared_read(self, name: str, idx: "Val", line: int) -> Val:
+        self.stats["gather"] = True
+        elem, _ = self.shared_members[name]
+        fid, inb = self._shared_fid(name, idx)
+        v = jnp.where(inb, self.shared_state[name][fid], 0.0)
+        if elem != "float":
+            v = v.astype(jnp.int32 if elem == "int" else jnp.uint32)
+        return Val(elem, v)
+
+    def _shared_write(self, name: str, idx: "Val", value: Val, scope, line: int):
+        """Plain store: per-pixel scatter.  Two invocations of the SAME
+        workgroup writing one slot is UB in GLSL; an arbitrary writer wins
+        here (XLA scatter tie-break)."""
+        self.stats["gather"] = True
+        elem, size = self.shared_members[name]
+        value = self.convert(value, elem, line)
+        vv = self._as_array(value.data, "float").astype(jnp.float32)
+        vv = jnp.broadcast_to(vv, (self.h, self.w))
+        fid, inb = self._shared_fid(name, idx)
+        mask = self._effective_mask(scope)
+        keep = inb if mask is None else jnp.logical_and(inb, mask)
+        total = self.shared_state[name].shape[0]
+        fid = jnp.where(keep, fid, total)  # OOB/masked -> dropped
+        self.shared_state[name] = self.shared_state[name].at[fid.ravel()].set(
+            vv.ravel(), mode="drop"
+        )
+
+    def _shared_atomic_add(self, name: str, idx: "Val", val: Val, scope, line: int) -> Val:
+        self.stats["gather"] = True
+        fid, inb = self._shared_fid(name, idx)
+        vv = self._as_array(self.convert(val, "float", line).data, "float")
+        vv = jnp.broadcast_to(vv, (self.h, self.w))
+        mask = self._effective_mask(scope)
+        keep = inb if mask is None else jnp.logical_and(inb, mask)
+        contrib = jnp.where(keep, vv, 0.0)
+        self.shared_state[name] = self.shared_state[name].at[fid.ravel()].add(
+            contrib.ravel()
+        )
+        return Val("float", 0.0)
+
     def _atomic_add(self, arg_exprs: list, scope, line: int) -> Val:
-        """atomicAdd(buffer.member[idx], val): per-pixel scatter-add.
+        """atomicAdd(buffer.member[idx] | shared[idx], val): scatter-add.
 
         Compiles to one segment-sum over the pixel grid per call site;
         masked lanes contribute zero.  Returns 0 (the pre-add value is
@@ -1879,6 +1991,10 @@ class Interp:
         if len(arg_exprs) != 2 or not isinstance(arg_exprs[0], ast.Index):
             raise GlslError("atomicAdd(ssbo_member[index], value)", line)
         target = self.eval_expr(arg_exprs[0].expr, scope)
+        if target.type == "shared":
+            idx = self.eval_expr(arg_exprs[0].index, scope)
+            val = self.eval_expr(arg_exprs[1], scope)
+            return self._shared_atomic_add(target.data, idx, val, scope, line)
         if target.type != "ssbo":
             raise GlslError("atomicAdd target must be an SSBO member element", line)
         block, member = target.data

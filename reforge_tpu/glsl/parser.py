@@ -84,6 +84,7 @@ class Parser:
         ubos: list[ast.UboDecl] = []
         ssbos: list[ast.SsboDecl] = []
         globals_: list[ast.Decl] = []
+        shared: list[tuple] = []
         functions: dict[str, ast.FuncDecl] = {}
         self.structs: dict[str, list] = {}  # name -> [(type, field), ...]
 
@@ -105,7 +106,8 @@ class Parser:
                     self.next()
                 continue
             if t.text == "shared":
-                raise GlslError("shared memory is not supported", t.line)
+                shared.append(self.parse_shared_decl())
+                continue
             if t.text in ("in", "out"):
                 self.parse_stage_io(t.text)
                 continue
@@ -133,7 +135,29 @@ class Parser:
             frag_outputs=self.frag_outputs,
             frag_inputs=self.frag_inputs,
             structs=dict(self.structs),
+            shared=shared,
         )
+
+    def parse_shared_decl(self) -> tuple:
+        """``shared <scalar-type> name[SIZE];`` — a workgroup-shared array."""
+        t = self.expect("shared")
+        type_tok = self.expect_ident()
+        if type_tok.text not in ("float", "int", "uint"):
+            raise GlslError(
+                f"shared arrays must be float/int/uint (got {type_tok.text})",
+                type_tok.line,
+            )
+        name_tok = self.expect_ident()
+        self.expect("[")
+        size_tok = self.next()
+        if size_tok.kind != "int":
+            raise GlslError("shared array size must be a literal", size_tok.line)
+        self.expect("]")
+        self.expect(";")
+        size = int(size_tok.text.rstrip("uU"))
+        if size <= 0:
+            raise GlslError("shared array size must be positive", size_tok.line)
+        return (type_tok.text, name_tok.text, size, t.line)
 
     def parse_struct_decl(self) -> None:
         """struct Name { type field; ... };"""

@@ -1223,3 +1223,109 @@ class TestCPrecedence:
         np.testing.assert_allclose(o[0], 1.0, atol=1e-6)
         np.testing.assert_allclose(o[1], 0.1, atol=1e-6)
         np.testing.assert_allclose(o[2], 1.0, atol=1e-6)
+
+
+class TestSharedMemory:
+    """Workgroup-shared arrays + barrier(): the tile-reduction idiom."""
+
+    HIST_SHARED = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1) buffer Hist { float bins[16]; };
+shared float local_hist[16];
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    uint lid = gl_LocalInvocationIndex;
+    if (lid < 16u) {
+        local_hist[lid] = 0.0;
+    }
+    barrier();
+    vec4 c = imageLoad(input_image, pos);
+    int bin = clamp(int(c.r * 16.0), 0, 15);
+    atomicAdd(local_hist[bin], 1.0);
+    barrier();
+    if (lid < 16u) {
+        atomicAdd(bins[lid], local_hist[lid]);
+    }
+}
+"""
+
+    HIST_GLOBAL = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1) buffer Hist { float bins[16]; };
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    int bin = clamp(int(c.r * 16.0), 0, 15);
+    atomicAdd(bins[bin], 1.0);
+}
+"""
+
+    def test_shared_histogram_matches_global(self):
+        spec_s = translate_shader(self.HIST_SHARED, "hist_shared")
+        spec_g = translate_shader(self.HIST_GLOBAL, "hist_global")
+        rng = np.random.default_rng(3)
+        h, w = 32, 48  # multiples of local_size: all workgroups full
+        img = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+        ctx = KernelContext(width=w, height=h)
+        got = np.asarray(spec_s(ctx, {"input_image": img}, {})["Hist"])
+        want = np.asarray(spec_g(ctx, {"input_image": img}, {})["Hist"])
+        np.testing.assert_array_equal(got, want)
+        assert got.sum() == h * w
+
+    def test_shared_plain_store_and_read(self):
+        # One invocation per group writes; all invocations read it back.
+        src = """
+#version 450
+layout (local_size_x = 8, local_size_y = 8) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+shared float corner[1];
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    uint lid = gl_LocalInvocationIndex;
+    if (lid == 0u) {
+        corner[0] = imageLoad(input_image, pos).r;
+    }
+    barrier();
+    imageStore(output_image, pos, vec4(corner[0], 0.0, 0.0, 1.0));
+}
+"""
+        spec = translate_shader(src, "corner_fill")
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.random((4, 16, 16), dtype=np.float32))
+        ctx = KernelContext(width=16, height=16)
+        out = np.asarray(spec(ctx, {"input_image": img}, {})["output_image"])
+        x = np.asarray(img)[0]
+        # Every pixel sees its workgroup's (0,0) corner value.
+        for ty in range(2):
+            for tx in range(2):
+                np.testing.assert_allclose(
+                    out[0, ty*8:(ty+1)*8, tx*8:(tx+1)*8], x[ty*8, tx*8],
+                    atol=1e-6,
+                )
+
+    def test_shared_marks_unshardable(self):
+        spec = translate_shader(self.HIST_SHARED, "hist_shared2")
+        assert spec.halo_for({}) is None
+
+    def test_shared_oob_budget_diagnostic(self):
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+shared float big[1048576];
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    imageStore(output_image, pos, vec4(big[0]));
+}
+"""
+        # local_size (1,1): one group per pixel -> budget exceeded.
+        spec = translate_shader(src, "big_shared")
+        ctx = KernelContext(width=64, height=64)
+        img = jnp.zeros((4, 64, 64), jnp.float32)
+        with pytest.raises(GlslError, match="lowering budget"):
+            spec(ctx, {"input_image": img}, {})
