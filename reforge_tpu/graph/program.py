@@ -94,6 +94,7 @@ class GraphProgram:
         self.fmt = fmt
         self.storage_dtype = self.STORAGE_DTYPES.get(fmt, jnp.float32)
         self._fused = jax.jit(self._forward)
+        self._strip_plan = self._plan_strip_fusion()
         self._node_fns: dict[str, Any] = {}
         self._compiled = None  # AOT executable from compile()
         # Interim mode after a live edit: render via cached per-node
@@ -166,13 +167,197 @@ class GraphProgram:
         resources: dict[str, Any] = {
             FILE_INPUT: file_input.astype(self.storage_dtype)
         }
+        strip = self._strip_fused_forward(resources[FILE_INPUT], t)
+        if strip is not None:
+            return strip
         for layer in self.graph.layers:
-            for node in layer:
+            bundles, singles = self._bundle_groups(layer)
+            for res, items in bundles:
+                self._run_bundle(res, items, ctx, resources)
+            for node in singles:
                 resources.update(self._run_node(node, ctx, resources))
         out = resources.get(FINAL_OUTPUT)
         if out is None:
             raise GraphTraceError("no node wrote the final output")
         return out
+
+    def _plan_strip_fusion(self):
+        """Static eligibility for whole-graph strip fusion: every node is
+        either a separable conv of FILE_INPUT (conv_weights +
+        conv_epilogue_cw) or a channel-local pointwise kernel (cw_fn,
+        halo 0, images only).  Returns (conv_items, pointwise_nodes) in
+        topological order, or None.
+
+        When eligible, the graph executes as ONE Pallas kernel
+        (pallas_ops.graph_strip_fused): intermediates never touch HBM —
+        the TPU-native answer to the reference's one-dispatch-per-node
+        command buffer (command.rs:166-242)."""
+        from ..kernels import ops as _ops
+
+        if self.fmt == "rgba16f":
+            return None  # bf16 storage prefers the MXU single-pass convs
+        conv_items: list = []
+        pointwise: list = []
+        for layer in self.graph.layers:
+            for node in layer:
+                spec = node.spec
+                if len(node.outputs) != 1 or spec.ssbos_in or spec.ssbos_out:
+                    return None
+                is_conv = (
+                    spec.conv_weights is not None
+                    and spec.conv_epilogue_cw is not None
+                    and len(node.inputs) == 1
+                    and node.inputs[0][0] == FILE_INPUT
+                    and spec.border_for(node.params) == "edge"
+                )
+                if is_conv:
+                    plan = spec.conv_weights(node.params)
+                    if plan is not None:
+                        taps = len(plan[0]) + len(plan[1])
+                        if not (4 <= taps < _ops.X3_MIN_TAPS):
+                            plan = None
+                    if plan is not None:
+                        conv_items.append((node, plan))
+                        continue
+                if (
+                    spec.cw_fn is not None
+                    and spec.halo_for(node.params) == 0
+                    and node.inputs
+                ):
+                    pointwise.append(node)
+                    continue
+                return None
+        if not conv_items:
+            return None  # pointwise-only graphs fuse fine under plain XLA
+        return (conv_items, pointwise)
+
+    def _strip_fused_forward(self, file_input, t):
+        """Run the whole graph as one strip-fused Pallas kernel, or return
+        None when the static plan or runtime gates say no."""
+        from ..kernels import ops as _ops
+        from ..kernels import pallas_ops
+
+        if self._strip_plan is None or not _ops._use_pallas():
+            return None
+        if self.width < pallas_ops.TRANSPOSE_MIN_WIDTH:
+            return None
+        conv_items, pointwise = self._strip_plan
+        plans = [plan for _, plan in conv_items]
+        tile_h = pallas_ops.multi_tile_h(
+            self.width,
+            [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans],
+            len(plans),
+        )
+        if tile_h is None:
+            return None
+
+        width, height, fmt = self.width, self.height, self.fmt
+
+        def store_cw(v):
+            if fmt == "rgba8":
+                return quantize_rgba8(v)
+            return v
+
+        def epilogue(ci, row0, t_s, xin, blurs):
+            ctx = KernelContext(
+                width=width, height=height, time=t_s, fmt=fmt,
+                row_offset=row0, local_height=xin.shape[0],
+            )
+            res = {FILE_INPUT: xin}
+            for (node, _), blur in zip(conv_items, blurs):
+                v = node.spec.conv_epilogue_cw(ctx, ci, xin, blur, node.params)
+                res[node.outputs[0][0]] = store_cw(v)
+            for node in pointwise:
+                ins = {desc: res[r] for r, desc in node.inputs}
+                v = node.spec.cw_fn(ctx, ci, ins, node.params)
+                res[node.outputs[0][0]] = store_cw(v)
+            return res[FINAL_OUTPUT]
+
+        return pallas_ops.graph_strip_fused(
+            file_input, t, plans, epilogue, tile_h=tile_h
+        )
+
+    def _bundle_groups(self, layer) -> tuple[list, list]:
+        """Group same-layer separable-conv nodes by shared input resource.
+
+        The VPU tap loop is VMEM-load-bound (BENCH.md), so convolutions of
+        the SAME input run as one multi-output Pallas kernel that pays the
+        input strip loads/DMA once (pallas_ops.sep_conv_fused_multi) —
+        the classic blur+sharpen fan-out costs one conv, not two.  Only
+        active on the TPU fused path with f32 compute; every other path
+        (CPU, rgba16f MXU storage, per-node timing, halo sharding) keeps
+        per-node execution, which is numerically identical.
+        """
+        from ..kernels import ops as _ops
+        from ..kernels import pallas_ops
+
+        if len(layer) < 2 or self.fmt == "rgba16f" or not _ops._use_pallas():
+            return [], list(layer)
+        if self.width < pallas_ops.TRANSPOSE_MIN_WIDTH:
+            return [], list(layer)
+        groups: dict[str, list] = {}
+        singles: list = []
+        for node in layer:
+            spec = node.spec
+            plan = None
+            if (
+                spec.conv_weights is not None
+                and len(node.inputs) == 1
+                and len(node.outputs) == 1
+                and not spec.ssbos_in
+                and not spec.ssbos_out
+                and spec.border_for(node.params) == "edge"
+            ):
+                plan = spec.conv_weights(node.params)
+            if plan is not None:
+                wh, ww = plan
+                taps = len(wh) + len(ww)
+                # Degenerate (identity) convs run as plain nodes; very
+                # large radii route to the f32-exact MXU kernel instead.
+                if taps < 4 or taps >= _ops.X3_MIN_TAPS:
+                    plan = None
+            if plan is None:
+                singles.append(node)
+            else:
+                groups.setdefault(node.inputs[0][0], []).append((node, plan))
+        bundles = []
+        for res, items in groups.items():
+            if len(items) >= 2:
+                bundles.append((res, items))
+            else:
+                singles.append(items[0][0])
+        return bundles, singles
+
+    def _run_bundle(self, res: str, items: list, ctx, resources: dict) -> None:
+        from ..kernels import pallas_ops
+
+        value = resources.get(res)
+        if value is None:
+            raise GraphTraceError(
+                f"bundled nodes read resource '{res}' before it is written"
+            )
+        xin = self.compute_input(value)
+        plans = [plan for _, plan in items]
+        tile_h = pallas_ops.multi_tile_h(
+            self.width,
+            [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans],
+            len(plans),
+        )
+        if tile_h is None:  # VMEM model says no: run per node
+            for node, _ in items:
+                resources.update(self._run_node(node, ctx, resources))
+            return
+        blurs = pallas_ops.sep_conv_fused_multi(xin, plans, tile_h=tile_h)
+        for (node, _), blurred in zip(items, blurs):
+            out = node.spec.conv_epilogue(ctx, xin, blurred, node.params)
+            out_res, _desc = node.outputs[0]
+            expected = (4, self.height, self.width)
+            if tuple(out.shape) != expected:
+                raise GraphTraceError(
+                    f"bundled kernel '{node.spec.name}' output has shape "
+                    f"{tuple(out.shape)}, expected {expected}"
+                )
+            resources[out_res] = self.store_output(out)
 
     # ---- execution ------------------------------------------------------
 

@@ -150,6 +150,23 @@ class KernelSpec:
     border: Callable[[Mapping[str, Any]], str] = lambda params: "edge"
     source_path: Optional[str] = None
     doc: str = ""
+    # Separable-conv structure, when the kernel IS one: conv_weights(params)
+    # returns (wh, ww) tap vectors (or None to opt out for these params) and
+    # conv_epilogue(ctx, input_image, blurred, params) produces the node's
+    # output from the blur result.  The graph program bundles same-input
+    # conv nodes into ONE multi-output Pallas kernel using this (the VPU tap
+    # loop is load-bound, so convs sharing an input share its strip loads —
+    # see pallas_ops.sep_conv_fused_multi).
+    conv_weights: Optional[Callable[[Mapping[str, Any]], Optional[tuple]]] = None
+    conv_epilogue: Optional[Callable[..., Any]] = None
+    # Channel-local forms for whole-graph strip fusion: cw_fn(ctx, ci,
+    # ins, params) -> (h, w) block computes ONE channel plane (ci is a
+    # traced channel index; channel-dependent behavior uses jnp.where).
+    # conv_epilogue_cw(ctx, ci, x_c, blurred_c, params) is the channel
+    # form of conv_epilogue.  Kernels with these fuse into the strip
+    # megakernel (graph/program.py) — the whole graph in one Pallas pass.
+    cw_fn: Optional[Callable[..., Any]] = None
+    conv_epilogue_cw: Optional[Callable[..., Any]] = None
 
     # ---- reflection (the SPIR-V descriptor-enumeration analog) ---------
 

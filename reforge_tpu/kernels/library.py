@@ -31,6 +31,7 @@ from .ops import (
     conv2d,
     gaussian_blur,
     gaussian_radius,
+    gaussian_weights,
     luma,
     map_rgb,
     sample_bilinear,
@@ -119,6 +120,15 @@ def tonemap(ctx, input_image, *, exposure=1.0, aces=True):
     return map_rgb(input_image, lambda rgb: f(rgb * exposure))
 
 
+def _tonemap_cw(ctx, ci, ins, p):
+    x = ins["input_image"]
+    f = _aces if p["aces"] else _reinhard
+    return jnp.where(ci < 3, f(x * p["exposure"]), x)
+
+
+tonemap.cw_fn = _tonemap_cw
+
+
 # ---- convolutions -------------------------------------------------------
 
 
@@ -160,6 +170,57 @@ def sharpen(ctx, input_image, *, amount=1.0):
 def unsharp(ctx, input_image, *, sigma=2.0, amount=0.8):
     blurred = gaussian_blur(input_image, sigma, prefer_mxu=_mxu_ok(ctx))
     return map_rgb(input_image, lambda rgb: rgb + amount * (rgb - blurred[:3]))
+
+
+# Separable-conv structure annotations: same-input conv nodes bundle into
+# one multi-output Pallas kernel (graph/program.py; the tap loop is
+# load-bound so the bundle pays the input strip loads once).
+def _gauss_plan(p):
+    if p["sigma"] <= 0:
+        return None
+    w = gaussian_weights(p["sigma"])
+    return (w, w)
+
+
+def _box_plan(p):
+    if int(p["radius"]) <= 0:
+        return None
+    w = box_weights(int(p["radius"]))
+    return (w, w)
+
+
+gaussian.conv_weights = _gauss_plan
+gaussian.conv_epilogue = lambda ctx, x, blurred, p: blurred
+blur.conv_weights = _gauss_plan
+blur.conv_epilogue = lambda ctx, x, blurred, p: blurred
+box_blur.conv_weights = _box_plan
+box_blur.conv_epilogue = lambda ctx, x, blurred, p: blurred
+
+
+def _unsharp_plan(p):
+    if p["sigma"] <= 0:
+        return None
+    w = gaussian_weights(p["sigma"])
+    return (w, w)
+
+
+def _unsharp_epilogue(ctx, x, blurred, p):
+    amount = p["amount"]
+    return map_rgb(x, lambda rgb: rgb + amount * (rgb - blurred[:3]))
+
+
+unsharp.conv_weights = _unsharp_plan
+unsharp.conv_epilogue = _unsharp_epilogue
+
+# Channel-local forms (strip megakernel fusion; ci is a traced channel
+# index, so rgb-vs-alpha behavior selects with jnp.where — both sides are
+# elementwise and cheap in-kernel).
+gaussian.conv_epilogue_cw = lambda ctx, ci, x, b, p: b
+blur.conv_epilogue_cw = lambda ctx, ci, x, b, p: b
+box_blur.conv_epilogue_cw = lambda ctx, ci, x, b, p: b
+unsharp.conv_epilogue_cw = lambda ctx, ci, x, b, p: jnp.where(
+    ci < 3, x + p["amount"] * (x - b), x
+)
 
 
 @kernel("sobel", halo=lambda p: 1)
@@ -219,6 +280,12 @@ def mix(ctx, input_image, input_image2, *, factor=0.5):
     return input_image + (input_image2 - input_image) * factor
 
 
+mix.cw_fn = lambda ctx, ci, ins, p: (
+    ins["input_image"]
+    + (ins["input_image2"] - ins["input_image"]) * p["factor"]
+)
+
+
 # "blend" is the same kernel under the reference README's name.
 import dataclasses as _dc  # noqa: E402
 
@@ -258,18 +325,57 @@ def difference(ctx, input_image, input_image2):
     return map_rgb(input_image, lambda rgb: jnp.abs(rgb - input_image2[:3]))
 
 
+def _cw_rgb(fn):
+    """Channel-local wrapper: apply fn to rgb planes, pass alpha through."""
+
+    def cw(ctx, ci, ins, p):
+        x = ins["input_image"]
+        return jnp.where(ci < 3, fn(x, ins, p), x)
+
+    return cw
+
+
+invert.cw_fn = _cw_rgb(lambda x, ins, p: 1.0 - x)
+exposure.cw_fn = _cw_rgb(lambda x, ins, p: x * (2.0 ** p["stops"]))
+gamma.cw_fn = _cw_rgb(
+    lambda x, ins, p: jnp.maximum(x, 0.0) ** (1.0 / max(p["value"], 1e-6))
+)
+brightness_contrast.cw_fn = _cw_rgb(
+    lambda x, ins, p: (x - 0.5) * p["contrast"] + 0.5 + p["brightness"]
+)
+add.cw_fn = _cw_rgb(lambda x, ins, p: x + p["scale"] * ins["input_image2"])
+multiply.cw_fn = _cw_rgb(lambda x, ins, p: x * ins["input_image2"])
+screen.cw_fn = _cw_rgb(
+    lambda x, ins, p: 1.0 - (1.0 - x) * (1.0 - ins["input_image2"])
+)
+difference.cw_fn = _cw_rgb(lambda x, ins, p: jnp.abs(x - ins["input_image2"]))
+
+
 # ---- spatial / generative ----------------------------------------------
 
 
-@kernel("vignette")
-def vignette(ctx, input_image, *, strength=0.5, radius=0.75):
+def _vignette_fade(ctx, strength, radius):
     h, w = ctx.height, ctx.width
     ys, xs = ops.grid_coords(ctx)
     ny = (ys.astype(jnp.float32) / max(h - 1, 1)) * 2.0 - 1.0
     nx = (xs.astype(jnp.float32) / max(w - 1, 1)) * 2.0 - 1.0
     d = jnp.sqrt(nx * nx + ny * ny)
-    fade = 1.0 - strength * smoothstep(radius, 1.42, d)
+    return 1.0 - strength * smoothstep(radius, 1.42, d)
+
+
+@kernel("vignette")
+def vignette(ctx, input_image, *, strength=0.5, radius=0.75):
+    fade = _vignette_fade(ctx, strength, radius)
     return map_rgb(input_image, lambda rgb: rgb * fade[None])
+
+
+def _vignette_cw(ctx, ci, ins, p):
+    x = ins["input_image"]
+    fade = _vignette_fade(ctx, p["strength"], p["radius"])
+    return jnp.where(ci < 3, x * fade, x)
+
+
+vignette.cw_fn = _vignette_cw
 
 
 @kernel("pixelate", halo=lambda p: None)

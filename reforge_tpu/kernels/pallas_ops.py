@@ -138,7 +138,7 @@ def sep_conv(
 
 
 def _sep_fused_kernel(
-    x_hbm, o_ref, scratch, tmp, tmp_t, sems, *,
+    x_hbm, o_ref, scratch, tmp, tmp_t, acc_t, sems, *,
     weights_h: tuple, weights_w: tuple, tile_h: int, out_w: int,
     n_tiles: int, strip_rows: int,
 ):
@@ -177,21 +177,76 @@ def _sep_fused_kernel(
 
     strip_dma(i, slot).wait()
 
-    # Conv along H: (tile_h, W + 2r_w) from the strip's sublane shifts.
-    tmp[:, :] = scratch[slot, 0:tile_h, :] * weights_h[0]
-    for k, w in enumerate(weights_h[1:], start=1):
-        if w == 0.0:
-            continue
-        tmp[:, :] += scratch[slot, k : k + tile_h, :] * w
+    # Conv along H with the register-blocked tap schedule (_blocked_taps):
+    # ~25% faster than per-tap ref slicing at 4K (BENCH.md).
+    _blocked_taps(
+        lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L],
+        lambda ki, r, n, c, L, acc: tmp.__setitem__(
+            (slice(r, r + n), slice(c, c + L)), acc
+        ),
+        tile_h,
+        tmp.shape[1],
+        [weights_h],
+    )
 
-    # Conv along W as sublane shifts of the transposed strip.
+    # Conv along W as sublane shifts of the transposed strip, same
+    # schedule, then one transpose back into the output block.
     tmp_t[:, :] = tmp[:, :].T
-    acc = tmp_t[0:out_w, :] * weights_w[0]
-    for k, w in enumerate(weights_w[1:], start=1):
-        if w == 0.0:
-            continue
-        acc += tmp_t[k : k + out_w, :] * w
-    o_ref[0, :, :] = acc.T
+    _blocked_taps(
+        lambda r, blk, c, L: tmp_t[r : r + blk, c : c + L],
+        lambda ki, r, n, c, L, acc: acc_t.__setitem__(
+            (slice(r, r + n), slice(c, c + L)), acc
+        ),
+        out_w,
+        tile_h,
+        [weights_w],
+    )
+    o_ref[0, :, :] = acc_t[0:out_w, :].T
+
+
+BLOCK_LANES = 1280  # lane-chunk width of the register-blocked tap schedule
+
+
+def _blocked_rows(taps: int, sub: int = 8) -> int:
+    """Rows one value block must cover: sub output rows + taps - 1."""
+    return _round_up(sub + taps - 1, 8)
+
+
+def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
+                  sub: int = 8, lanes: int = BLOCK_LANES):
+    """Register-blocked 1-D tap accumulation.
+
+    For each (sub-row, lane-chunk) block, ``src_block(r, blk, c, L)`` loads
+    rows [r, r+blk) x lanes [c, c+L) ONCE as a value; every tap then
+    slices that VALUE — a vreg shuffle, not a VMEM load — so the input is
+    read ~once total instead of once per tap.  Measured ~25% faster than
+    per-tap ref slicing for a 25-tap pass at 4K, and it lets N convs of
+    the same input share the block loads outright (``weights_list`` is one
+    padded tap vector per conv; ``accumulate(k, r, n, c, L, acc)`` stores
+    conv k's block).  Tap order per output element is ascending k — the
+    same order as the per-tap formulation, so results are bitwise equal."""
+    taps = max(len(w) for w in weights_list)
+    blk = _blocked_rows(taps, sub)
+    for c in range(0, n_cols, lanes):
+        cl = min(lanes, n_cols - c)
+        for r in range(0, out_rows, sub):
+            n = min(sub, out_rows - r)
+            cat = src_block(r, blk, c, cl)
+            accs = [None] * len(weights_list)
+            for k in range(taps):
+                s = None
+                for ki, w in enumerate(weights_list):
+                    if k >= len(w) or w[k] == 0.0:
+                        continue
+                    if s is None:
+                        s = cat[k : k + n]
+                    term = s * w[k]
+                    accs[ki] = term if accs[ki] is None else accs[ki] + term
+            for ki in range(len(weights_list)):
+                acc = accs[ki]
+                if acc is None:  # degenerate all-zero taps
+                    acc = cat[0:n] * 0.0
+                accumulate(ki, r, n, c, cl, acc)
 
 
 def _sep_fused_kernel_lanes(
@@ -619,7 +674,7 @@ def sep_conv_fused_mxu_x3(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_use + 4 * 1024 * 1024, 100 * 1024 * 1024),
+            vmem_limit_bytes=min(2 * vmem_use + 4 * 1024 * 1024, 64 * 1024 * 1024),
         ),
         interpret=interpret,
     )(xp, a3, c3)
@@ -657,6 +712,325 @@ def mxu_x3_tile_h(w: int, rh: int, rw: int) -> int | None:
     return None
 
 
+def _sep_fused_kernel_multi(
+    x_hbm, *rest,
+    weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
+):
+    """N separable convs of the SAME input in one kernel.
+
+    The VPU tap loop is VMEM-load-bound (BENCH.md: two accumulators from
+    one loaded slice cost the same as one), so convolutions sharing an
+    input should share its strip loads: the H pass iterates the UNION of
+    tap offsets, loads each shifted slice once, and accumulates into every
+    conv whose kernel covers that offset.  DMA, and the strip residency,
+    are also paid once instead of N times.  ``weights`` is a tuple of
+    (padded_weights_h, padded_weights_w) per conv, tap k at absolute
+    offset k in the shared strip (smaller-radius convs lead-padded with
+    zeros so offsets align)."""
+    n_convs = len(weights)
+    o_refs = rest[:n_convs]
+    scratch, tmps, tmp_t, acc_t, sems = rest[n_convs:]
+    ci = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def strip_dma(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        strip_dma(i, slot).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        strip_dma(i + 1, other).start()
+
+    strip_dma(i, slot).wait()
+
+    # Shared-load H pass: one register-blocked sweep accumulates ALL convs
+    # from each loaded value block (the whole point of the bundle).
+    _blocked_taps(
+        lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L],
+        lambda ki, r, n, c, L, acc: tmps.__setitem__(
+            (ki, slice(r, r + n), slice(c, c + L)), acc
+        ),
+        tile_h,
+        tmps.shape[2],
+        [wh for wh, _ in weights],
+    )
+
+    # W pass per conv (inputs differ, so no cross-conv sharing exists);
+    # register-blocked taps + one transpose each.
+    for k, (_, ww) in enumerate(weights):
+        tmp_t[:, :] = tmps[k].T
+        _blocked_taps(
+            lambda r, blk, c, L: tmp_t[r : r + blk, c : c + L],
+            lambda ki, r, n, c, L, acc: acc_t.__setitem__(
+                (slice(r, r + n), slice(c, c + L)), acc
+            ),
+            out_w,
+            tile_h,
+            [ww],
+        )
+        o_refs[k][0, :, :] = acc_t[0:out_w, :].T
+
+
+def sep_conv_fused_multi(
+    x: jnp.ndarray,
+    plans: list,
+    mode: str = "edge",
+    tile_h: int = 64,
+    interpret: bool = False,
+) -> tuple:
+    """Run N separable convolutions of one input in a single fused kernel
+    (see _sep_fused_kernel_multi).  ``plans`` is a list of (wh, ww) numpy
+    tap vectors; returns one (C, H, W) array per plan, numerically
+    identical to sep_conv_fused run per plan."""
+    c, h, w = x.shape
+    whs = [np.asarray(wh, np.float32) for wh, _ in plans]
+    wws = [np.asarray(ww, np.float32) for _, ww in plans]
+    rhs = [(len(v) - 1) // 2 for v in whs]
+    rws = [(len(v) - 1) // 2 for v in wws]
+    RH, RW = max(rhs), max(rws)
+    pad_mode = "edge" if mode == "edge" else "constant"
+    h_pad = _round_up(h, tile_h)
+    # Extents cover the register-blocked tap reads (see sep_conv_fused).
+    strip_rows = max(
+        _round_up(tile_h + 2 * RH, 8),
+        tile_h - 8 + _blocked_rows(2 * RH + 1),
+    )
+    row_slack = strip_rows - (tile_h + 2 * RH)
+    w_total = _round_up(
+        max(w + 2 * RW, w - 8 + _blocked_rows(2 * RW + 1)), 128
+    )
+    xp = jnp.pad(
+        x,
+        ((0, 0), (RH, RH + (h_pad - h) + row_slack), (RW, w_total - w - RW)),
+        mode=pad_mode,
+    )
+    n_tiles = h_pad // tile_h
+    # Lead-pad smaller kernels with zeros so tap offsets align in the
+    # shared strip/rows domain.
+    weights = tuple(
+        (
+            (0.0,) * (RH - rh) + tuple(float(v) for v in wh),
+            (0.0,) * (RW - rw) + tuple(float(v) for v in ww),
+        )
+        for wh, ww, rh, rw in zip(whs, wws, rhs, rws)
+    )
+    n = len(plans)
+    out = pl.pallas_call(
+        functools.partial(
+            _sep_fused_kernel_multi,
+            weights=weights,
+            tile_h=tile_h,
+            out_w=w,
+            n_tiles=n_tiles,
+            strip_rows=strip_rows,
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((c, h_pad, w), x.dtype) for _ in range(n)
+        ),
+        grid=(c, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip_rows, w_total), x.dtype),
+            pltpu.VMEM((n, tile_h, w_total), x.dtype),
+            pltpu.VMEM((w_total, tile_h), x.dtype),
+            pltpu.VMEM((w_total, tile_h), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp)
+    return tuple(o[:, :h, :] for o in out)
+
+
+def _graph_strip_kernel(
+    x_hbm, t_ref, o_ref, scratch, tmps, tmp_t, acc_t, sems, *,
+    weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
+    rh_max: int, rw_max: int, epilogue,
+):
+    """The WHOLE graph in one streaming pass: shared-load convs + a traced
+    channel-local epilogue that evaluates every remaining (pointwise) node
+    on the strip while it is still in VMEM.
+
+    This is what XLA's fusion cannot do across custom-call boundaries and
+    the reference cannot do across pipeline dispatches (one vkCmdDispatch
+    + barriers per node, command.rs:166-242): intermediate images never
+    touch HBM at all — the frame costs ONE input read + ONE output write
+    regardless of graph depth."""
+    ci = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def strip_dma(step, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        strip_dma(i, slot).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        strip_dma(i + 1, other).start()
+
+    strip_dma(i, slot).wait()
+
+    # Shared-load H pass for all convs at once.
+    _blocked_taps(
+        lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L],
+        lambda ki, r, n, c, L, acc: tmps.__setitem__(
+            (ki, slice(r, r + n), slice(c, c + L)), acc
+        ),
+        tile_h,
+        tmps.shape[2],
+        [wh for wh, _ in weights],
+    )
+
+    # W pass per conv; each result captured as a VALUE for the epilogue.
+    blurs = []
+    for k, (_, ww) in enumerate(weights):
+        tmp_t[:, :] = tmps[k].T
+        _blocked_taps(
+            lambda r, blk, c, L: tmp_t[r : r + blk, c : c + L],
+            lambda ki, r, n, c, L, acc: acc_t.__setitem__(
+                (slice(r, r + n), slice(c, c + L)), acc
+            ),
+            out_w,
+            tile_h,
+            [ww],
+        )
+        blurs.append(acc_t[0:out_w, :].T)
+
+    # The strip's center block, for pointwise consumption of the input.
+    xin = scratch[slot, rh_max : rh_max + tile_h, rw_max : rw_max + out_w]
+    out = epilogue(ci, i * tile_h, t_ref[0, 0], xin, blurs)
+    o_ref[0, :, :] = out
+
+
+def graph_strip_fused(
+    x: jnp.ndarray,
+    t,
+    plans: list,
+    epilogue,
+    mode: str = "edge",
+    tile_h: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Execute a conv + channel-local-pointwise graph as ONE fused kernel.
+
+    ``plans`` is a list of (wh, ww) tap vectors (the graph's conv nodes,
+    all reading the kernel input); ``epilogue(ci, row0, t, xin, blurs)``
+    produces the final (tile_h, w) output block for channel ``ci`` from
+    the input block and the blur results.  See _graph_strip_kernel."""
+    c, h, w = x.shape
+    whs = [np.asarray(wh, np.float32) for wh, _ in plans]
+    wws = [np.asarray(ww, np.float32) for _, ww in plans]
+    rhs = [(len(v) - 1) // 2 for v in whs]
+    rws = [(len(v) - 1) // 2 for v in wws]
+    RH, RW = max(rhs), max(rws)
+    pad_mode = "edge" if mode == "edge" else "constant"
+    h_pad = _round_up(h, tile_h)
+    strip_rows = max(
+        _round_up(tile_h + 2 * RH, 8),
+        tile_h - 8 + _blocked_rows(2 * RH + 1),
+    )
+    row_slack = strip_rows - (tile_h + 2 * RH)
+    w_total = _round_up(
+        max(w + 2 * RW, w - 8 + _blocked_rows(2 * RW + 1)), 128
+    )
+    xp = jnp.pad(
+        x,
+        ((0, 0), (RH, RH + (h_pad - h) + row_slack), (RW, w_total - w - RW)),
+        mode=pad_mode,
+    )
+    n_tiles = h_pad // tile_h
+    weights = tuple(
+        (
+            (0.0,) * (RH - rh) + tuple(float(v) for v in wh),
+            (0.0,) * (RW - rw) + tuple(float(v) for v in ww),
+        )
+        for wh, ww, rh, rw in zip(whs, wws, rhs, rws)
+    )
+    n = len(plans)
+    t_arr = jnp.reshape(jnp.asarray(t, jnp.float32), (1, 1))
+    out = pl.pallas_call(
+        functools.partial(
+            _graph_strip_kernel,
+            weights=weights,
+            tile_h=tile_h,
+            out_w=w,
+            n_tiles=n_tiles,
+            strip_rows=strip_rows,
+            rh_max=RH,
+            rw_max=RW,
+            epilogue=epilogue,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
+        grid=(c, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, strip_rows, w_total), x.dtype),
+            pltpu.VMEM((n, tile_h, w_total), x.dtype),
+            pltpu.VMEM((w_total, tile_h), x.dtype),
+            pltpu.VMEM((w_total, tile_h), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, t_arr)
+    return out[:, :h, :]
+
+
+def multi_tile_h(w: int, rhs_rws: list, n: int) -> int | None:
+    """VMEM model for sep_conv_fused_multi: double-buffered strips + n
+    H-pass tmps + transpose/accumulator buffers + n double-buffered
+    output blocks, against a 40 MB ceiling (the wrapper raises the Mosaic
+    limit to that)."""
+    RH = max(rh for rh, _ in rhs_rws)
+    RW = max(rw for _, rw in rhs_rws)
+    w_total = _round_up(w + 2 * RW, 128)
+    for tile_h in (128, 64, 32):
+        strip_rows = _round_up(tile_h + 2 * RH, 8)
+        use = (
+            2 * strip_rows * w_total * 4
+            + n * tile_h * w_total * 4
+            + 2 * w_total * tile_h * 4
+            + 2 * n * tile_h * w * 4
+            + 2 * tile_h * w * 4  # transpose temps
+        )
+        if use < 30 * 1024 * 1024:
+            return tile_h
+    return None
+
+
 # Above this width the in-VMEM transpose variant wins (measured: at 4K it
 # is ~25% faster; at 1080p the lane variant is ~25% faster).
 TRANSPOSE_MIN_WIDTH = 2560
@@ -681,20 +1055,26 @@ def sep_conv_fused(
         return x * float(wh[0]) * float(ww[0])
     pad_mode = "edge" if mode == "edge" else "constant"
     h_pad = _round_up(h, tile_h)
+    if variant is None:
+        variant = "transpose" if w >= TRANSPOSE_MIN_WIDTH else "lanes"
     # DMA slice extents must align to the (8, 128) tiling: round the strip
     # row count up to a sublane multiple and the total width to a lane
     # multiple; slack rows/cols are padded into the input and ignored.
+    # The transpose variant's register-blocked tap schedule reads value
+    # blocks of _blocked_rows taps past each sub-block start, so its
+    # strip/width extents cover that too.
     strip_rows = _round_up(tile_h + 2 * rh, 8)
-    row_slack = strip_rows - (tile_h + 2 * rh)
     w_total = _round_up(w + 2 * rw, 128)
+    if variant == "transpose":
+        strip_rows = max(strip_rows, tile_h - 8 + _blocked_rows(len(wh)))
+        w_total = _round_up(max(w + 2 * rw, w - 8 + _blocked_rows(len(ww))), 128)
+    row_slack = strip_rows - (tile_h + 2 * rh)
     xp = jnp.pad(
         x,
         ((0, 0), (rh, rh + (h_pad - h) + row_slack), (rw, w_total - w - rw)),
         mode=pad_mode,
     )
     n_tiles = h_pad // tile_h
-    if variant is None:
-        variant = "transpose" if w >= TRANSPOSE_MIN_WIDTH else "lanes"
     taps = dict(
         weights_h=tuple(float(v) for v in wh),
         weights_w=tuple(float(v) for v in ww),
@@ -708,6 +1088,7 @@ def sep_conv_fused(
         scratch = [
             pltpu.VMEM((2, strip_rows, w_total), x.dtype),
             pltpu.VMEM((tile_h, w_total), x.dtype),
+            pltpu.VMEM((w_total, tile_h), x.dtype),
             pltpu.VMEM((w_total, tile_h), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
@@ -726,6 +1107,9 @@ def sep_conv_fused(
         out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp)
     return out[:, :h, :]
@@ -734,24 +1118,25 @@ def sep_conv_fused(
 def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
     """Largest tile_h whose VMEM footprint fits, or None to use two kernels.
 
-    Budget model: double-buffered input strips + tmp + its transpose +
-    double-buffered output blocks + a couple of accumulator temporaries,
-    against a ~14 MB usable scoped-VMEM budget.  (The transpose formulation
-    keeps both conv directions on cheap sublane shifts, so there is no
-    lane-rotation temp blowup to model.)
-    """
+    Budget model: double-buffered input strips + tmp + transpose +
+    accumulator buffers + double-buffered output blocks, against a 40 MB
+    ceiling (the wrapper raises the Mosaic scoped limit to that; v5e has
+    far more physical VMEM).  tile_h=128 matters for the transpose
+    variant: its W pass runs at (w_total, tile_h) shapes, so tile_h is the
+    LANE extent — 128 keeps the VPU at full width."""
     w_total = _round_up(w + 2 * rw, 128)
     transpose = w >= TRANSPOSE_MIN_WIDTH
     for tile_h in (128, 64, 32):
         strips = 2 * _round_up(tile_h + 2 * rh, 8) * w_total * 4
         out = 2 * tile_h * w * 4
         if transpose:
-            tmps = 2 * tile_h * w_total * 4
-            extra = tile_h * w * 4  # accumulator temp
+            tmps = 3 * tile_h * w_total * 4  # tmp + tmp_t + acc_t
+            extra = tile_h * w * 4  # transpose temp
         else:
             tmps = tile_h * w_total * 4
             extra = 12 * tile_h * w * 4  # lane-rotation temporaries
-        if strips + tmps + out + extra < 15 * 1024 * 1024 + 512 * 1024:
+        budget = (30 if transpose else 15) * 1024 * 1024 + 512 * 1024
+        if strips + tmps + out + extra < budget:
             return tile_h
     return None
 

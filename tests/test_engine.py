@@ -488,7 +488,7 @@ class TestReloadCaches:
         path = tmp_path / "k.py"
         path.write_text(
             "from reforge_tpu.kernels.base import kernel\n"
-            "@kernel('k')\n"
+            "@kernel('k', register=False)\n"
             "def k(ctx, input_image):\n"
             "    return input_image * 0.5\n"
         )
@@ -497,7 +497,7 @@ class TestReloadCaches:
         assert s1 is s2  # unchanged source -> same spec object
         path.write_text(
             "from reforge_tpu.kernels.base import kernel\n"
-            "@kernel('k')\n"
+            "@kernel('k', register=False)\n"
             "def k(ctx, input_image):\n"
             "    return input_image * 0.25\n"
         )

@@ -180,3 +180,141 @@ class TestRgba16f:
         ref = np.asarray(prog32(img, 0.0))
         got = np.asarray(out.astype(jnp.float32))
         assert np.abs(got - ref).max() < 0.02
+
+
+class TestConvBundling:
+    """Same-input conv nodes bundle into one multi-output Pallas kernel on
+    the TPU fused path; outputs must match per-node execution exactly."""
+
+    def _flagship_src(self):
+        return (
+            "input -> soften -> mixer -> output\n"
+            "input -> crisp -> mixer:input_image2\n"
+            "soften: gaussian { sigma: 4.0 }\n"
+            "crisp: unsharp { sigma: 2.0, amount: 0.8 }\n"
+            "mixer: mix { factor: 0.5 }"
+        )
+
+    def test_bundle_groups_detection(self, monkeypatch):
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        prog = GraphProgram(
+            build_graph(parse(self._flagship_src(), expects_input=True)), 64, 64
+        )
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(pallas_ops, "TRANSPOSE_MIN_WIDTH", 1)
+        layer0 = prog.graph.layers[0]
+        bundles, singles = prog._bundle_groups(layer0)
+        assert len(bundles) == 1
+        res, items = bundles[0]
+        assert {n.spec.name for n, _ in items} == {"gaussian", "unsharp"}
+        assert not singles
+        # rgba16f keeps the MXU per-node path.
+        prog16 = GraphProgram(
+            build_graph(parse(self._flagship_src(), expects_input=True)),
+            64, 64, "rgba16f",
+        )
+        b16, s16 = prog16._bundle_groups(prog16.graph.layers[0])
+        assert not b16 and len(s16) == 2
+
+    def test_bundled_matches_per_node(self, monkeypatch):
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        graph = build_graph(parse(self._flagship_src(), expects_input=True))
+        prog = GraphProgram(graph, 72, 48)
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.random((4, 48, 72), dtype=np.float32))
+        want = np.asarray(prog._forward(img, jnp.float32(0.0)))  # per-node
+
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(pallas_ops, "TRANSPOSE_MIN_WIDTH", 1)
+        monkeypatch.setattr(
+            pallas_ops,
+            "sep_conv_fused_multi",
+            functools.partial(pallas_ops.sep_conv_fused_multi, interpret=True),
+        )
+        prog2 = GraphProgram(graph, 72, 48)
+        prog2._strip_plan = None  # isolate the layer-bundle path
+        got = np.asarray(prog2._forward(img, jnp.float32(0.0)))  # bundled
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_strip_fused_matches_per_node(self, monkeypatch):
+        """Whole-graph strip megakernel == per-node execution, bitwise-ish."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = (
+            "input -> soften -> mixer -> tone -> vig -> output\n"
+            "input -> crisp -> mixer:input_image2\n"
+            "soften: gaussian { sigma: 4.0 }\n"
+            "crisp: unsharp { sigma: 2.0, amount: 0.8 }\n"
+            "mixer: mix { factor: 0.5 }\n"
+            "tone: tonemap { exposure: 1.1 }\n"
+            "vig: vignette { strength: 0.4 }"
+        )
+        for fmt in ("rgba32f", "rgba8"):
+            graph = build_graph(parse(src, expects_input=True))
+            prog = GraphProgram(graph, 72, 48, fmt)
+            assert prog._strip_plan is not None, fmt
+            conv_items, pointwise = prog._strip_plan
+            assert len(conv_items) == 2 and len(pointwise) == 3
+            rng = np.random.default_rng(6)
+            img = jnp.asarray(rng.random((4, 48, 72), dtype=np.float32))
+            t = jnp.float32(0.3)
+            want = np.asarray(prog._forward(img, t))  # per-node (CPU: no pallas)
+
+            monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+            monkeypatch.setattr(pallas_ops, "TRANSPOSE_MIN_WIDTH", 1)
+            monkeypatch.setattr(
+                pallas_ops,
+                "graph_strip_fused",
+                functools.partial(pallas_ops.graph_strip_fused, interpret=True),
+            )
+            got = np.asarray(prog._strip_fused_forward(img, t))
+            if fmt == "rgba8":
+                # XLA-CPU FMA-contracts the jnp tap chain; interpret-mode
+                # pallas rounds each mul/add.  The <=1-ulp pre-quantize
+                # difference flips occasional 1/255 quantization buckets.
+                d = np.abs(got - want)
+                # a flipped bucket can cascade through one more quantized
+                # stage downstream: allow two steps.  The ~1-ulp FMA bias
+                # is image-wide, so the fraction of pixels straddling a
+                # 1/255 boundary tracks the value distribution (~8% here);
+                # the rgba32f case above pins the unquantized math to 1e-6.
+                assert d.max() <= 2.0 / 255.0 + 1e-6, d.max()
+                assert (d > 1.0 / 512.0).mean() < 0.15
+            else:
+                np.testing.assert_allclose(got, want, atol=1e-6, err_msg=fmt)
+            monkeypatch.undo()
+
+    def test_strip_plan_rejects_cross_channel(self):
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        # grayscale is cross-channel (luma): no cw form, plan must bail.
+        src = (
+            "input -> gs -> gray -> output\n"
+            "gs: gaussian { sigma: 2.0 }\ngray: grayscale {}"
+        )
+        prog = GraphProgram(build_graph(parse(src, expects_input=True)), 64, 48)
+        assert prog._strip_plan is None
