@@ -424,6 +424,17 @@ def scanlines(ctx, input_image, *, period=3, darkness=0.35):
     return map_rgb(input_image, lambda rgb: rgb * fade[None])
 
 
+def _scanlines_cw(ctx, ci, ins, p):
+    ys, _ = ops.grid_coords(ctx)
+    period = max(int(p["period"]), 1)
+    fade = jnp.where((ys % period) == 0, 1.0 - p["darkness"], 1.0)
+    x = ins["input_image"]
+    return jnp.where(ci < 3, x * fade, x)
+
+
+scanlines.cw_fn = _scanlines_cw
+
+
 @kernel("wave", halo=lambda p: None)
 def wave(ctx, input_image, *, amplitude=8.0, frequency=0.02, speed=1.0):
     """Animated horizontal wave distortion driven by _rf_time."""
@@ -482,6 +493,14 @@ def posterize(ctx, input_image, *, levels=6):
         input_image,
         lambda rgb: jnp.round(jnp.clip(rgb, 0.0, 1.0) * (n - 1)) / (n - 1),
     )
+
+
+posterize.cw_fn = _cw_rgb(
+    lambda x, ins, p: jnp.round(
+        jnp.clip(x, 0.0, 1.0) * (max(int(p["levels"]), 2) - 1)
+    )
+    / (max(int(p["levels"]), 2) - 1)
+)
 
 
 @kernel("dither")
@@ -595,6 +614,16 @@ def levels(ctx, input_image, *, in_black=0.0, in_white=1.0, gamma=1.0,
         return out_black + t * (float(out_white) - float(out_black))
 
     return map_rgb(input_image, f)
+
+
+def _levels_cw(x, ins, p):
+    span = max(float(p["in_white"]) - float(p["in_black"]), 1e-6)
+    t = jnp.clip((x - p["in_black"]) / span, 0.0, 1.0)
+    t = t ** (1.0 / max(float(p["gamma"]), 1e-6))
+    return p["out_black"] + t * (float(p["out_white"]) - float(p["out_black"]))
+
+
+levels.cw_fn = _cw_rgb(_levels_cw)
 
 
 # ---- edge-preserving / stylized -----------------------------------------
