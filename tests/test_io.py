@@ -67,14 +67,19 @@ class TestImageFile:
         assert out.shape == (32, 32, 4)
 
     def test_jpeg_encode_decode(self, tmp_path):
-        rgba = make_rgba(48, 48, seed=2)
-        rgba[..., 3] = 255
+        # Smooth gradients (not noise): JPEG's 4:2:0 chroma subsampling
+        # makes the roundtrip error on random noise encoder-dependent and
+        # huge; on smooth content it must be small.
+        yy, xx = np.mgrid[0:48, 0:48].astype(np.float32)
+        rgba = np.stack(
+            [yy * 5, xx * 5, (yy + xx) * 2.5, np.full_like(yy, 255)], axis=-1
+        ).clip(0, 255).astype(np.uint8)
         path = str(tmp_path / "x.jpg")
         encode(path, rgba)
         out = ImageFileDecoder(path).decode(48, 48)
         assert out.shape == (48, 48, 4)
         # Lossy but in the ballpark.
-        assert np.abs(out[..., :3].astype(int) - rgba[..., :3].astype(int)).mean() < 40
+        assert np.abs(out[..., :3].astype(int) - rgba[..., :3].astype(int)).mean() < 8
 
     def test_missing_file_raises(self):
         with pytest.raises(imagefile.ImageFileError):
