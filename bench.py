@@ -19,6 +19,7 @@ import jax
 
 from reforge_tpu.benchmarks import (
     bench_program,
+    bench_program_sequenced,
     build_flagship,
     enable_cache,
     make_test_image,
@@ -36,14 +37,23 @@ def main() -> int:
     img = make_test_image(height, width)
 
     t0 = time.perf_counter()
-    result = bench_program(program, img, frames=frames)
+    # Headline: device throughput via device-side frame sequencing
+    # (render_sequence; every frame fully renders inside the chunk's
+    # while-loop).  Per-dispatch mode is also reported — on this tunneled
+    # chip it is bounded by ~2.5 ms/dispatch host submission, which no
+    # local deployment (or the reference's microsecond vkQueueSubmit)
+    # would see.
+    result = bench_program_sequenced(program, img, frames=frames)
+    per_dispatch = bench_program(program, img, frames=min(frames, 60))
     compile_and_run = time.perf_counter() - t0
 
     print(
         f"# backend={jax.default_backend()} devices={len(jax.devices())} "
         f"4K 5-node graph: {result['fps']:.2f} fps "
-        f"({result['ms_per_frame']:.2f} ms/frame), "
-        f"total {compile_and_run:.1f}s incl. warmup/compile",
+        f"({result['ms_per_frame']:.2f} ms/frame) sequenced; "
+        f"{per_dispatch['fps']:.2f} fps ({per_dispatch['ms_per_frame']:.2f} "
+        f"ms/frame) per-dispatch, total {compile_and_run:.1f}s incl. "
+        f"warmup/compile",
         file=sys.stderr,
     )
     print(

@@ -81,6 +81,45 @@ def bench_program(
     }
 
 
+def bench_program_sequenced(
+    program,
+    file_input: jnp.ndarray,
+    frames: int = 120,
+    chunk: int = 24,
+    warmup_chunks: int = 2,
+) -> dict:
+    """Steady-state frames/sec with device-side frame sequencing.
+
+    Frames render in chunks of ``chunk`` per dispatch via
+    ``GraphProgram.render_sequence`` (each chunk is one XLA program whose
+    while-loop executes every frame; the last frame of the last chunk is
+    reduced on device and fetched to force completion).  This measures
+    device throughput — what a multi-frame export or a pipelined preview
+    achieves — where ``bench_program`` measures per-dispatch round trips
+    and is bounded by host submission cost on tunneled devices.  The
+    per-chunk t0 scalars are uploaded before timing starts: every
+    host->device scalar is its own serialized RPC through a tunnel."""
+    frames = max(frames // chunk, 1) * chunk
+    reduce = jax.jit(jnp.sum)
+    dt = jnp.float32(0.016)
+    t0s = [jnp.float32(1.0 + i * chunk * 0.016) for i in range(frames // chunk)]
+    out = None
+    for i in range(warmup_chunks):
+        out = program.render_sequence(file_input, jnp.float32(float(i)), dt, chunk)
+    float(reduce(out))
+    start = _time.perf_counter()
+    for t0 in t0s:
+        out = program.render_sequence(file_input, t0, dt, chunk)
+    float(reduce(out))
+    elapsed = _time.perf_counter() - start
+    return {
+        "frames": frames,
+        "seconds": elapsed,
+        "fps": frames / elapsed,
+        "ms_per_frame": elapsed / frames * 1000.0,
+    }
+
+
 def make_test_image(height: int, width: int, seed: int = 0) -> jnp.ndarray:
     rng = np.random.default_rng(seed)
     img = rng.random((4, height, width), dtype=np.float32)

@@ -51,6 +51,15 @@ _NODE_FN_CACHE: dict[tuple, tuple[Any, Any]] = {}
 _NODE_FN_CACHE_MAX = 512
 
 
+def _as_f32_scalar(v):
+    """Host scalar -> device f32 without re-dispatching when the caller
+    already holds a device f32 scalar (each host->device conversion is a
+    serialized RPC on tunneled devices, ~ms; see render_sequence)."""
+    if isinstance(v, jax.Array) and v.dtype == jnp.float32 and v.ndim == 0:
+        return v
+    return jnp.float32(v)
+
+
 def _node_fn_key(node: PipelineNode, width: int, height: int, fmt: str):
     return (
         id(node.spec),
@@ -96,6 +105,7 @@ class GraphProgram:
         self._fused = jax.jit(self._forward)
         self._strip_plan = self._plan_strip_fusion()
         self._node_fns: dict[str, Any] = {}
+        self._seq_fns: dict[tuple, Any] = {}  # render_sequence jits
         self._compiled = None  # AOT executable from compile()
         # Interim mode after a live edit: render via cached per-node
         # programs while the fused XLA compile proceeds off-thread; flips
@@ -247,6 +257,7 @@ class GraphProgram:
             self.width,
             [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans],
             len(plans),
+            h=self.height,
         )
         if tile_h is None:
             return None
@@ -342,6 +353,7 @@ class GraphProgram:
             self.width,
             [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans],
             len(plans),
+            h=self.height,
         )
         if tile_h is None:  # VMEM model says no: run per node
             for node, _ in items:
@@ -367,6 +379,58 @@ class GraphProgram:
         if self._use_unfused:
             return self.run_unfused(file_input, t)
         return self._fused(file_input, jnp.float32(t))
+
+    def render_sequence(
+        self,
+        file_input: jnp.ndarray,
+        t0: float | jnp.ndarray,
+        dt: float,
+        n: int,
+        stack: bool = False,
+    ) -> jnp.ndarray:
+        """Render ``n`` frames with device-side time stepping in ONE
+        dispatch: frame i sees ``_rf_time = t0 + i * dt``.
+
+        This is the TPU-native frames-in-flight: where the reference
+        pipelines N command buffers against the GPU (frame.rs:10-18,
+        render.rs:494), here a ``lax.scan`` sequences N whole-graph
+        executions inside one XLA program, so per-frame host submission
+        cost (dominant on remote/tunneled devices, ~2.5 ms measured vs a
+        2.9 ms 4K frame) is paid once per chunk instead of once per frame.
+        Used by headless multi-frame export and the throughput benchmark;
+        the live preview loop still dispatches per frame (it needs every
+        frame on the host).
+
+        ``stack=False`` returns only the LAST frame (throughput mode —
+        every frame still fully renders: the scan carries each frame, and
+        XLA executes every iteration of the lowered while-loop);
+        ``stack=True`` returns all frames as (n, 4, H, W) at the cost of
+        one extra HBM copy per frame (the scan's output stacking)."""
+        if n < 1:
+            raise ValueError("render_sequence needs n >= 1")
+        key = (int(n), bool(stack))
+        fn = self._seq_fns.get(key)
+        if fn is None:
+
+            def seq(x, t_start, dt_v):
+                out0 = self._forward(x, t_start)
+                if n == 1:
+                    return out0[None] if stack else out0
+
+                def step(carry, i):
+                    out = self._forward(x, t_start + i * dt_v)
+                    return out, (out if stack else None)
+
+                last, ys = jax.lax.scan(
+                    step, out0, jnp.arange(1, n, dtype=jnp.float32)
+                )
+                if stack:
+                    return jnp.concatenate([out0[None], ys], axis=0)
+                return last
+
+            fn = jax.jit(seq)
+            self._seq_fns[key] = fn
+        return fn(file_input, _as_f32_scalar(t0), _as_f32_scalar(dt))
 
     def run_unfused(self, file_input: jnp.ndarray, t: float | jnp.ndarray) -> jnp.ndarray:
         """Execute node-by-node through the cached per-node programs

@@ -195,15 +195,35 @@ def conv2d(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
         return x * float(taps[0, 0])
 
     def weighted_sum(tap):
-        acc = None
+        # Striped accumulation (tap i -> stripe i mod 8) for long chains:
+        # the in-order VPU stalls on a single serial acc-add chain;
+        # independent partials keep the pipeline full (same fix as
+        # pallas_ops._blocked_taps, measured 2.7x).  Short chains (<= 2
+        # stripes' worth) keep the ascending order: no latency to hide,
+        # and cancellation-built kernels (laplacian sharpen) stay at
+        # their established rounding.
+        terms = []
         for dy in range(taps.shape[0]):
             for dx in range(taps.shape[1]):
                 wgt = float(taps[dy, dx])
-                if wgt == 0.0:
-                    continue
-                t = tap(dy, dx) * wgt
-                acc = t if acc is None else acc + t
-        return acc if acc is not None else tap(rh, rw) * 0.0
+                if wgt != 0.0:
+                    terms.append((dy, dx, wgt))
+        if not terms:
+            return tap(rh, rw) * 0.0
+        n_stripes = 8 if len(terms) > 16 else 1
+        parts: list = [None] * n_stripes
+        for i, (dy, dx, wgt) in enumerate(terms):
+            t = tap(dy, dx) * wgt
+            j = i % n_stripes
+            parts[j] = t if parts[j] is None else parts[j] + t
+        parts = [p for p in parts if p is not None]
+        while len(parts) > 1:
+            merged = [parts[k] + parts[k + 1]
+                      for k in range(0, len(parts) - 1, 2)]
+            if len(parts) % 2:
+                merged.append(parts[-1])
+            parts = merged
+        return parts[0]
 
     return apply_stencil(x, rh, rw, weighted_sum, temps=3)
 

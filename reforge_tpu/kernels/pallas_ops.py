@@ -212,19 +212,31 @@ def _blocked_rows(taps: int, sub: int = 8) -> int:
     return _round_up(sub + taps - 1, 8)
 
 
+N_ACC_STRIPES = 8  # independent accumulator chains per conv (see below)
+
+
 def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
                   sub: int = 8, lanes: int = BLOCK_LANES):
-    """Register-blocked 1-D tap accumulation.
+    """Register-blocked 1-D tap accumulation with striped accumulators.
 
     For each (sub-row, lane-chunk) block, ``src_block(r, blk, c, L)`` loads
     rows [r, r+blk) x lanes [c, c+L) ONCE as a value; every tap then
     slices that VALUE — a vreg shuffle, not a VMEM load — so the input is
-    read ~once total instead of once per tap.  Measured ~25% faster than
-    per-tap ref slicing for a 25-tap pass at 4K, and it lets N convs of
-    the same input share the block loads outright (``weights_list`` is one
-    padded tap vector per conv; ``accumulate(k, r, n, c, L, acc)`` stores
-    conv k's block).  Tap order per output element is ascending k — the
-    same order as the per-tap formulation, so results are bitwise equal."""
+    read ~once total instead of once per tap, and N convs of the same
+    input share the block loads outright (``weights_list`` is one padded
+    tap vector per conv; ``accumulate(k, r, n, c, L, acc)`` stores conv
+    k's block).
+
+    Taps accumulate into 8 independent stripes (tap k -> stripe k mod 8)
+    that tree-merge at the end.  The VPU is in-order: a single serial
+    ``acc += term`` chain stalls on each dependent add's latency, which
+    measures ~55 us per 33M-element tap pass on v5e; eight independent
+    chains keep the pipeline full at ~20.5 us/tap (2.7x) — measured
+    sweep: 8 stripes beat 4/12/16/25, and lane-chunk width is
+    irrelevant.  Striping reorders the tap sum (ascending within a
+    stripe, then a balanced merge), which moves results a few f32 ULP —
+    inside every kernel tolerance (tests/test_parity.py bounds convs at
+    32 ULP vs a float64 oracle)."""
     taps = max(len(w) for w in weights_list)
     blk = _blocked_rows(taps, sub)
     for c in range(0, n_cols, lanes):
@@ -232,7 +244,7 @@ def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
         for r in range(0, out_rows, sub):
             n = min(sub, out_rows - r)
             cat = src_block(r, blk, c, cl)
-            accs = [None] * len(weights_list)
+            stripes = [[None] * N_ACC_STRIPES for _ in weights_list]
             for k in range(taps):
                 s = None
                 for ki, w in enumerate(weights_list):
@@ -241,12 +253,20 @@ def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
                     if s is None:
                         s = cat[k : k + n]
                     term = s * w[k]
-                    accs[ki] = term if accs[ki] is None else accs[ki] + term
+                    j = k % N_ACC_STRIPES
+                    prev = stripes[ki][j]
+                    stripes[ki][j] = term if prev is None else prev + term
             for ki in range(len(weights_list)):
-                acc = accs[ki]
-                if acc is None:  # degenerate all-zero taps
-                    acc = cat[0:n] * 0.0
-                accumulate(ki, r, n, c, cl, acc)
+                parts = [p for p in stripes[ki] if p is not None]
+                if not parts:  # degenerate all-zero taps
+                    parts = [cat[0:n] * 0.0]
+                while len(parts) > 1:
+                    merged = [parts[i] + parts[i + 1]
+                              for i in range(0, len(parts) - 1, 2)]
+                    if len(parts) % 2:
+                        merged.append(parts[-1])
+                    parts = merged
+                accumulate(ki, r, n, c, cl, parts[0])
 
 
 def _sep_fused_kernel_lanes(
@@ -1009,15 +1029,23 @@ def graph_strip_fused(
     return out[:, :h, :]
 
 
-def multi_tile_h(w: int, rhs_rws: list, n: int) -> int | None:
+def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None) -> int | None:
     """VMEM model for sep_conv_fused_multi: double-buffered strips + n
     H-pass tmps + transpose/accumulator buffers + n double-buffered
     output blocks, against a 40 MB ceiling (the wrapper raises the Mosaic
-    limit to that)."""
+    limit to that).
+
+    When ``h`` is given, a tile that divides the image height exactly is
+    preferred (within 48..128): then h_pad == h and the caller's trailing
+    ``out[:, :h, :]`` slice is the identity.  Measured neutral on the 4K
+    flagship (XLA fuses the slice away either way) but it keeps the
+    kernel's output buffer exactly frame-sized, which matters when the
+    consumer can't absorb the slice (e.g. donated buffers)."""
     RH = max(rh for rh, _ in rhs_rws)
     RW = max(rw for _, rw in rhs_rws)
     w_total = _round_up(w + 2 * RW, 128)
-    for tile_h in (128, 64, 32):
+
+    def fits(tile_h: int) -> bool:
         strip_rows = _round_up(tile_h + 2 * RH, 8)
         use = (
             2 * strip_rows * w_total * 4
@@ -1026,7 +1054,14 @@ def multi_tile_h(w: int, rhs_rws: list, n: int) -> int | None:
             + 2 * n * tile_h * w * 4
             + 2 * tile_h * w * 4  # transpose temps
         )
-        if use < 30 * 1024 * 1024:
+        return use < 30 * 1024 * 1024
+
+    if h is not None:
+        for tile_h in range(128, 40, -8):
+            if h % tile_h == 0 and fits(tile_h):
+                return tile_h
+    for tile_h in (128, 64, 32):
+        if fits(tile_h):
             return tile_h
     return None
 

@@ -158,6 +158,22 @@ class TestExecution:
 
         assert prog._fused._cache_size() == 1
 
+    def test_render_sequence(self):
+        """Device-side frame sequencing matches per-frame dispatches."""
+        _, prog = build("input -> wv -> output\nwv: wave { amplitude: 4.0 }\n",
+                        w=32, h=32)
+        img = rand_image(32, 32)
+        dt = 0.25
+        stacked = np.asarray(prog.render_sequence(img, 0.0, dt, 3, stack=True))
+        assert stacked.shape == (3, 4, 32, 32)
+        for i in range(3):
+            want = np.asarray(prog(img, jnp.float32(0.0) + i * jnp.float32(dt)))
+            np.testing.assert_allclose(stacked[i], want, atol=1e-5)
+        last = np.asarray(prog.render_sequence(img, 0.0, dt, 3))
+        np.testing.assert_allclose(last, stacked[2], atol=1e-5)
+        single = np.asarray(prog.render_sequence(img, 0.5, dt, 1))
+        np.testing.assert_allclose(single, np.asarray(prog(img, 0.5)), atol=1e-5)
+
     def test_multi_writer_last_wins(self):
         # Two chains both writing the final output: later topo order wins,
         # matching the reference's execution-order overwrite.
