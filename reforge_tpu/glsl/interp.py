@@ -1853,11 +1853,7 @@ class Interp:
         value = self.convert(self.eval_expr(arg_exprs[2], scope), "vec4", line)
         origin = self._coord_origin(coord)
         if origin is None or origin[:2] != (0, 0):
-            raise GlslError(
-                "imageStore must write at gl_GlobalInvocationID (scatter "
-                "stores are not supported)",
-                line,
-            )
+            return self._image_store_scatter(name, coord, value, scope, line)
         old = self._image_current(name)
         m = self._effective_mask(scope)
         if m is None:
@@ -1867,6 +1863,45 @@ class Interp:
                 jnp.where(m, self._as_array(nw, "float"), self._as_array(od, "float"))
                 for nw, od in zip(value.data, old)
             ]
+        return Val("void", None)
+
+    def _image_store_scatter(
+        self, name: str, coord: Val, value: Val, scope, line: int
+    ) -> Val:
+        """imageStore at a computed (non-identity) coordinate: a per-pixel
+        scatter over the image plane.
+
+        GLSL makes concurrent same-pixel writes UB (no ordering between
+        invocations), so an arbitrary writer wins here (XLA scatter
+        tie-break) — same policy as workgroup-shared plain stores.
+        Out-of-bounds writes are dropped (GL robust-access behavior).
+        Scatter nodes are not halo-shardable; the ``gather`` stat routes
+        them to the full-image path under --shard."""
+        if not coord.is_vector() or coord.size != 2:
+            raise GlslError("imageStore coordinate must be ivec2", line)
+        self.stats["gather"] = True
+        hw = (self.h, self.w)
+        xs = jnp.broadcast_to(self._as_i32(coord.data[0]), hw)
+        ys = jnp.broadcast_to(self._as_i32(coord.data[1]), hw)
+        if not (isinstance(self.row_offset, int) and self.row_offset == 0):
+            ys = ys - jnp.asarray(self.row_offset, jnp.int32)
+        inb = (xs >= 0) & (xs < self.w) & (ys >= 0) & (ys < self.h)
+        mask = self._effective_mask(scope)
+        keep = inb if mask is None else jnp.logical_and(inb, mask)
+        flat = ys * self.w + xs
+        flat = jnp.where(keep, flat, self.h * self.w)  # OOB/masked: dropped
+        old = self._image_current(name)
+        stored = []
+        for ch_new, ch_old in zip(value.data, old):
+            base = jnp.broadcast_to(
+                self._as_array(ch_old, "float"), hw
+            ).astype(jnp.float32)
+            v = jnp.broadcast_to(
+                self._as_array(ch_new, "float"), hw
+            ).astype(jnp.float32)
+            out = base.ravel().at[flat.ravel()].set(v.ravel(), mode="drop")
+            stored.append(out.reshape(hw))
+        self.stores[name] = stored
         return Val("void", None)
 
     def _image_size(self, arg_exprs: list, scope, line: int) -> Val:

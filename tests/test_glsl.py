@@ -1329,3 +1329,89 @@ void main() {
         img = jnp.zeros((4, 64, 64), jnp.float32)
         with pytest.raises(GlslError, match="lowering budget"):
             spec(ctx, {"input_image": img}, {})
+
+
+class TestScatterImageStore:
+    """imageStore at computed coordinates: per-pixel scatter."""
+
+    FLIP = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 size = imageSize(input_image);
+    vec4 c = imageLoad(input_image, pos);
+    imageStore(output_image, ivec2(size.x - 1 - pos.x, pos.y), c);
+}
+"""
+
+    def test_scatter_flip_matches_gather(self):
+        spec = translate_shader(self.FLIP, "flip_scatter")
+        rng = np.random.default_rng(5)
+        h, w = 12, 16
+        img = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+        ctx = KernelContext(width=w, height=h)
+        got = np.asarray(spec(ctx, {"input_image": img}, {})["output_image"])
+        np.testing.assert_array_equal(got, np.asarray(img)[:, :, ::-1])
+
+    def test_scatter_oob_dropped_and_unwritten_kept(self):
+        # Only the left half writes (shifted right by 4); the right half
+        # writes out of bounds.  Unwritten pixels keep the image's prior
+        # contents (zeros, alpha 1).
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 size = imageSize(input_image);
+    vec4 c = imageLoad(input_image, pos);
+    int nx = pos.x < size.x / 2 ? pos.x + 4 : pos.x + size.x * 8;
+    imageStore(output_image, ivec2(nx, pos.y), c);
+}
+"""
+        spec = translate_shader(src, "scatter_oob")
+        rng = np.random.default_rng(6)
+        h, w = 8, 16
+        img = np.asarray(rng.random((4, h, w)), np.float32)
+        ctx = KernelContext(width=w, height=h)
+        got = np.asarray(spec(ctx, {"input_image": jnp.asarray(img)},
+                              {})["output_image"])
+        # Columns 4..11 hold input columns 0..7; the rest untouched.
+        np.testing.assert_array_equal(got[:, :, 4:12], img[:, :, 0:8])
+        np.testing.assert_array_equal(got[:3, :, 0:4], 0.0)
+        np.testing.assert_array_equal(got[3, :, 0:4], 1.0)
+        np.testing.assert_array_equal(got[:3, :, 12:], 0.0)
+
+    def test_scatter_under_condition(self):
+        # Conditional scatter: masked-off lanes must not write.
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    imageStore(output_image, pos, c);
+    if (c.r > 0.5) {
+        imageStore(output_image, ivec2(pos.x, pos.y), vec4(1.0));
+    }
+}
+"""
+        spec = translate_shader(src, "scatter_cond")
+        rng = np.random.default_rng(7)
+        h, w = 8, 16
+        img = np.asarray(rng.random((4, h, w)), np.float32)
+        ctx = KernelContext(width=w, height=h)
+        got = np.asarray(spec(ctx, {"input_image": jnp.asarray(img)},
+                              {})["output_image"])
+        hot = img[0] > 0.5
+        for ch in range(4):
+            np.testing.assert_array_equal(got[ch][hot], 1.0)
+            np.testing.assert_array_equal(got[ch][~hot], img[ch][~hot])
+
+    def test_scatter_marks_gather(self):
+        # Scatter nodes must not be halo-sharded.
+        spec = translate_shader(self.FLIP, "flip_scatter2")
+        assert spec.halo_for(spec.resolve_params({})) is None
