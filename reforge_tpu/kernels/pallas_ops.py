@@ -216,48 +216,67 @@ N_ACC_STRIPES = 8  # independent accumulator chains per conv (see below)
 
 
 def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
-                  sub: int = 8, lanes: int = BLOCK_LANES):
-    """Register-blocked 1-D tap accumulation with striped accumulators.
+                  sub: int = 128, lanes: int = BLOCK_LANES):
+    """Phase-grouped, stripe-accumulated 1-D tap schedule.
 
     For each (sub-row, lane-chunk) block, ``src_block(r, blk, c, L)`` loads
-    rows [r, r+blk) x lanes [c, c+L) ONCE as a value; every tap then
-    slices that VALUE — a vreg shuffle, not a VMEM load — so the input is
-    read ~once total instead of once per tap, and N convs of the same
-    input share the block loads outright (``weights_list`` is one padded
-    tap vector per conv; ``accumulate(k, r, n, c, L, acc)`` stores conv
-    k's block).
+    rows [r, r+blk) x lanes [c, c+L) ONCE as a value, and N convs of the
+    same input share the block loads outright (``weights_list`` is one
+    padded tap vector per conv; ``accumulate(k, r, n, c, L, acc)`` stores
+    conv k's block).  Two schedule properties matter on the in-order VPU
+    (each measured; see BENCH.md):
 
-    Taps accumulate into 8 independent stripes (tap k -> stripe k mod 8)
-    that tree-merge at the end.  The VPU is in-order: a single serial
-    ``acc += term`` chain stalls on each dependent add's latency, which
-    measures ~55 us per 33M-element tap pass on v5e; eight independent
-    chains keep the pipeline full at ~20.5 us/tap (2.7x) — measured
-    sweep: 8 stripes beat 4/12/16/25, and lane-chunk width is
-    irrelevant.  Striping reorders the tap sum (ascending within a
-    stripe, then a balanced merge), which moves results a few f32 ULP —
-    inside every kernel tolerance (tests/test_parity.py bounds convs at
-    32 ULP vs a float64 oracle)."""
+    * **Striped accumulators** (tap k -> stripe k mod 8, tree-merged): a
+      single serial ``acc += term`` chain stalls on every dependent add
+      (~55 us per 33M-element tap pass); eight independent chains keep
+      the pipeline full.
+    * **Phase-grouped slicing**: a misaligned row slice costs sublane
+      shuffles per tap.  Slicing ONE phase plane per sublane phase
+      (``cat[p : p + span]``) and giving every tap an 8-aligned subslice
+      of its plane drops the marginal tap cost to ~13 us — provided
+      ``sub`` is large (128) so the 8 phase slices amortize over many
+      output rows (at sub=8 the planes dominate and it loses).
+
+    Striping reorders the tap sum (ascending within a stripe, then a
+    balanced merge), which moves results a few f32 ULP — inside every
+    kernel tolerance (tests/test_parity.py bounds convs at 32 ULP vs a
+    float64 oracle).  Block geometry: for n a multiple of 8 the block
+    extent n + round_up(taps-1, 8) stays within what callers provision
+    via ``_blocked_rows`` (sub-invariant since n == 0 mod 8); ragged
+    tails use the exact minimal extent instead."""
     taps = max(len(w) for w in weights_list)
-    blk = _blocked_rows(taps, sub)
     for c in range(0, n_cols, lanes):
         cl = min(lanes, n_cols - c)
-        for r in range(0, out_rows, sub):
-            n = min(sub, out_rows - r)
+        r = 0
+        while r < out_rows:
+            rem = out_rows - r
+            n = min(sub, rem)
+            if n >= 8:
+                n -= n % 8
+            if n % 8 == 0:
+                blk = n + _round_up(taps - 1, 8)
+            else:  # ragged tail: minimal extent, stays in provisioned rows
+                blk = n + taps - 1
             cat = src_block(r, blk, c, cl)
-            stripes = [[None] * N_ACC_STRIPES for _ in weights_list]
-            for k in range(taps):
-                s = None
-                for ki, w in enumerate(weights_list):
-                    if k >= len(w) or w[k] == 0.0:
+            planes = {}
+            for p in range(8):
+                qmax = (taps - 1 - p) // 8 + 1
+                if qmax > 0:
+                    planes[p] = cat[p : p + n + 8 * (qmax - 1)]
+            slices: dict = {}
+            for ki, w in enumerate(weights_list):
+                parts = [None] * N_ACC_STRIPES
+                for k in range(len(w)):
+                    if w[k] == 0.0:
                         continue
+                    s = slices.get(k)
                     if s is None:
-                        s = cat[k : k + n]
+                        s = planes[k % 8][8 * (k // 8) : 8 * (k // 8) + n]
+                        slices[k] = s
                     term = s * w[k]
                     j = k % N_ACC_STRIPES
-                    prev = stripes[ki][j]
-                    stripes[ki][j] = term if prev is None else prev + term
-            for ki in range(len(weights_list)):
-                parts = [p for p in stripes[ki] if p is not None]
+                    parts[j] = term if parts[j] is None else parts[j] + term
+                parts = [p for p in parts if p is not None]
                 if not parts:  # degenerate all-zero taps
                     parts = [cat[0:n] * 0.0]
                 while len(parts) > 1:
@@ -267,6 +286,7 @@ def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
                         merged.append(parts[-1])
                     parts = merged
                 accumulate(ki, r, n, c, cl, parts[0])
+            r += n
 
 
 def _sep_fused_kernel_lanes(

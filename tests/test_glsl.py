@@ -333,12 +333,16 @@ void main() {
 
 
 class TestErrors:
-    def test_scatter_store_rejected(self):
-        with pytest.raises(GlslError, match="scatter"):
-            run_shader("""
-                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
-                imageStore(output_image, ivec2(0, 0), vec4(1.0));
-            """)
+    def test_uniform_coord_store_scatters(self):
+        # Every invocation writing ivec2(0,0) is a scatter with an
+        # arbitrary winner; the rest of the image keeps prior contents.
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            imageStore(output_image, ivec2(0, 0), vec4(1.0));
+        """)
+        got = np.asarray(out)
+        assert got[0, 0, 0] == 1.0
+        assert (got[:3, 1:, :] == 0.0).all() and (got[:3, 0, 1:] == 0.0).all()
 
     def test_data_dependent_loop_rejected(self):
         with pytest.raises(GlslError, match="uniform"):
