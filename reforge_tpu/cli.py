@@ -73,6 +73,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Video mode: stop after this many seconds of input",
     )
     p.add_argument(
+        "--fps",
+        type=float,
+        default=None,
+        metavar="FPS",
+        help="Animated export (image/generator -> video): output frame "
+        "rate (default 30); frame i renders with _rf_time = --start + "
+        "i / fps",
+    )
+    p.add_argument(
         "--batch-frames",
         type=int,
         default=1,
@@ -249,8 +258,14 @@ def main(argv: Optional[list[str]] = None) -> int:
     from .io import is_video_path
 
     video_out = headless and is_video_path(args.output_file)
-    if decoder is not None and not video_out:
-        # Video mode must not pre-consume the first frame.
+    # Animated export: a video OUTPUT from a still image (or a
+    # generator-only graph) renders the time-varying graph over
+    # --duration seconds instead of transcoding input frames.
+    animate = video_out and (
+        decoder is None or not is_video_path(args.input_file)
+    )
+    if decoder is not None and (not video_out or animate):
+        # Video transcode mode must not pre-consume the first frame.
         t0 = _time.perf_counter()
         rgba = decoder.decode(width, height)
         engine.load_input(rgba)
@@ -268,6 +283,8 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     try:
         if headless:
+            if animate:
+                return _run_animate(engine, args, width, height)
             if video_out:
                 return _run_video(engine, decoder, args, width, height)
             out = engine.render_frame_blocking()
@@ -372,6 +389,100 @@ def _run_batch(args, inputs: list[str]) -> int:
     print(
         f"Processed {len(inputs)} images in {utils.get_elapsed_ms(t0):.0f}ms total",
         file=sys.stderr,
+    )
+    return 0
+
+
+def _run_animate(engine: Engine, args, width: int, height: int) -> int:
+    """Render a time-varying graph over a still image (or a generator
+    graph) into a video: ``-i photo.jpg -o out.mp4 --duration 5``.
+
+    Frames are sequenced ON DEVICE in chunks via
+    ``GraphProgram.render_sequence`` (``_rf_time`` advances per frame
+    inside one dispatch), so throughput is device-bound rather than
+    per-frame-submission-bound; a writer thread overlaps readback+encode
+    with the next chunk's compute.  ``--start`` sets the initial
+    ``_rf_time``; ``--fps`` the output rate."""
+    import time as _t
+
+    from .io import ImageFileError, VideoEncoder
+
+    dur = getattr(args, "duration", None)
+    if not dur or dur <= 0:
+        print(
+            "Error: animated video export (image/generator -> video) needs "
+            "--duration SEC (and optionally --fps)",
+            file=sys.stderr,
+        )
+        return 1
+    fps = float(getattr(args, "fps", 0) or 30.0)
+    total = max(1, round(dur * fps))
+    if args.frames:
+        total = min(total, args.frames)
+    try:
+        enc = VideoEncoder(args.output_file, width, height, fps)
+    except ImageFileError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=16)  # device frames in flight
+    write_errors: list = []
+
+    def _writer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if write_errors:
+                continue
+            try:
+                enc.write(engine.read_output(item))
+            except Exception as e:
+                write_errors.append(e)
+
+    wt = threading.Thread(target=_writer, daemon=True)
+    wt.start()
+
+    x = engine._file_input()
+    t_start = float(getattr(args, "start", 0.0) or 0.0)
+    dt = 1.0 / fps
+    chunk = 8
+    t0 = _t.perf_counter()
+    done = 0
+    while done < total and not write_errors:
+        k = min(chunk, total - done)
+        # Always render a full chunk (one compiled program for the whole
+        # export); surplus frames of a ragged tail are simply not encoded.
+        frames = engine.program.render_sequence(
+            x, t_start + done * dt, dt, chunk, stack=True
+        )
+        for i in range(k):
+            q.put(frames[i])
+        done += k
+        rate = done / max(_t.perf_counter() - t0, 1e-9)
+        sys.stderr.write(f"\rFrame {done}/{total}  ({rate:5.1f} fps)")
+        sys.stderr.flush()
+    q.put(None)
+    wt.join()
+    if write_errors:
+        print(f"\nError: {write_errors[0]}", file=sys.stderr)
+        try:
+            enc.close()
+        except ImageFileError:
+            pass
+        return 1
+    try:
+        enc.close()
+    except ImageFileError as e:
+        print(f"\nError finalizing video: {e}", file=sys.stderr)
+        return 1
+    elapsed = _t.perf_counter() - t0
+    sys.stderr.write(
+        f"\rRendered {done} frames in {elapsed:.1f}s "
+        f"({done / max(elapsed, 1e-9):.1f} fps) -> {args.output_file}\n"
     )
     return 0
 

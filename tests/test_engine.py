@@ -503,3 +503,42 @@ class TestReloadCaches:
         )
         s3 = load_kernel_file(str(path))
         assert s3 is not s1
+
+    def test_animated_export(self, tmp_path):
+        # Still image + time-varying graph -> video of --duration seconds
+        # (device-sequenced render_sequence chunks).
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+        from reforge_tpu.io.imagefile import native_backend_available
+
+        if not native_backend_available():
+            pytest.skip("native backend not built")
+        rgba = np.random.default_rng(4).integers(0, 256, (24, 32, 4), np.uint8)
+        rgba[..., 3] = 255
+        inp = str(tmp_path / "in.png")
+        outp = str(tmp_path / "anim.mp4")
+        cfgp = str(tmp_path / "g.rf")
+        encode(inp, rgba)
+        write(cfgp, "input -> wv -> output\nwv: wave { amplitude: 5.0, speed: 3.0 }\n")
+        rc = main(["-i", inp, "-o", outp, "--config", cfgp,
+                   "--duration", "0.5", "--fps", "10"])
+        assert rc == 0
+        from reforge_tpu.io import VideoFrames
+        from reforge_tpu.io.imagefile import ImageFileDecoder
+
+        dec = ImageFileDecoder(outp)
+        frames = [f.copy() for f in VideoFrames(dec, dec.width, dec.height)]
+        assert len(frames) == 5
+        assert not np.array_equal(frames[0], frames[4])  # time advanced
+
+    def test_animated_export_needs_duration(self, tmp_path):
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+        from reforge_tpu.io.imagefile import native_backend_available
+
+        if not native_backend_available():
+            pytest.skip("native backend not built")
+        rgba = np.full((16, 16, 4), 90, np.uint8)
+        inp = str(tmp_path / "in.png")
+        encode(inp, rgba)
+        assert main(["-i", inp, "-o", str(tmp_path / "o.mp4")]) == 1
