@@ -167,6 +167,11 @@ class Continue:
 
 
 @dataclasses.dataclass
+class Discard:
+    line: int = 0
+
+
+@dataclasses.dataclass
 class Block:
     body: list
     line: int = 0

@@ -195,6 +195,10 @@ class Interp:
         # Active lane mask (None = all lanes), combined with function
         # return masks at write time.
         self.mask: Optional[Any] = None
+        # Fragment discard: lanes whose output is dropped (reference's
+        # AttachmentLoadOp::DONT_CARE leaves them undefined,
+        # render_pass.rs:33; here they deterministically produce zeros).
+        self.discard_mask: Optional[Any] = None
         self.globals: dict[str, Val] = {}
         # Compilation statistics for halo reflection: max static shift and
         # whether any general gather was emitted.
@@ -381,9 +385,13 @@ class Interp:
         for i, vname in enumerate(self.shader.frag_outputs):
             v = self.globals[vname]
             key = "output_image" if i == 0 else vname
-            outputs[key] = jnp.stack(
-                [self._as_array(c, "float") for c in v.data], axis=0
-            )
+            comps = [
+                jnp.broadcast_to(self._as_array(c, "float"), (self.h, self.w))
+                for c in v.data
+            ]
+            if self.discard_mask is not None:
+                comps = [jnp.where(self.discard_mask, 0.0, c) for c in comps]
+            outputs[key] = jnp.stack(comps, axis=0)
         return outputs
 
     # ---- statements -----------------------------------------------------
@@ -442,6 +450,25 @@ class Interp:
             # Non-uniform return: deactivate these lanes for the remainder
             # of the activation.
             scope.activation.note_return(self.mask, value)
+            return
+        if isinstance(s, ast.Discard):
+            if self.shader.stage != "fragment":
+                raise GlslError("discard is only valid in fragment shaders", s.line)
+            m = self.mask
+            if m is None:
+                m = jnp.ones((self.h, self.w), bool)
+                self.discard_mask = (
+                    m if self.discard_mask is None
+                    else jnp.logical_or(self.discard_mask, m)
+                )
+                raise _ReturnSignal(None)
+            self.discard_mask = (
+                m if self.discard_mask is None
+                else jnp.logical_or(self.discard_mask, m)
+            )
+            # Discarded lanes stop executing (GLSL jump semantics): kill
+            # them for the remainder of the current activation.
+            scope.activation.note_return(m, None)
             return
         if isinstance(s, ast.Break):
             if self.mask is not None:

@@ -437,7 +437,9 @@ class Parser:
             self.expect(";")
             return ast.Continue(t.line)
         if t.text == "discard":
-            raise GlslError("discard is fragment-only", t.line)
+            self.next()
+            self.expect(";")
+            return ast.Discard(t.line)
         return self.parse_simple_stmt()
 
     def parse_stmt_as_list(self) -> list:

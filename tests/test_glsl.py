@@ -1419,3 +1419,65 @@ void main() {
         # Scatter nodes must not be halo-sharded.
         spec = translate_shader(self.FLIP, "flip_scatter2")
         assert spec.halo_for(spec.resolve_params({})) is None
+
+
+class TestDiscard:
+    """Fragment discard: dropped pixels deterministically produce zeros
+    (the reference's render pass leaves them undefined: DONT_CARE,
+    render_pass.rs:33)."""
+
+    def _run_frag(self, src, h=8, w=16, seed=9):
+        spec = translate_shader(src, "frag_discard", stage="fragment")
+        rng = np.random.default_rng(seed)
+        img = np.asarray(rng.random((4, h, w)), np.float32)
+        ctx = KernelContext(width=w, height=h)
+        out = spec(ctx, {"input_image": jnp.asarray(img)}, {})["output_image"]
+        return np.asarray(out), img
+
+    def test_conditional_discard(self):
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+out vec4 color;
+void main() {
+    ivec2 pos = ivec2(gl_FragCoord.xy);
+    vec4 c = imageLoad(input_image, pos);
+    if (c.r > 0.5) {
+        discard;
+    }
+    color = c;
+}
+"""
+        got, img = self._run_frag(src)
+        hot = img[0] > 0.5
+        for ch in range(4):
+            np.testing.assert_array_equal(got[ch][hot], 0.0)
+            np.testing.assert_array_equal(got[ch][~hot], img[ch][~hot])
+
+    def test_writes_after_discard_masked(self):
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+out vec4 color;
+void main() {
+    ivec2 pos = ivec2(gl_FragCoord.xy);
+    vec4 c = imageLoad(input_image, pos);
+    color = vec4(0.25);
+    if (c.r > 0.5) {
+        discard;
+    }
+    color = vec4(1.0);
+}
+"""
+        got, img = self._run_frag(src)
+        hot = img[0] > 0.5
+        for ch in range(4):
+            np.testing.assert_array_equal(got[ch][hot], 0.0)
+            np.testing.assert_array_equal(got[ch][~hot], 1.0)
+
+    def test_discard_in_compute_rejected(self):
+        with pytest.raises(GlslError, match="fragment"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                discard;
+            """)
