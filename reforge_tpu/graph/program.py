@@ -249,10 +249,12 @@ class GraphProgram:
 
         if self._strip_plan is None or not _ops._use_pallas():
             return None
-        if self.width < pallas_ops.TRANSPOSE_MIN_WIDTH:
-            return None
         conv_items, pointwise = self._strip_plan
         plans = [plan for _, plan in conv_items]
+        if not pallas_ops._transpose_variant(
+            self.width, max(len(wh) + len(ww) for wh, ww in plans)
+        ):
+            return None
         tile_h = pallas_ops.multi_tile_h(
             self.width,
             [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans],

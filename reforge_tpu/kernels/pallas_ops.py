@@ -1086,9 +1086,17 @@ def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None) -> int | N
     return None
 
 
-# Above this width the in-VMEM transpose variant wins (measured: at 4K it
-# is ~25% faster; at 1080p the lane variant is ~25% faster).
+# Variant policy, re-measured after the phased/striped tap schedule
+# (which accelerates the transpose variant's sublane tap loops but not
+# the lane variant's W pass): transpose wins at >= this width, OR at any
+# width once the combined tap count reaches TRANSPOSE_MIN_TAPS (1080p
+# sigma-4: transpose 0.91 ms vs lanes 1.30; sigma-2: lanes 1.00 vs 1.13).
 TRANSPOSE_MIN_WIDTH = 2560
+TRANSPOSE_MIN_TAPS = 40
+
+
+def _transpose_variant(w: int, taps_total: int) -> bool:
+    return w >= TRANSPOSE_MIN_WIDTH or taps_total >= TRANSPOSE_MIN_TAPS
 
 
 def sep_conv_fused(
@@ -1111,7 +1119,9 @@ def sep_conv_fused(
     pad_mode = "edge" if mode == "edge" else "constant"
     h_pad = _round_up(h, tile_h)
     if variant is None:
-        variant = "transpose" if w >= TRANSPOSE_MIN_WIDTH else "lanes"
+        variant = (
+            "transpose" if _transpose_variant(w, len(wh) + len(ww)) else "lanes"
+        )
     # DMA slice extents must align to the (8, 128) tiling: round the strip
     # row count up to a sublane multiple and the total width to a lane
     # multiple; slack rows/cols are padded into the input and ignored.
@@ -1180,7 +1190,7 @@ def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
     variant: its W pass runs at (w_total, tile_h) shapes, so tile_h is the
     LANE extent — 128 keeps the VPU at full width."""
     w_total = _round_up(w + 2 * rw, 128)
-    transpose = w >= TRANSPOSE_MIN_WIDTH
+    transpose = _transpose_variant(w, 2 * (rh + rw) + 2)
     for tile_h in (128, 64, 32):
         strips = 2 * _round_up(tile_h + 2 * rh, 8) * w_total * 4
         out = 2 * tile_h * w * 4
