@@ -530,11 +530,14 @@ class Interp:
             if s.cond is not None:
                 cond = self.eval_expr(s.cond, loop_scope)
                 if not is_static(cond.data):
-                    raise GlslError(
-                        "loop bounds must be uniform (constants or UBO "
-                        "parameters); data-dependent loops are not supported",
-                        s.line,
+                    # The condition turned per-pixel (possibly after a
+                    # statically-true unrolled prefix, e.g. mandelbrot's
+                    # z=0 start): hand the rest of the loop to the
+                    # vectorized while_loop lowering.
+                    self._exec_loop_vectorized(
+                        s.cond, s.body, s.update, loop_scope, s.line
                     )
+                    return
                 if not cond.data:
                     break
             try:
@@ -554,7 +557,10 @@ class Interp:
         while True:
             cond = self.eval_expr(s.cond, scope)
             if not is_static(cond.data):
-                raise GlslError("while condition must be uniform", s.line)
+                # Per-pixel condition (possibly after a statically-true
+                # unrolled prefix): vectorized while_loop lowering.
+                self._exec_loop_vectorized(s.cond, s.body, None, scope, s.line)
+                return
             if not cond.data:
                 break
             try:
@@ -566,6 +572,116 @@ class Interp:
             iters += 1
             if iters > _MAX_UNROLL:
                 raise GlslError("loop exceeds unroll limit", s.line)
+
+    # Safety cap for data-dependent loops: a shader whose per-pixel
+    # condition never settles would hang the device (as it would a GPU);
+    # the lowered while_loop additionally stops after this many rounds.
+    _WHILE_CAP = 1 << 16
+
+    def _exec_loop_vectorized(self, cond_expr, body, update_expr,
+                              loop_scope: "_Scope", line: int) -> None:
+        """Per-pixel data-dependent loop, lowered to ONE lax.while_loop.
+
+        The escape-time idiom (`while (dot(z, z) < 4.0 && i < 100)`,
+        raymarching steps, iterative refinement) runs each pixel until
+        ITS condition fails: the carry holds every variable the body
+        assigns plus an active-lane mask; the body executes predicated on
+        the mask (inactive lanes keep their values via the standard
+        masked-assignment blend), and the loop ends when no lane is
+        active.  The reference compiles such shaders natively via shaderc
+        (shader.rs:73-93); XLA needs the static while_loop structure.
+
+        Restrictions: the body must be side-effect-free (no image/
+        texture/atomic access, no break/continue/return, no user function
+        calls — hoist loads before the loop), and the loop must not sit
+        inside non-uniform control flow."""
+        if self.mask is not None or loop_scope.activation.live_mask() is not None:
+            raise GlslError(
+                "data-dependent loops inside non-uniform control flow are "
+                "not supported",
+                line,
+            )
+        effect_stmts = list(body)
+        if update_expr is not None:
+            effect_stmts.append(ast.ExprStmt(update_expr, line))
+        if not self._scan_body_allowed(effect_stmts):
+            raise GlslError(
+                "data-dependent loop bodies must be side-effect-free (no "
+                "image/texture/atomic access, break/continue/return, or "
+                "function calls; hoist loads before the loop)",
+                line,
+            )
+        assigned, declared = self._collect_assigned(effect_stmts)
+        carried = [
+            n for n in assigned
+            if n not in declared and loop_scope.lookup(n) is not None
+        ]
+        protos = {n: loop_scope.lookup(n) for n in carried}
+        if any(p.type == "void" for p in protos.values()):
+            raise GlslError("unsupported loop-carried variable type", line)
+
+        hw = (self.h, self.w)
+
+        def cond_plane(c: Val):
+            if c.type != "bool":
+                raise GlslError("loop condition must be bool", line)
+            return jnp.broadcast_to(self._as_array(c.data, "bool"), hw)
+
+        cond0 = self.eval_expr(cond_expr, loop_scope)
+
+        def body_fn(carry):
+            inner = loop_scope.child()
+            for n in carried:
+                inner.declare(n, self._tree_to_val(carry[n], protos[n]))
+            prev = self.mask
+            self.mask = carry["_active"]
+            try:
+                for st in body:
+                    self.exec_stmt(st, inner)
+                if update_expr is not None:
+                    self.eval_expr(update_expr, inner)
+                cnext = self.eval_expr(cond_expr, inner)
+            finally:
+                self.mask = prev
+            out = {n: self._val_to_tree(inner.lookup(n)) for n in carried}
+            out["_active"] = jnp.logical_and(carry["_active"], cond_plane(cnext))
+            out["_round"] = carry["_round"] + 1
+            return out
+
+        def cond_fn(carry):
+            return jnp.logical_and(
+                jnp.any(carry["_active"]), carry["_round"] < self._WHILE_CAP
+            )
+
+        init = {n: self._val_to_tree(protos[n]) for n in carried}
+        init["_active"] = cond_plane(cond0)
+        init["_round"] = jnp.int32(0)
+        # Stabilize the carry exactly like the fori lowering: scalars that
+        # widen to (H, W) under the mask get pre-broadcast.
+        for _ in range(2):
+            out = jax.eval_shape(body_fn, init)
+            flat_i, tree = jax.tree_util.tree_flatten(init)
+            flat_o = jax.tree_util.tree_leaves(out)
+            if all(
+                jnp.shape(a) == sp.shape and jnp.result_type(a) == sp.dtype
+                for a, sp in zip(flat_i, flat_o)
+            ):
+                break
+            init = jax.tree_util.tree_unflatten(
+                tree,
+                [
+                    jnp.broadcast_to(jnp.asarray(a, sp.dtype), sp.shape)
+                    for a, sp in zip(flat_i, flat_o)
+                ],
+            )
+        else:
+            raise GlslError(
+                "loop-carried variables never reach a stable shape", line
+            )
+        final = jax.lax.while_loop(cond_fn, body_fn, init)
+        for n in carried:
+            loop_scope.assign(n, self._tree_to_val(final[n], protos[n]))
+        self.stats["while_loop"] = True
 
     # ---- fori_loop lowering of long uniform loops -----------------------
 

@@ -344,15 +344,20 @@ class TestErrors:
         assert got[0, 0, 0] == 1.0
         assert (got[:3, 1:, :] == 0.0).all() and (got[:3, 0, 1:] == 0.0).all()
 
-    def test_data_dependent_loop_rejected(self):
-        with pytest.raises(GlslError, match="uniform"):
-            run_shader("""
-                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
-                vec4 c = imageLoad(input_image, pos);
-                vec4 acc = vec4(0.0);
-                for (int i = 0; i < int(c.r * 10.0); i++) { acc += c; }
-                imageStore(output_image, pos, acc);
-            """)
+    def test_data_dependent_loop_vectorizes(self):
+        # Formerly rejected; now lowers to a per-pixel while_loop.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            vec4 acc = vec4(0.0);
+            for (int i = 0; i < int(c.r * 10.0); i++) { acc += c; }
+            imageStore(output_image, pos, acc);
+        """)
+        got = np.asarray(out)
+        im = np.asarray(img)
+        counts = (im[0] * 10.0).astype(np.int32).astype(np.float32)
+        for ch in range(4):
+            np.testing.assert_allclose(got[ch], counts * im[ch], atol=1e-5)
 
     def test_syntax_error_has_line(self):
         src = HEADER + "void main() {\n    vec4 c = ;\n}\n"
@@ -1480,4 +1485,86 @@ void main() {
             run_shader("""
                 ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
                 discard;
+            """)
+
+
+class TestDataDependentLoops:
+    """Per-pixel loop bounds lower to ONE lax.while_loop (escape-time
+    idiom); inactive lanes freeze via the masked-assignment blend."""
+
+    def _oracle(self, img, cap=50):
+        v = img[0].astype(np.float64).copy()
+        n = np.zeros_like(v, dtype=np.int64)
+        active = (v < 1.0) & (n < cap)
+        while active.any():
+            v2 = v * 1.5 + 0.01
+            v = np.where(active, v2, v)
+            n = np.where(active, n + 1, n)
+            active = (v < 1.0) & (n < cap)
+        return v.astype(np.float32), n
+
+    def test_while_escape_time(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            int n = 0;
+            while (v < 1.0 && n < 50) {
+                v = v * 1.5 + 0.01;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+        """)
+        got = np.asarray(out)
+        want_v, want_n = self._oracle(np.asarray(img))
+        np.testing.assert_allclose(got[0], want_v, atol=1e-5)
+        np.testing.assert_array_equal(got[1], want_n.astype(np.float32))
+
+    def test_for_escape_time(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            int iters = 0;
+            for (int n = 0; v < 1.0 && n < 50; n++) {
+                v = v * 1.5 + 0.01;
+                iters = n + 1;
+            }
+            imageStore(output_image, pos, vec4(v, float(iters), 0.0, 1.0));
+        """)
+        got = np.asarray(out)
+        want_v, want_n = self._oracle(np.asarray(img))
+        np.testing.assert_allclose(got[0], want_v, atol=1e-5)
+        np.testing.assert_array_equal(got[1], want_n.astype(np.float32))
+
+    def test_mandelbrot_runs(self):
+        # The canonical escape-time fractal: z <- z^2 + c per pixel.
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            ivec2 size = imageSize(output_image);
+            vec2 c = vec2(
+                float(pos.x) / float(size.x) * 3.0 - 2.0,
+                float(pos.y) / float(size.y) * 2.0 - 1.0);
+            vec2 z = vec2(0.0);
+            int n = 0;
+            while (dot(z, z) < 4.0 && n < 64) {
+                z = vec2(z.x * z.x - z.y * z.y, 2.0 * z.x * z.y) + c;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(float(n) / 64.0));
+        """, h=16, w=24)
+        got = np.asarray(out)
+        assert got.min() >= 0.0 and got.max() <= 1.0
+        assert len(np.unique(got[0])) > 3  # actual per-pixel variation
+
+    def test_loads_inside_loop_rejected(self):
+        with pytest.raises(GlslError, match="side-effect-free"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                vec4 c = imageLoad(input_image, pos);
+                float v = c.r;
+                while (v < 1.0) {
+                    v += imageLoad(input_image, pos).g;
+                }
+                imageStore(output_image, pos, vec4(v));
             """)
