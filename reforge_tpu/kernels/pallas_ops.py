@@ -902,7 +902,9 @@ def sep_conv_fused_multi(
 def _graph_strip_kernel(
     x_hbm, t_ref, o_ref, scratch, tmps, tmp_t, acc_t, sems, *,
     weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
-    rh_max: int, rw_max: int, epilogue,
+    rh_max: int, rw_max: int, epilogue, raw: bool = False,
+    in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
+    w_base: int | None = None,
 ):
     """The WHOLE graph in one streaming pass: shared-load convs + a traced
     channel-local epilogue that evaluates every remaining (pointwise) node
@@ -915,26 +917,115 @@ def _graph_strip_kernel(
     regardless of graph depth."""
     ci = pl.program_id(0)
     i = pl.program_id(1)
+    if w_base is None:
+        w_base = rw_max  # padded path: data sits at column RW
 
-    def strip_dma(step, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+    if not raw:
+        def dma_do(step, slot, what):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+            cp.start() if what == "start" else cp.wait()
+    else:
+        # Raw (unpadded) input: each strip window is clamped to the image
+        # and the halos are synthesized in VMEM after the wait — the
+        # whole-frame XLA pad copy this replaces costs ~0.9 ms at 4K and
+        # does NOT hoist out of a frame-sequencing loop (profiled:
+        # concatenate.10/11 ran per frame inside the scan's while loop).
+        first_rows = strip_rows - rh_max
+        last_rows = tile_h + rh_max
+
+        def dma_do(step, slot, what):
+            @pl.when(step == 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[ci, pl.ds(0, first_rows), :],
+                    scratch.at[slot, pl.ds(rh_max, first_rows),
+                               pl.ds(w_base, in_w)],
+                    sems.at[slot],
+                )
+                cp.start() if what == "start" else cp.wait()
+
+            @pl.when(jnp.logical_and(step > 0, step < n_tiles - 1))
+            def _():
+                # tile_h and rh_max are both multiples of 8, so the start
+                # is too — Mosaic needs the explicit divisibility hint.
+                start = pl.multiple_of(step * tile_h - rh_max, 8)
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[ci, pl.ds(start, strip_rows), :],
+                    scratch.at[slot, pl.ds(0, strip_rows), pl.ds(w_base, in_w)],
+                    sems.at[slot],
+                )
+                cp.start() if what == "start" else cp.wait()
+
+            @pl.when(step == n_tiles - 1)
+            def _():
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[ci, pl.ds(in_h - last_rows, last_rows), :],
+                    scratch.at[slot, pl.ds(0, last_rows), pl.ds(w_base, in_w)],
+                    sems.at[slot],
+                )
+                cp.start() if what == "start" else cp.wait()
 
     slot = jax.lax.rem(i, 2)
     other = 1 - slot
 
     @pl.when(i == 0)
     def _():
-        strip_dma(i, slot).start()
+        dma_do(i, slot, "start")
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        strip_dma(i + 1, other).start()
+        dma_do(i + 1, other, "start")
 
-    strip_dma(i, slot).wait()
+    dma_do(i, slot, "wait")
+
+    if raw:
+        # Synthesize the halos.  H first (rows read the DMA'd columns),
+        # then W over ALL rows so the corners compose as edge(edge) /
+        # zero — exactly jnp.pad's semantics.
+        sr, wt = strip_rows, scratch.shape[2]
+        edge = pad_edge_mode
+
+        @pl.when(i == 0)
+        def _():
+            if edge:
+                scratch[slot, 0:rh_max, :] = jnp.broadcast_to(
+                    scratch[slot, rh_max : rh_max + 1, :], (rh_max, wt)
+                )
+            else:
+                scratch[slot, 0:rh_max, :] = jnp.zeros((rh_max, wt), scratch.dtype)
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            lo = tile_h + rh_max
+            if edge:
+                scratch[slot, lo:sr, :] = jnp.broadcast_to(
+                    scratch[slot, lo - 1 : lo, :], (sr - lo, wt)
+                )
+            else:
+                scratch[slot, lo:sr, :] = jnp.zeros((sr - lo, wt), scratch.dtype)
+
+        if w_base > 0:
+            if edge:
+                scratch[slot, :, 0:w_base] = jnp.broadcast_to(
+                    scratch[slot, :, w_base : w_base + 1], (sr, w_base)
+                )
+            else:
+                scratch[slot, :, 0:w_base] = jnp.zeros((sr, w_base), scratch.dtype)
+        right = wt - w_base - in_w
+        if right > 0:
+            if edge:
+                scratch[slot, :, w_base + in_w :] = jnp.broadcast_to(
+                    scratch[slot, :, w_base + in_w - 1 : w_base + in_w],
+                    (sr, right),
+                )
+            else:
+                scratch[slot, :, w_base + in_w :] = jnp.zeros(
+                    (sr, right), scratch.dtype
+                )
 
     # Shared-load H pass for all convs at once.
     _blocked_taps(
@@ -948,11 +1039,15 @@ def _graph_strip_kernel(
     )
 
     # W pass per conv; each result captured as a VALUE for the epilogue.
+    # The data sits at column w_base of the strip; the taps are padded to
+    # rw_max, so the source rows (transposed columns) start w_base-rw_max
+    # past the output row.
+    woff = w_base - rw_max
     blurs = []
     for k, (_, ww) in enumerate(weights):
         tmp_t[:, :] = tmps[k].T
         _blocked_taps(
-            lambda r, blk, c, L: tmp_t[r : r + blk, c : c + L],
+            lambda r, blk, c, L: tmp_t[r + woff : r + woff + blk, c : c + L],
             lambda ki, r, n, c, L, acc: acc_t.__setitem__(
                 (slice(r, r + n), slice(c, c + L)), acc
             ),
@@ -963,7 +1058,7 @@ def _graph_strip_kernel(
         blurs.append(acc_t[0:out_w, :].T)
 
     # The strip's center block, for pointwise consumption of the input.
-    xin = scratch[slot, rh_max : rh_max + tile_h, rw_max : rw_max + out_w]
+    xin = scratch[slot, rh_max : rh_max + tile_h, w_base : w_base + out_w]
     out = epilogue(ci, i * tile_h, t_ref[0, 0], xin, blurs)
     o_ref[0, :, :] = out
 
@@ -991,19 +1086,51 @@ def graph_strip_fused(
     RH, RW = max(rhs), max(rws)
     pad_mode = "edge" if mode == "edge" else "constant"
     h_pad = _round_up(h, tile_h)
+    # In-kernel padding: when the geometry allows, DMA clamped strip
+    # windows straight from the UNPADDED frame and synthesize the halos
+    # in VMEM — the jnp.pad whole-frame copy costs ~0.9 ms at 4K and
+    # re-runs every frame inside a sequencing loop (XLA does not hoist
+    # it out of the scan's while loop; profiled in BENCH.md).  Mosaic
+    # requires DMA slice row counts aligned to the sublane tile (8), so
+    # the raw path rounds the H halo up to a multiple of 8 with
+    # zero-padded taps (skipped by the schedule: no compute cost).
+    RH8 = _round_up(RH, 8)
+    strip_rows8 = max(
+        _round_up(tile_h + 2 * RH8, 8),
+        tile_h - 8 + _blocked_rows(2 * RH8 + 1),
+    )
+    raw = (
+        h % tile_h == 0
+        and h // tile_h >= 2
+        and w % 128 == 0  # DMA lane-slice shapes must be 128-tiled
+        and tile_h >= RH8
+        and h >= strip_rows8 - RH8
+        and h >= tile_h + RH8
+    )
+    if raw:
+        RH = RH8
+        h_pad = h
     strip_rows = max(
         _round_up(tile_h + 2 * RH, 8),
         tile_h - 8 + _blocked_rows(2 * RH + 1),
     )
     row_slack = strip_rows - (tile_h + 2 * RH)
-    w_total = _round_up(
-        max(w + 2 * RW, w - 8 + _blocked_rows(2 * RW + 1)), 128
-    )
-    xp = jnp.pad(
-        x,
-        ((0, 0), (RH, RH + (h_pad - h) + row_slack), (RW, w_total - w - RW)),
-        mode=pad_mode,
-    )
+    if raw:
+        # Data sits at (128-aligned) column 128 of the strip; the W pass
+        # offsets its reads by w_base - RW.
+        w_base = 128
+        xp = x
+        w_total = _round_up(w_base + w + _round_up(2 * RW, 8) - RW, 128)
+    else:
+        w_base = None
+        w_total = _round_up(
+            max(w + 2 * RW, w - 8 + _blocked_rows(2 * RW + 1)), 128
+        )
+        xp = jnp.pad(
+            x,
+            ((0, 0), (RH, RH + (h_pad - h) + row_slack), (RW, w_total - w - RW)),
+            mode=pad_mode,
+        )
     n_tiles = h_pad // tile_h
     weights = tuple(
         (
@@ -1025,6 +1152,11 @@ def graph_strip_fused(
             rh_max=RH,
             rw_max=RW,
             epilogue=epilogue,
+            raw=raw,
+            in_h=h,
+            in_w=w,
+            pad_edge_mode=(pad_mode == "edge"),
+            w_base=w_base,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),

@@ -250,3 +250,39 @@ class TestMxuX3Variant:
     def test_x3_tile_h_model(self):
         assert pallas_ops.mxu_x3_tile_h(3840, 12, 12) in (128, 64, 32)
         assert pallas_ops.mxu_x3_tile_h(3840, 12, 200) is None  # rw > 128
+
+
+def test_graph_strip_raw_padding_matches():
+    """In-kernel (DMA-clamped + VMEM-synthesized) halos == jnp.pad path,
+    both border modes, including the first/last strip specials."""
+    from reforge_tpu.kernels.ops import gaussian_weights
+
+    h, w = 64, 256  # w % 128 == 0: the raw DMA path engages
+    x = jnp.asarray(np.random.default_rng(0).random((4, h, w)).astype(np.float32))
+    wh = gaussian_weights(2.0)
+    ww = gaussian_weights(1.5)
+    rh, rw = (len(wh) - 1) // 2, (len(ww) - 1) // 2
+
+    def epilogue(ci, row0, t, xin, blurs):
+        return blurs[0] * 0.5 + xin * 0.5
+
+    for mode in ("edge", "zero"):
+        # tile_h=32 divides h with n_tiles=2 -> raw path engages
+        got = np.asarray(pallas_ops.graph_strip_fused(
+            x, 0.0, [(wh, ww)], epilogue, mode=mode, tile_h=32, interpret=True))
+        pm = "edge" if mode == "edge" else "constant"
+        a = np.asarray(jnp.pad(x, ((0, 0), (rh, rh), (rw, rw)), mode=pm),
+                       np.float64)
+        th = np.zeros((4, h, w + 2 * rw))
+        for k, wv in enumerate(np.asarray(wh, np.float64)):
+            th += wv * a[:, k : k + h, :]
+        res = np.zeros((4, h, w))
+        for k, wv in enumerate(np.asarray(ww, np.float64)):
+            res += wv * th[:, :, k : k + w]
+        want = 0.5 * res + 0.5 * np.asarray(x, np.float64)
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+        # And the raw path must agree with the jnp.pad path bitwise
+        # (tile_h=64 -> n_tiles=1 -> falls back to padded).
+        padded = np.asarray(pallas_ops.graph_strip_fused(
+            x, 0.0, [(wh, ww)], epilogue, mode=mode, tile_h=64, interpret=True))
+        np.testing.assert_allclose(got, padded, atol=1e-6, err_msg=mode)
