@@ -148,7 +148,7 @@ def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
                     return pallas_ops.sep_conv_fused_mxu_x3(
                         x, wh_arr, ww_arr, tile_h=tile_h
                     )
-            tile_h = pallas_ops.fused_tile_h(x.shape[2], rh, rw)
+            tile_h = pallas_ops.fused_tile_h(x.shape[2], rh, rw, h=x.shape[1])
             if tile_h is not None:
                 return pallas_ops.sep_conv_fused(x, wh_arr, ww_arr, tile_h=tile_h)
     return conv1d(conv1d(x, wh, AXIS_H), ww, AXIS_W)

@@ -140,7 +140,9 @@ def sep_conv(
 def _sep_fused_kernel(
     x_hbm, o_ref, scratch, tmp, tmp_t, acc_t, sems, *,
     weights_h: tuple, weights_w: tuple, tile_h: int, out_w: int,
-    n_tiles: int, strip_rows: int,
+    n_tiles: int, strip_rows: int, raw: bool = False, rh_max: int = 0,
+    in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
+    w_base: int | None = None, rw: int = 0,
 ):
     """One H-strip: DMA (strip_rows, W + 2r_w) into VMEM (double
     buffered), conv along H, transpose, conv along (now-sublane) W,
@@ -156,29 +158,36 @@ def _sep_fused_kernel(
     """
     ci = pl.program_id(0)
     i = pl.program_id(1)
+    if w_base is None:
+        w_base = rw  # padded path: data sits at column rw
 
-    def strip_dma(step, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+    dma_do = _strip_dma_fn(
+        ci, x_hbm, scratch, sems, raw=raw, tile_h=tile_h,
+        strip_rows=strip_rows, rh_max=rh_max, n_tiles=n_tiles,
+        in_h=in_h, in_w=in_w, w_base=w_base,
+    )
 
     slot = jax.lax.rem(i, 2)
     other = 1 - slot
 
     @pl.when(i == 0)
     def _():
-        strip_dma(i, slot).start()
+        dma_do(i, slot, "start")
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        strip_dma(i + 1, other).start()
+        dma_do(i + 1, other, "start")
 
-    strip_dma(i, slot).wait()
+    dma_do(i, slot, "wait")
 
-    # Conv along H with the register-blocked tap schedule (_blocked_taps):
-    # ~25% faster than per-tap ref slicing at 4K (BENCH.md).
+    if raw:
+        _strip_fill_halos(
+            i, slot, scratch, tile_h=tile_h, strip_rows=strip_rows,
+            rh_max=rh_max, n_tiles=n_tiles, in_w=in_w, w_base=w_base,
+            edge=pad_edge_mode,
+        )
+
+    # Conv along H with the phased/striped tap schedule (_blocked_taps).
     _blocked_taps(
         lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L],
         lambda ki, r, n, c, L, acc: tmp.__setitem__(
@@ -190,10 +199,13 @@ def _sep_fused_kernel(
     )
 
     # Conv along W as sublane shifts of the transposed strip, same
-    # schedule, then one transpose back into the output block.
+    # schedule, then one transpose back into the output block.  The data
+    # sits at column w_base; the taps are padded to rw, so the source
+    # rows (transposed columns) start w_base - rw past the output row.
+    woff = w_base - rw
     tmp_t[:, :] = tmp[:, :].T
     _blocked_taps(
-        lambda r, blk, c, L: tmp_t[r : r + blk, c : c + L],
+        lambda r, blk, c, L: tmp_t[r + woff : r + woff + blk, c : c + L],
         lambda ki, r, n, c, L, acc: acc_t.__setitem__(
             (slice(r, r + n), slice(c, c + L)), acc
         ),
@@ -755,6 +767,8 @@ def mxu_x3_tile_h(w: int, rh: int, rw: int) -> int | None:
 def _sep_fused_kernel_multi(
     x_hbm, *rest,
     weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
+    raw: bool = False, rh_max: int = 0, in_h: int = 0, in_w: int = 0,
+    pad_edge_mode: bool = True, w_base: int | None = None, rw_max: int = 0,
 ):
     """N separable convs of the SAME input in one kernel.
 
@@ -772,26 +786,34 @@ def _sep_fused_kernel_multi(
     scratch, tmps, tmp_t, acc_t, sems = rest[n_convs:]
     ci = pl.program_id(0)
     i = pl.program_id(1)
+    if w_base is None:
+        w_base = rw_max  # padded path: data sits at column RW
 
-    def strip_dma(step, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+    dma_do = _strip_dma_fn(
+        ci, x_hbm, scratch, sems, raw=raw, tile_h=tile_h,
+        strip_rows=strip_rows, rh_max=rh_max, n_tiles=n_tiles,
+        in_h=in_h, in_w=in_w, w_base=w_base,
+    )
 
     slot = jax.lax.rem(i, 2)
     other = 1 - slot
 
     @pl.when(i == 0)
     def _():
-        strip_dma(i, slot).start()
+        dma_do(i, slot, "start")
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        strip_dma(i + 1, other).start()
+        dma_do(i + 1, other, "start")
 
-    strip_dma(i, slot).wait()
+    dma_do(i, slot, "wait")
+
+    if raw:
+        _strip_fill_halos(
+            i, slot, scratch, tile_h=tile_h, strip_rows=strip_rows,
+            rh_max=rh_max, n_tiles=n_tiles, in_w=in_w, w_base=w_base,
+            edge=pad_edge_mode,
+        )
 
     # Shared-load H pass: one register-blocked sweep accumulates ALL convs
     # from each loaded value block (the whole point of the bundle).
@@ -806,11 +828,13 @@ def _sep_fused_kernel_multi(
     )
 
     # W pass per conv (inputs differ, so no cross-conv sharing exists);
-    # register-blocked taps + one transpose each.
+    # register-blocked taps + one transpose each.  The data sits at
+    # column w_base; taps are padded to rw_max.
+    woff = w_base - rw_max
     for k, (_, ww) in enumerate(weights):
         tmp_t[:, :] = tmps[k].T
         _blocked_taps(
-            lambda r, blk, c, L: tmp_t[r : r + blk, c : c + L],
+            lambda r, blk, c, L: tmp_t[r + woff : r + woff + blk, c : c + L],
             lambda ki, r, n, c, L, acc: acc_t.__setitem__(
                 (slice(r, r + n), slice(c, c + L)), acc
             ),
@@ -840,20 +864,31 @@ def sep_conv_fused_multi(
     RH, RW = max(rhs), max(rws)
     pad_mode = "edge" if mode == "edge" else "constant"
     h_pad = _round_up(h, tile_h)
+    # In-kernel padding (see _strip_dma_fn).
+    raw, RH8 = _raw_strip_geometry(h, w, tile_h, RH)
+    if raw:
+        RH = RH8
+        h_pad = h
     # Extents cover the register-blocked tap reads (see sep_conv_fused).
     strip_rows = max(
         _round_up(tile_h + 2 * RH, 8),
         tile_h - 8 + _blocked_rows(2 * RH + 1),
     )
     row_slack = strip_rows - (tile_h + 2 * RH)
-    w_total = _round_up(
-        max(w + 2 * RW, w - 8 + _blocked_rows(2 * RW + 1)), 128
-    )
-    xp = jnp.pad(
-        x,
-        ((0, 0), (RH, RH + (h_pad - h) + row_slack), (RW, w_total - w - RW)),
-        mode=pad_mode,
-    )
+    if raw:
+        w_base = 128
+        xp = x
+        w_total = _round_up(w_base + w + _round_up(2 * RW, 8) - RW, 128)
+    else:
+        w_base = None
+        w_total = _round_up(
+            max(w + 2 * RW, w - 8 + _blocked_rows(2 * RW + 1)), 128
+        )
+        xp = jnp.pad(
+            x,
+            ((0, 0), (RH, RH + (h_pad - h) + row_slack), (RW, w_total - w - RW)),
+            mode=pad_mode,
+        )
     n_tiles = h_pad // tile_h
     # Lead-pad smaller kernels with zeros so tap offsets align in the
     # shared strip/rows domain.
@@ -873,6 +908,13 @@ def sep_conv_fused_multi(
             out_w=w,
             n_tiles=n_tiles,
             strip_rows=strip_rows,
+            raw=raw,
+            rh_max=RH,
+            in_h=h,
+            in_w=w,
+            pad_edge_mode=(pad_mode == "edge"),
+            w_base=w_base,
+            rw_max=RW,
         ),
         out_shape=tuple(
             jax.ShapeDtypeStruct((c, h_pad, w), x.dtype) for _ in range(n)
@@ -899,6 +941,132 @@ def sep_conv_fused_multi(
     return tuple(o[:, :h, :] for o in out)
 
 
+
+def _strip_dma_fn(ci, x_hbm, scratch, sems, *, raw, tile_h, strip_rows,
+                  rh_max, n_tiles, in_h, in_w, w_base):
+    """dma_do(step, slot, what) for a conv strip kernel.
+
+    Padded mode copies full pre-padded strips.  Raw mode (in-kernel
+    padding) copies clamped windows straight from the unpadded frame —
+    the first/middle/last strips differ in extent, so start and wait
+    each branch three ways; the halos are synthesized afterwards by
+    _strip_fill_halos.  Geometry contract (callers gate on it): tile_h,
+    rh_max, strip_rows multiples of 8; in_w a multiple of 128; w_base
+    128-aligned.  The whole-frame jnp.pad copy this replaces costs
+    ~0.9 ms at 4K and does NOT hoist out of a frame-sequencing loop
+    (profiled; BENCH.md)."""
+    if not raw:
+        def dma_do(step, slot, what):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+            cp.start() if what == "start" else cp.wait()
+        return dma_do
+
+    first_rows = strip_rows - rh_max
+    last_rows = tile_h + rh_max
+
+    def dma_do(step, slot, what):
+        @pl.when(step == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[ci, pl.ds(0, first_rows), :],
+                scratch.at[slot, pl.ds(rh_max, first_rows),
+                           pl.ds(w_base, in_w)],
+                sems.at[slot],
+            )
+            cp.start() if what == "start" else cp.wait()
+
+        @pl.when(jnp.logical_and(step > 0, step < n_tiles - 1))
+        def _():
+            # tile_h and rh_max are both multiples of 8, so the start
+            # is too — Mosaic needs the explicit divisibility hint.
+            start = pl.multiple_of(step * tile_h - rh_max, 8)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[ci, pl.ds(start, strip_rows), :],
+                scratch.at[slot, pl.ds(0, strip_rows), pl.ds(w_base, in_w)],
+                sems.at[slot],
+            )
+            cp.start() if what == "start" else cp.wait()
+
+        @pl.when(step == n_tiles - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[ci, pl.ds(in_h - last_rows, last_rows), :],
+                scratch.at[slot, pl.ds(0, last_rows), pl.ds(w_base, in_w)],
+                sems.at[slot],
+            )
+            cp.start() if what == "start" else cp.wait()
+
+    return dma_do
+
+
+def _strip_fill_halos(i, slot, scratch, *, tile_h, strip_rows, rh_max,
+                      n_tiles, in_w, w_base, edge):
+    """Synthesize a raw strip's halos in VMEM: H first (halo rows read
+    the DMA'd columns), then W over ALL rows, so corners compose as
+    edge(edge) / zero — exactly jnp.pad's semantics."""
+    sr, wt = strip_rows, scratch.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        if edge:
+            scratch[slot, 0:rh_max, :] = jnp.broadcast_to(
+                scratch[slot, rh_max : rh_max + 1, :], (rh_max, wt)
+            )
+        else:
+            scratch[slot, 0:rh_max, :] = jnp.zeros((rh_max, wt), scratch.dtype)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        lo = tile_h + rh_max
+        if edge:
+            scratch[slot, lo:sr, :] = jnp.broadcast_to(
+                scratch[slot, lo - 1 : lo, :], (sr - lo, wt)
+            )
+        else:
+            scratch[slot, lo:sr, :] = jnp.zeros((sr - lo, wt), scratch.dtype)
+
+    if w_base > 0:
+        if edge:
+            scratch[slot, :, 0:w_base] = jnp.broadcast_to(
+                scratch[slot, :, w_base : w_base + 1], (sr, w_base)
+            )
+        else:
+            scratch[slot, :, 0:w_base] = jnp.zeros((sr, w_base), scratch.dtype)
+    right = wt - w_base - in_w
+    if right > 0:
+        if edge:
+            scratch[slot, :, w_base + in_w :] = jnp.broadcast_to(
+                scratch[slot, :, w_base + in_w - 1 : w_base + in_w],
+                (sr, right),
+            )
+        else:
+            scratch[slot, :, w_base + in_w :] = jnp.zeros(
+                (sr, right), scratch.dtype
+            )
+
+
+def _raw_strip_geometry(h: int, w: int, tile_h: int, RH: int):
+    """(raw_ok, RH8) for the in-kernel padding gate (see _strip_dma_fn)."""
+    RH8 = _round_up(RH, 8)
+    strip_rows8 = max(
+        _round_up(tile_h + 2 * RH8, 8),
+        tile_h - 8 + _blocked_rows(2 * RH8 + 1),
+    )
+    ok = (
+        h % tile_h == 0
+        and h // tile_h >= 2
+        and w % 128 == 0  # DMA lane-slice shapes must be 128-tiled
+        and tile_h >= RH8
+        and h >= strip_rows8 - RH8
+        and h >= tile_h + RH8
+    )
+    return ok, RH8
+
+
 def _graph_strip_kernel(
     x_hbm, t_ref, o_ref, scratch, tmps, tmp_t, acc_t, sems, *,
     weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
@@ -920,54 +1088,11 @@ def _graph_strip_kernel(
     if w_base is None:
         w_base = rw_max  # padded path: data sits at column RW
 
-    if not raw:
-        def dma_do(step, slot, what):
-            cp = pltpu.make_async_copy(
-                x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
-                scratch.at[slot],
-                sems.at[slot],
-            )
-            cp.start() if what == "start" else cp.wait()
-    else:
-        # Raw (unpadded) input: each strip window is clamped to the image
-        # and the halos are synthesized in VMEM after the wait — the
-        # whole-frame XLA pad copy this replaces costs ~0.9 ms at 4K and
-        # does NOT hoist out of a frame-sequencing loop (profiled:
-        # concatenate.10/11 ran per frame inside the scan's while loop).
-        first_rows = strip_rows - rh_max
-        last_rows = tile_h + rh_max
-
-        def dma_do(step, slot, what):
-            @pl.when(step == 0)
-            def _():
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[ci, pl.ds(0, first_rows), :],
-                    scratch.at[slot, pl.ds(rh_max, first_rows),
-                               pl.ds(w_base, in_w)],
-                    sems.at[slot],
-                )
-                cp.start() if what == "start" else cp.wait()
-
-            @pl.when(jnp.logical_and(step > 0, step < n_tiles - 1))
-            def _():
-                # tile_h and rh_max are both multiples of 8, so the start
-                # is too — Mosaic needs the explicit divisibility hint.
-                start = pl.multiple_of(step * tile_h - rh_max, 8)
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[ci, pl.ds(start, strip_rows), :],
-                    scratch.at[slot, pl.ds(0, strip_rows), pl.ds(w_base, in_w)],
-                    sems.at[slot],
-                )
-                cp.start() if what == "start" else cp.wait()
-
-            @pl.when(step == n_tiles - 1)
-            def _():
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[ci, pl.ds(in_h - last_rows, last_rows), :],
-                    scratch.at[slot, pl.ds(0, last_rows), pl.ds(w_base, in_w)],
-                    sems.at[slot],
-                )
-                cp.start() if what == "start" else cp.wait()
+    dma_do = _strip_dma_fn(
+        ci, x_hbm, scratch, sems, raw=raw, tile_h=tile_h,
+        strip_rows=strip_rows, rh_max=rh_max, n_tiles=n_tiles,
+        in_h=in_h, in_w=in_w, w_base=w_base,
+    )
 
     slot = jax.lax.rem(i, 2)
     other = 1 - slot
@@ -983,49 +1108,11 @@ def _graph_strip_kernel(
     dma_do(i, slot, "wait")
 
     if raw:
-        # Synthesize the halos.  H first (rows read the DMA'd columns),
-        # then W over ALL rows so the corners compose as edge(edge) /
-        # zero — exactly jnp.pad's semantics.
-        sr, wt = strip_rows, scratch.shape[2]
-        edge = pad_edge_mode
-
-        @pl.when(i == 0)
-        def _():
-            if edge:
-                scratch[slot, 0:rh_max, :] = jnp.broadcast_to(
-                    scratch[slot, rh_max : rh_max + 1, :], (rh_max, wt)
-                )
-            else:
-                scratch[slot, 0:rh_max, :] = jnp.zeros((rh_max, wt), scratch.dtype)
-
-        @pl.when(i == n_tiles - 1)
-        def _():
-            lo = tile_h + rh_max
-            if edge:
-                scratch[slot, lo:sr, :] = jnp.broadcast_to(
-                    scratch[slot, lo - 1 : lo, :], (sr - lo, wt)
-                )
-            else:
-                scratch[slot, lo:sr, :] = jnp.zeros((sr - lo, wt), scratch.dtype)
-
-        if w_base > 0:
-            if edge:
-                scratch[slot, :, 0:w_base] = jnp.broadcast_to(
-                    scratch[slot, :, w_base : w_base + 1], (sr, w_base)
-                )
-            else:
-                scratch[slot, :, 0:w_base] = jnp.zeros((sr, w_base), scratch.dtype)
-        right = wt - w_base - in_w
-        if right > 0:
-            if edge:
-                scratch[slot, :, w_base + in_w :] = jnp.broadcast_to(
-                    scratch[slot, :, w_base + in_w - 1 : w_base + in_w],
-                    (sr, right),
-                )
-            else:
-                scratch[slot, :, w_base + in_w :] = jnp.zeros(
-                    (sr, right), scratch.dtype
-                )
+        _strip_fill_halos(
+            i, slot, scratch, tile_h=tile_h, strip_rows=strip_rows,
+            rh_max=rh_max, n_tiles=n_tiles, in_w=in_w, w_base=w_base,
+            edge=pad_edge_mode,
+        )
 
     # Shared-load H pass for all convs at once.
     _blocked_taps(
@@ -1086,27 +1173,11 @@ def graph_strip_fused(
     RH, RW = max(rhs), max(rws)
     pad_mode = "edge" if mode == "edge" else "constant"
     h_pad = _round_up(h, tile_h)
-    # In-kernel padding: when the geometry allows, DMA clamped strip
-    # windows straight from the UNPADDED frame and synthesize the halos
-    # in VMEM — the jnp.pad whole-frame copy costs ~0.9 ms at 4K and
-    # re-runs every frame inside a sequencing loop (XLA does not hoist
-    # it out of the scan's while loop; profiled in BENCH.md).  Mosaic
-    # requires DMA slice row counts aligned to the sublane tile (8), so
-    # the raw path rounds the H halo up to a multiple of 8 with
-    # zero-padded taps (skipped by the schedule: no compute cost).
-    RH8 = _round_up(RH, 8)
-    strip_rows8 = max(
-        _round_up(tile_h + 2 * RH8, 8),
-        tile_h - 8 + _blocked_rows(2 * RH8 + 1),
-    )
-    raw = (
-        h % tile_h == 0
-        and h // tile_h >= 2
-        and w % 128 == 0  # DMA lane-slice shapes must be 128-tiled
-        and tile_h >= RH8
-        and h >= strip_rows8 - RH8
-        and h >= tile_h + RH8
-    )
+    # In-kernel padding (see _strip_dma_fn): Mosaic requires DMA slice
+    # row counts aligned to the sublane tile (8), so the raw path rounds
+    # the H halo up to a multiple of 8 with zero-padded taps (skipped by
+    # the schedule: no compute cost).
+    raw, RH8 = _raw_strip_geometry(h, w, tile_h, RH)
     if raw:
         RH = RH8
         h_pad = h
@@ -1260,17 +1331,39 @@ def sep_conv_fused(
     # The transpose variant's register-blocked tap schedule reads value
     # blocks of _blocked_rows taps past each sub-block start, so its
     # strip/width extents cover that too.
-    strip_rows = _round_up(tile_h + 2 * rh, 8)
+    raw = False
+    rh_eff = rh
+    w_base = None
+    if variant == "transpose":
+        # In-kernel padding (see _strip_dma_fn): the H halo rounds up to
+        # a multiple of 8 via zero taps, the data sits at lane 128.
+        raw, RH8 = _raw_strip_geometry(h, w, tile_h, rh)
+        if raw:
+            rh_eff = RH8
+            wh = np.concatenate([np.zeros(RH8 - rh, np.float32), wh])
+            h_pad = h
+            w_base = 128
+    strip_rows = _round_up(tile_h + 2 * rh_eff, 8)
     w_total = _round_up(w + 2 * rw, 128)
     if variant == "transpose":
         strip_rows = max(strip_rows, tile_h - 8 + _blocked_rows(len(wh)))
-        w_total = _round_up(max(w + 2 * rw, w - 8 + _blocked_rows(len(ww))), 128)
-    row_slack = strip_rows - (tile_h + 2 * rh)
-    xp = jnp.pad(
-        x,
-        ((0, 0), (rh, rh + (h_pad - h) + row_slack), (rw, w_total - w - rw)),
-        mode=pad_mode,
-    )
+        if raw:
+            w_total = _round_up(
+                w_base + w + _round_up(2 * rw, 8) - rw, 128
+            )
+        else:
+            w_total = _round_up(
+                max(w + 2 * rw, w - 8 + _blocked_rows(len(ww))), 128
+            )
+    row_slack = strip_rows - (tile_h + 2 * rh_eff)
+    if raw:
+        xp = x
+    else:
+        xp = jnp.pad(
+            x,
+            ((0, 0), (rh, rh + (h_pad - h) + row_slack), (rw, w_total - w - rw)),
+            mode=pad_mode,
+        )
     n_tiles = h_pad // tile_h
     taps = dict(
         weights_h=tuple(float(v) for v in wh),
@@ -1281,7 +1374,11 @@ def sep_conv_fused(
         strip_rows=strip_rows,
     )
     if variant == "transpose":
-        kernel_fn = functools.partial(_sep_fused_kernel, **taps)
+        kernel_fn = functools.partial(
+            _sep_fused_kernel, **taps, raw=raw, rh_max=rh_eff, in_h=h,
+            in_w=w, pad_edge_mode=(pad_mode == "edge"), w_base=w_base,
+            rw=rw,
+        )
         scratch = [
             pltpu.VMEM((2, strip_rows, w_total), x.dtype),
             pltpu.VMEM((tile_h, w_total), x.dtype),
@@ -1312,7 +1409,7 @@ def sep_conv_fused(
     return out[:, :h, :]
 
 
-def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
+def fused_tile_h(w: int, rh: int, rw: int, h: int | None = None) -> int | None:
     """Largest tile_h whose VMEM footprint fits, or None to use two kernels.
 
     Budget model: double-buffered input strips + tmp + transpose +
@@ -1320,10 +1417,13 @@ def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
     ceiling (the wrapper raises the Mosaic scoped limit to that; v5e has
     far more physical VMEM).  tile_h=128 matters for the transpose
     variant: its W pass runs at (w_total, tile_h) shapes, so tile_h is the
-    LANE extent — 128 keeps the VPU at full width."""
+    LANE extent — 128 keeps the VPU at full width.  When ``h`` is given,
+    a tile dividing the height exactly is preferred so the in-kernel
+    padding path (raw strip DMA) can engage."""
     w_total = _round_up(w + 2 * rw, 128)
     transpose = _transpose_variant(w, 2 * (rh + rw) + 2)
-    for tile_h in (128, 64, 32):
+
+    def fits(tile_h: int) -> bool:
         strips = 2 * _round_up(tile_h + 2 * rh, 8) * w_total * 4
         out = 2 * tile_h * w * 4
         if transpose:
@@ -1333,7 +1433,14 @@ def fused_tile_h(w: int, rh: int, rw: int) -> int | None:
             tmps = tile_h * w_total * 4
             extra = 12 * tile_h * w * 4  # lane-rotation temporaries
         budget = (30 if transpose else 15) * 1024 * 1024 + 512 * 1024
-        if strips + tmps + out + extra < budget:
+        return strips + tmps + out + extra < budget
+
+    if transpose and h is not None:
+        for tile_h in range(128, 40, -8):
+            if h % tile_h == 0 and fits(tile_h):
+                return tile_h
+    for tile_h in (128, 64, 32):
+        if fits(tile_h):
             return tile_h
     return None
 

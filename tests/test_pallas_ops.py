@@ -286,3 +286,23 @@ def test_graph_strip_raw_padding_matches():
         padded = np.asarray(pallas_ops.graph_strip_fused(
             x, 0.0, [(wh, ww)], epilogue, mode=mode, tile_h=64, interpret=True))
         np.testing.assert_allclose(got, padded, atol=1e-6, err_msg=mode)
+
+
+def test_sep_conv_fused_raw_padding_matches():
+    """Standalone fused conv's in-kernel padding == jnp path."""
+    h, w = 64, 256
+    x = jnp.asarray(np.random.default_rng(3).random((4, h, w)).astype(np.float32))
+    wh = np.array([0.25, 0.5, 0.25], np.float32)
+    ww = np.array([0.1, 0.2, 0.4, 0.2, 0.1], np.float32)
+    for mode in ("edge", "zero"):
+        got = pallas_ops.sep_conv_fused(x, wh, ww, mode=mode, tile_h=32,
+                                        variant="transpose", interpret=True)
+        want = ops.conv1d(ops.conv1d(x, wh, 1), ww, 2)
+        if mode == "zero":
+            pm = "constant"
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), mode=pm)
+            th = sum(float(v) * xp[:, k : k + h, :] for k, v in enumerate(wh))
+            tp = jnp.pad(th, ((0, 0), (0, 0), (2, 2)), mode=pm)
+            want = sum(float(v) * tp[:, :, k : k + w] for k, v in enumerate(ww))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, err_msg=mode)
