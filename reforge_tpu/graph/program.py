@@ -204,8 +204,6 @@ class GraphProgram:
         command buffer (command.rs:166-242)."""
         from ..kernels import ops as _ops
 
-        if self.fmt == "rgba16f":
-            return None  # bf16 storage prefers the MXU single-pass convs
         conv_items: list = []
         pointwise: list = []
         for layer in self.graph.layers:
@@ -265,11 +263,18 @@ class GraphProgram:
             return None
 
         width, height, fmt = self.width, self.height, self.fmt
+        storage = self.storage_dtype
 
         def store_cw(v):
+            # Inter-node storage semantics in-VMEM: rgba8 quantizes to
+            # the UNORM grid, rgba16f rounds through bfloat16 — so the
+            # megakernel's node boundaries match per-node execution.
             if fmt == "rgba8":
                 return quantize_rgba8(v)
-            return v
+            return v.astype(storage)
+
+        def load_cw(v):
+            return v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
 
         def epilogue(ci, row0, t_s, xin, blurs):
             ctx = KernelContext(
@@ -278,10 +283,12 @@ class GraphProgram:
             )
             res = {FILE_INPUT: xin}
             for (node, _), blur in zip(conv_items, blurs):
-                v = node.spec.conv_epilogue_cw(ctx, ci, xin, blur, node.params)
+                v = node.spec.conv_epilogue_cw(
+                    ctx, ci, load_cw(xin), blur, node.params
+                )
                 res[node.outputs[0][0]] = store_cw(v)
             for node in pointwise:
-                ins = {desc: res[r] for r, desc in node.inputs}
+                ins = {desc: load_cw(res[r]) for r, desc in node.inputs}
                 v = node.spec.cw_fn(ctx, ci, ins, node.params)
                 res[node.outputs[0][0]] = store_cw(v)
             return res[FINAL_OUTPUT]

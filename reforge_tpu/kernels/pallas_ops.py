@@ -1068,7 +1068,7 @@ def _raw_strip_geometry(h: int, w: int, tile_h: int, RH: int):
 
 
 def _graph_strip_kernel(
-    x_hbm, t_ref, o_ref, scratch, tmps, tmp_t, acc_t, sems, *,
+    x_hbm, t_ref, o_ref, scratch, tmps, tmp_t, acc_t, sems, *maybe_xf32,
     weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_max: int, rw_max: int, epilogue, raw: bool = False,
     in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
@@ -1114,9 +1114,21 @@ def _graph_strip_kernel(
             edge=pad_edge_mode,
         )
 
+    # Strips may be stored bf16 (rgba16f: halves the DMA); compute is
+    # always f32 (the GPU storage-image convention — shaders compute
+    # fp32 regardless of the image format).  The upcast happens ONCE
+    # into an f32 staging buffer: per-tap-slice converts (and bf16's
+    # packed-sublane shuffles) cost far more than one strip copy.
+    if maybe_xf32:
+        xf32 = maybe_xf32[0]
+        xf32[:, :] = scratch[slot].astype(jnp.float32)
+        src = lambda r, blk, c, L: xf32[r : r + blk, c : c + L]
+    else:
+        src = lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L]
+
     # Shared-load H pass for all convs at once.
     _blocked_taps(
-        lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L],
+        src,
         lambda ki, r, n, c, L, acc: tmps.__setitem__(
             (ki, slice(r, r + n), slice(c, c + L)), acc
         ),
@@ -1144,8 +1156,13 @@ def _graph_strip_kernel(
         )
         blurs.append(acc_t[0:out_w, :].T)
 
-    # The strip's center block, for pointwise consumption of the input.
-    xin = scratch[slot, rh_max : rh_max + tile_h, w_base : w_base + out_w]
+    # The strip's center block, for pointwise consumption of the input
+    # (bf16 -> f32 upcast is exact, so the staged copy IS the stored
+    # value).
+    if maybe_xf32:
+        xin = xf32[rh_max : rh_max + tile_h, w_base : w_base + out_w]
+    else:
+        xin = scratch[slot, rh_max : rh_max + tile_h, w_base : w_base + out_w]
     out = epilogue(ci, i * tile_h, t_ref[0, 0], xin, blurs)
     o_ref[0, :, :] = out
 
@@ -1239,11 +1256,14 @@ def graph_strip_fused(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, strip_rows, w_total), x.dtype),
-            pltpu.VMEM((n, tile_h, w_total), x.dtype),
-            pltpu.VMEM((w_total, tile_h), x.dtype),
-            pltpu.VMEM((w_total, tile_h), x.dtype),
+            pltpu.VMEM((n, tile_h, w_total), jnp.float32),
+            pltpu.VMEM((w_total, tile_h), jnp.float32),
+            pltpu.VMEM((w_total, tile_h), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + (
+            [pltpu.VMEM((strip_rows, w_total), jnp.float32)]
+            if x.dtype != jnp.float32 else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
