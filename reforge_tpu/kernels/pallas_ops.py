@@ -1467,7 +1467,9 @@ def fused_tile_h(w: int, rh: int, rw: int, h: int | None = None) -> int | None:
 
 def _stencil_kernel(
     x_hbm, o_ref, scratch, sems, *, fn, tile_h: int, out_w: int,
-    n_tiles: int, strip_rows: int,
+    n_tiles: int, strip_rows: int, raw: bool = False, rh_max: int = 0,
+    in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
+    w_base: int | None = None, roff: int = 0, coff: int = 0,
 ):
     """Generic per-channel stencil: DMA one (strip_rows, w_total) strip into
     VMEM (double buffered) and evaluate ``fn`` over lazily sliced neighbor
@@ -1478,28 +1480,35 @@ def _stencil_kernel(
     ci = pl.program_id(0)
     i = pl.program_id(1)
 
-    def strip_dma(step, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[ci, pl.ds(step * tile_h, strip_rows), :],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+    dma_do = _strip_dma_fn(
+        ci, x_hbm, scratch, sems, raw=raw, tile_h=tile_h,
+        strip_rows=strip_rows, rh_max=rh_max, n_tiles=n_tiles,
+        in_h=in_h, in_w=in_w, w_base=w_base if raw else 0,
+    )
 
     slot = jax.lax.rem(i, 2)
     other = 1 - slot
 
     @pl.when(i == 0)
     def _():
-        strip_dma(i, slot).start()
+        dma_do(i, slot, "start")
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        strip_dma(i + 1, other).start()
+        dma_do(i + 1, other, "start")
 
-    strip_dma(i, slot).wait()
+    dma_do(i, slot, "wait")
+
+    if raw:
+        _strip_fill_halos(
+            i, slot, scratch, tile_h=tile_h, strip_rows=strip_rows,
+            rh_max=rh_max, n_tiles=n_tiles, in_w=in_w, w_base=w_base,
+            edge=pad_edge_mode,
+        )
 
     def tap(dy: int, dx: int):
-        return scratch[slot, dy : dy + tile_h, dx : dx + out_w]
+        return scratch[slot, roff + dy : roff + dy + tile_h,
+                       coff + dx : coff + dx + out_w]
 
     o_ref[0, :, :] = fn(tap)
 
@@ -1545,17 +1554,38 @@ def stencil_apply(
         tile_h = stencil_tile_h(w, rh, rw, temps, x.dtype.itemsize)
     if tile_h is None:
         return None
+    if h % tile_h != 0:
+        # Prefer a height-divisor tile so the raw DMA path can engage.
+        for th in range(tile_h, 8, -8):
+            if h % th == 0:
+                tile_h = th
+                break
     pad_mode = "edge" if mode == "edge" else "constant"
     h_pad = _round_up(h, tile_h)
     sub = 16 if x.dtype.itemsize == 2 else 8
-    strip_rows = _round_up(tile_h + 2 * rh, sub)
-    row_slack = strip_rows - (tile_h + 2 * rh)
-    w_total = _round_up(w + 2 * rw, 128)
-    xp = jnp.pad(
-        x,
-        ((0, 0), (rh, rh + (h_pad - h) + row_slack), (rw, w_total - w - rw)),
-        mode=pad_mode,
-    )
+    # In-kernel padding (see _strip_dma_fn); f32 only (bf16's (16, 128)
+    # tiling needs 16-row DMA alignment the shared helper doesn't model).
+    raw = False
+    rh_eff = rh
+    w_base = None
+    if x.dtype.itemsize == 4:
+        raw, RH8 = _raw_strip_geometry(h, w, tile_h, rh)
+        if raw:
+            rh_eff = RH8
+            h_pad = h
+            w_base = 128
+    strip_rows = _round_up(tile_h + 2 * rh_eff, sub)
+    row_slack = strip_rows - (tile_h + 2 * rh_eff)
+    if raw:
+        xp = x
+        w_total = _round_up(w_base + w + rw, 128)
+    else:
+        w_total = _round_up(w + 2 * rw, 128)
+        xp = jnp.pad(
+            x,
+            ((0, 0), (rh, rh + (h_pad - h) + row_slack), (rw, w_total - w - rw)),
+            mode=pad_mode,
+        )
     n_tiles = h_pad // tile_h
     out = pl.pallas_call(
         functools.partial(
@@ -1565,6 +1595,14 @@ def stencil_apply(
             out_w=w,
             n_tiles=n_tiles,
             strip_rows=strip_rows,
+            raw=raw,
+            rh_max=rh_eff,
+            in_h=h,
+            in_w=w,
+            pad_edge_mode=(pad_mode == "edge"),
+            w_base=w_base,
+            roff=rh_eff - rh,
+            coff=(w_base - rw) if raw else 0,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),

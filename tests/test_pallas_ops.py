@@ -306,3 +306,35 @@ def test_sep_conv_fused_raw_padding_matches():
             want = sum(float(v) * tp[:, :, k : k + w] for k, v in enumerate(ww))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, err_msg=mode)
+
+
+def test_stencil_raw_padding_matches():
+    """Per-channel stencil in-kernel padding == jnp path (both modes)."""
+    h, w = 64, 256
+    x = jnp.asarray(np.random.default_rng(5).random((4, h, w)).astype(np.float32))
+    taps = np.array([[0.0, 0.2, 0.0], [0.2, 0.2, 0.2], [0.0, 0.2, 0.0]],
+                    np.float32)
+
+    def weighted(tap):
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                wv = float(taps[dy, dx])
+                if wv == 0.0:
+                    continue
+                t = tap(dy, dx) * wv
+                acc = t if acc is None else acc + t
+        return acc
+
+    for mode in ("edge", "zero"):
+        got = pallas_ops.stencil_apply(x, 1, 1, weighted, mode=mode,
+                                       tile_h=32, interpret=True)
+        pm = "edge" if mode == "edge" else "constant"
+        xp = np.asarray(jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode=pm),
+                        np.float64)
+        want = np.zeros((4, h, w))
+        for dy in range(3):
+            for dx in range(3):
+                want += taps[dy, dx] * xp[:, dy : dy + h, dx : dx + w]
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5,
+                                   err_msg=mode)
