@@ -663,7 +663,7 @@ def _run_live_loop(engine: Engine, args) -> int:
 
             out = engine.render_frame()
             if not isinstance(preview, NullPreview):
-                preview.show(engine.read_output(out))
+                preview.show(engine.read_output_scaled(out, preview.target_px()))
 
             frames_run += 1
             if args.frames and frames_run >= args.frames:

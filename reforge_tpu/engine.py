@@ -28,6 +28,7 @@ producing frames, exactly the reference's behavior during shader rebuild.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import threading
 import time as _time
@@ -50,6 +51,26 @@ DEFAULT_CONFIG = "input -> passthrough -> output"
 # frame would lose the C++ fast-path dispatch cache.
 _decode_jit = jax.jit(decode_image_to_planar)
 _encode_jit = jax.jit(encode_planar_to_image)
+
+
+@functools.lru_cache(maxsize=8)
+def _scaled_encode_jit(step: int):
+    """Device-side box-downsample (by integer step) + sRGB encode.
+
+    The live preview displays at most the window/terminal size, so
+    fetching the full frame (132 MB at 4K) to downsample on the host
+    wastes fetch bandwidth — decisive on remote/tunneled devices.  The
+    average runs in LINEAR light before the sRGB encode (correct
+    downsampling; the host path averaged post-encode u8)."""
+
+    def fn(planar):
+        x = planar.astype(jnp.float32)
+        c, h, w = x.shape
+        hc, wc = h // step, w // step
+        cells = x[:, : hc * step, : wc * step].reshape(c, hc, step, wc, step)
+        return encode_planar_to_image(cells.mean(axis=(2, 4)))
+
+    return jax.jit(fn)
 
 
 @dataclasses.dataclass
@@ -485,6 +506,21 @@ class Engine:
     def read_output(self, out: jnp.ndarray) -> np.ndarray:
         """Device linear (4,H,W) -> host sRGB (H,W,4) uint8 (render.rs:406-433)."""
         return np.asarray(_encode_jit(out))
+
+    def read_output_scaled(self, out: jnp.ndarray,
+                           target_px: Optional[int]) -> np.ndarray:
+        """Like read_output, but box-downsampled ON DEVICE so only the
+        preview-sized image crosses to the host (the swapchain-blit
+        analog, command.rs:97-141, placed before the fetch instead of
+        after).  ``target_px`` bounds the longer output edge; None or a
+        bound at/above the frame size fetches full resolution."""
+        if target_px is None or target_px <= 0:
+            return self.read_output(out)
+        h, w = out.shape[1], out.shape[2]
+        step = max(1, -(-max(h, w) // int(target_px)))
+        if step == 1:
+            return self.read_output(out)
+        return np.asarray(_scaled_encode_jit(step)(out))
 
     def gpu_times_str(self) -> str:
         return ", ".join(f"{k}: {v:.3f}ms" for k, v in self.last_gpu_times.items())

@@ -30,6 +30,13 @@ class PreviewBackend:
     def show(self, rgba: np.ndarray) -> None:  # (H, W, 4) uint8
         raise NotImplementedError
 
+    def target_px(self) -> "int | None":
+        """Largest edge this backend will actually display, or None for
+        full resolution.  The engine downsamples ON DEVICE to this bound
+        before fetching (engine.read_output_scaled), so only the
+        displayed pixels cross the device->host link."""
+        return None
+
     def poll_quit(self) -> bool:
         """True when the user asked to close (Esc / window close)."""
         return False
@@ -82,6 +89,10 @@ class PygameWindow(PreviewBackend):
         self._screen.blit(surf, ((sw - dw) // 2, (sh - dh) // 2))
         pygame.display.flip()
 
+    def target_px(self):
+        sw, sh = self._screen.get_size()
+        return max(sw, sh)
+
     def poll_quit(self) -> bool:
         pygame = self._pygame
         for event in pygame.event.get():
@@ -108,6 +119,9 @@ class KittyPreview(PreviewBackend):
     def __init__(self, max_cols_px: int = 960):
         self.max_px = max_cols_px
         self._first = True
+
+    def target_px(self):
+        return self.max_px
 
     def show(self, rgba: np.ndarray) -> None:
         h, w = rgba.shape[:2]

@@ -542,3 +542,28 @@ class TestReloadCaches:
         inp = str(tmp_path / "in.png")
         encode(inp, rgba)
         assert main(["-i", inp, "-o", str(tmp_path / "o.mp4")]) == 1
+
+
+class TestScaledReadback:
+    def test_read_output_scaled(self):
+        """Device-side preview downsample: box average in LINEAR light,
+        then sRGB encode; full-res when the target covers the frame."""
+        import jax.numpy as jnp
+
+        from reforge_tpu.engine import Engine, RenderInfo
+
+        info = RenderInfo(width=64, height=32, num_frames=1,
+                          has_input_image=True)
+        eng = Engine(info)
+        rng = np.random.default_rng(11)
+        out = jnp.asarray(rng.random((4, 32, 64), dtype=np.float32))
+        full = eng.read_output(out)
+        assert eng.read_output_scaled(out, None).shape == (32, 64, 4)
+        assert eng.read_output_scaled(out, 64).shape == (32, 64, 4)
+        small = eng.read_output_scaled(out, 32)  # step 2
+        assert small.shape == (16, 32, 4)
+        # Linear-light average of a 2x2 cell, then encode.
+        lin = np.asarray(out, np.float64)
+        cells = lin.reshape(4, 16, 2, 32, 2).mean(axis=(2, 4))
+        want = np.asarray(eng.read_output(jnp.asarray(cells, jnp.float32)))
+        np.testing.assert_allclose(small.astype(int), want.astype(int), atol=1)
