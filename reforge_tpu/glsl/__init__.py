@@ -195,6 +195,11 @@ def reflect_bindings(shader: ast.Shader) -> dict:
 
     for ubo in shader.ubos:
         for m in ubo.members:
+            if m.array_size is not None:
+                # Array members declare fine but aren't settable from the
+                # config (values are scalars); they read as zeros — the
+                # reference's zero-fill of unset UBO memory.
+                continue
             add_param(m.name, m.type)
     return {
         "images_in": images_in,

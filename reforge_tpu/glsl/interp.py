@@ -286,9 +286,14 @@ class Interp:
             # the frame clock (render.rs:212-223 endswith match).
             return self._struct_param_val(m.type, m.name)
         if m.array_size is not None:
-            raise GlslError(
-                f"UBO array member '{m.name}' is not supported (config "
-                f"parameters are scalars)"
+            # Config parameter values are scalars (grammar, reference
+            # config_grammar.lalrpop:74-78), so array members can't be
+            # set from the config — but declaring one is legal GLSL and
+            # the reference zero-fills unspecified UBO memory
+            # (render.rs:167-210): the array reads as zeros.
+            return Val(
+                f"array:{m.type}",
+                [self._zero_of(m.type, 0) for _ in range(m.array_size)],
             )
         if m.type not in ("float", "int", "uint", "bool"):
             raise GlslError(

@@ -1568,3 +1568,18 @@ class TestDataDependentLoops:
                 }
                 imageStore(output_image, pos, vec4(v));
             """)
+
+
+class TestUboArrays:
+    def test_ubo_array_member_reads_zero(self):
+        # Legal GLSL; not config-settable (scalar param values), so the
+        # array reads as zeros — the reference zero-fills unset UBO
+        # memory (render.rs:187-193).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            imageStore(output_image, pos, c + vec4(weightsy[0] + weightsy[3]));
+        """, extra_decls="""
+layout (binding = 2) uniform U { float gain; float weightsy[4]; };
+""")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
