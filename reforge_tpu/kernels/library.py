@@ -335,6 +335,7 @@ def _cw_rgb(fn):
     return cw
 
 
+passthrough.cw_fn = lambda ctx, ci, ins, p: ins["input_image"]
 invert.cw_fn = _cw_rgb(lambda x, ins, p: 1.0 - x)
 exposure.cw_fn = _cw_rgb(lambda x, ins, p: x * (2.0 ** p["stops"]))
 gamma.cw_fn = _cw_rgb(
@@ -349,6 +350,28 @@ screen.cw_fn = _cw_rgb(
     lambda x, ins, p: 1.0 - (1.0 - x) * (1.0 - ins["input_image2"])
 )
 difference.cw_fn = _cw_rgb(lambda x, ins, p: jnp.abs(x - ins["input_image2"]))
+overlay.cw_fn = _cw_rgb(
+    lambda x, ins, p: jnp.where(
+        x < 0.5,
+        2.0 * x * ins["input_image2"],
+        1.0 - 2.0 * (1.0 - x) * (1.0 - ins["input_image2"]),
+    )
+)
+
+
+def _white_balance_cw(ctx, ci, ins, p):
+    x = ins["input_image"]
+    gain = jnp.where(
+        ci == 0,
+        1.0 + p["temperature"],
+        jnp.where(ci == 1, 1.0 + p["tint"],
+                  jnp.where(ci == 2, 1.0 - p["temperature"], 1.0)),
+    )
+    return x * gain
+
+
+white_balance.cw_fn = _white_balance_cw
+
 
 
 # ---- spatial / generative ----------------------------------------------
@@ -522,6 +545,26 @@ def dither(ctx, input_image, *, levels=2):
         return (jnp.floor(scaled + thresh[None]) ) / (n - 1)
 
     return map_rgb(input_image, f)
+
+
+def _dither_cw(ctx, ci, ins, p):
+    # Closed-form 4x4 Bayer (no gather — Pallas-friendly): M4[y][x] =
+    # 4*M2(y&1, x&1) + M2(y>>1&1, x>>1&1) with M2(a,b) = 2b + a(3-4b);
+    # exactly the matrix the full kernel looks up.
+    n = max(int(p["levels"]), 2)
+    ys, xs = ops.grid_coords(ctx)
+
+    def m2(a, b):
+        return 2 * b + a * (3 - 4 * b)
+
+    idx = 4 * m2(ys % 2, xs % 2) + m2((ys // 2) % 2, (xs // 2) % 2)
+    thresh = (idx.astype(jnp.float32) + 0.5) / 16.0
+    x = ins["input_image"]
+    scaled = jnp.clip(x, 0.0, 1.0) * (n - 1)
+    return jnp.where(ci < 3, jnp.floor(scaled + thresh) / (n - 1), x)
+
+
+dither.cw_fn = _dither_cw
 
 
 @kernel("kuwahara", halo=lambda p: int(p["radius"]))
