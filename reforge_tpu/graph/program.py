@@ -239,9 +239,14 @@ class GraphProgram:
             return None  # pointwise-only graphs fuse fine under plain XLA
         return (conv_items, pointwise)
 
-    def _strip_fused_forward(self, file_input, t):
+    def _strip_fused_forward(self, file_input, t, row0_base=None):
         """Run the whole graph as one strip-fused Pallas kernel, or return
-        None when the static plan or runtime gates say no."""
+        None when the static plan or runtime gates say no.
+
+        ``row0_base`` offsets the epilogue's global row coordinate: the
+        halo-sharded executor runs this same kernel on each device's
+        halo-extended slab (parallel/halo.py::_strip_local), where strip
+        row 0 is global row ``idx * h_local - RH``."""
         from ..kernels import ops as _ops
         from ..kernels import pallas_ops
 
@@ -253,11 +258,12 @@ class GraphProgram:
             self.width, max(len(wh) + len(ww) for wh, ww in plans)
         ):
             return None
+        in_h = int(file_input.shape[1])
         tile_h = pallas_ops.multi_tile_h(
             self.width,
             [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans],
             len(plans),
-            h=self.height,
+            h=in_h,
         )
         if tile_h is None:
             return None
@@ -294,7 +300,8 @@ class GraphProgram:
             return res[FINAL_OUTPUT]
 
         return pallas_ops.graph_strip_fused(
-            file_input, t, plans, epilogue, tile_h=tile_h
+            file_input, t, plans, epilogue, tile_h=tile_h,
+            row0_base=row0_base,
         )
 
     def _bundle_groups(self, layer) -> tuple[list, list]:

@@ -1068,7 +1068,8 @@ def _raw_strip_geometry(h: int, w: int, tile_h: int, RH: int):
 
 
 def _graph_strip_kernel(
-    x_hbm, t_ref, o_ref, scratch, tmps, tmp_t, acc_t, sems, *maybe_xf32,
+    x_hbm, t_ref, r0_ref, o_ref, scratch, tmps, tmp_t, acc_t, sems,
+    *maybe_xf32,
     weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_max: int, rw_max: int, epilogue, raw: bool = False,
     in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
@@ -1163,7 +1164,7 @@ def _graph_strip_kernel(
         xin = xf32[rh_max : rh_max + tile_h, w_base : w_base + out_w]
     else:
         xin = scratch[slot, rh_max : rh_max + tile_h, w_base : w_base + out_w]
-    out = epilogue(ci, i * tile_h, t_ref[0, 0], xin, blurs)
+    out = epilogue(ci, r0_ref[0, 0] + i * tile_h, t_ref[0, 0], xin, blurs)
     o_ref[0, :, :] = out
 
 
@@ -1175,6 +1176,7 @@ def graph_strip_fused(
     mode: str = "edge",
     tile_h: int = 64,
     interpret: bool = False,
+    row0_base=None,
 ) -> jnp.ndarray:
     """Execute a conv + channel-local-pointwise graph as ONE fused kernel.
 
@@ -1229,6 +1231,11 @@ def graph_strip_fused(
     )
     n = len(plans)
     t_arr = jnp.reshape(jnp.asarray(t, jnp.float32), (1, 1))
+    # Global row of strip row 0 (the halo-sharded path passes the traced
+    # shard offset; 0 for whole-frame execution).
+    r0_arr = jnp.reshape(
+        jnp.asarray(0 if row0_base is None else row0_base, jnp.int32), (1, 1)
+    )
     out = pl.pallas_call(
         functools.partial(
             _graph_strip_kernel,
@@ -1251,6 +1258,7 @@ def graph_strip_fused(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
@@ -1268,7 +1276,7 @@ def graph_strip_fused(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, t_arr)
+    )(xp, t_arr, r0_arr)
     return out[:, :h, :]
 
 

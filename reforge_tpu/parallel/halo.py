@@ -115,6 +115,32 @@ class HaloShardedProgram:
         with _ops.no_pallas():
             return self._local_forward_impl(file_input_local, t)
 
+    def _strip_local(self, x_local: jnp.ndarray, t, idx):
+        """Whole-graph strip fusion per shard: ONE halo exchange of the
+        input (max conv radius), then the single-device megakernel on
+        the halo-extended slab, cropping the synthetic border.
+
+        The plan's convs all read FILE_INPUT with edge borders, so one
+        exchange covers every node; the megakernel's own edge padding
+        only influences the 2*RH border rows that are cropped away.  The
+        epilogue's global row coordinate rides in via row0_base.  Falls
+        through (None) on CPU meshes or when the program's strip gates
+        say no — the per-node exchange path below is always correct."""
+        prog = self.program
+        if not self._mesh_is_tpu or prog._strip_plan is None:
+            return None
+        conv_items, _ = prog._strip_plan
+        RH = max((len(wh) - 1) // 2 for _, (wh, ww) in conv_items)
+        if RH > self.h_local:
+            return None
+        ext = halo_pad(x_local, RH, self.n, idx, mode="edge")
+        out_ext = prog._strip_fused_forward(
+            ext, t, row0_base=idx * self.h_local - RH
+        )
+        if out_ext is None:
+            return None
+        return out_ext[:, RH:-RH, :]
+
     def _local_forward_impl(self, file_input_local: jnp.ndarray, t: jnp.ndarray):
         prog = self.program
         n, h_local = self.n, self.h_local
@@ -124,6 +150,9 @@ class HaloShardedProgram:
         resources: dict[str, Any] = {
             FILE_INPUT: file_input_local.astype(prog.storage_dtype)
         }
+        strip = self._strip_local(resources[FILE_INPUT], t, idx)
+        if strip is not None:
+            return strip
 
         def ctx_for(local_height: int, row0) -> KernelContext:
             return KernelContext(

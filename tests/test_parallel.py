@@ -322,3 +322,53 @@ class TestPipelineParallel:
         np.testing.assert_allclose(
             np.asarray(staged(img, 0.0)), np.asarray(prog(img, 0.0)), atol=1e-6
         )
+
+
+class TestStripLocalHalo:
+    def test_strip_local_matches_per_node(self, mesh, monkeypatch):
+        """The megakernel-per-shard path (ONE input halo exchange + whole
+        graph in one kernel on the extended slab) == the per-node path.
+
+        CPU meshes normally skip it (no Pallas); force it with interpret
+        mode, exactly like the single-device strip tests."""
+        import functools
+
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = (
+            "input -> soften -> mixer -> tone -> output\n"
+            "input -> crisp -> mixer:input_image2\n"
+            "soften: gaussian { sigma: 2.0 }\n"
+            "crisp: unsharp { sigma: 1.5, amount: 0.7 }\n"
+            "mixer: mix { factor: 0.5 }\n"
+            "tone: tonemap { exposure: 1.1 }\n"
+        )
+        prog = build(src, w=64, h=64)
+        assert prog._strip_plan is not None
+        img = rand_image()
+
+        monkeypatch.setattr(pallas_ops, "pallas_available", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused",
+            functools.partial(pallas_ops.graph_strip_fused, interpret=True),
+        )
+        # Width gate: the strip plan requires the transpose variant.
+        monkeypatch.setattr(pallas_ops, "TRANSPOSE_MIN_WIDTH", 32)
+
+        sharded = HaloShardedProgram(prog, mesh)
+        monkeypatch.setattr(sharded, "_mesh_is_tpu", True)
+        calls = []
+        orig = sharded._strip_local
+
+        def spy(x, t, idx):
+            out = orig(x, t, idx)
+            calls.append(out is not None)
+            return out
+
+        monkeypatch.setattr(sharded, "_strip_local", spy)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.25))
+        assert calls and all(calls), "strip-local path did not engage"
+        want = np.asarray(prog(img, 0.25))
+        np.testing.assert_allclose(got, want, atol=1e-5)
