@@ -199,6 +199,9 @@ class Interp:
         # AttachmentLoadOp::DONT_CARE leaves them undefined,
         # render_pass.rs:33; here they deterministically produce zeros).
         self.discard_mask: Optional[Any] = None
+        # Vectorized-loop contexts: (activation, break_box) per nesting
+        # level; Break/Continue under a mask lower to lane kills here.
+        self._vec_loop_stack: list = []
         self.globals: dict[str, Val] = {}
         # Compilation statistics for halo reflection: max static shift and
         # whether any general gather was emitted.
@@ -477,10 +480,26 @@ class Interp:
             return
         if isinstance(s, ast.Break):
             if self.mask is not None:
+                if self._vec_loop_stack:
+                    # Vectorized loop: break = kill the lane for the rest
+                    # of this iteration AND all later rounds.
+                    act, break_box = self._vec_loop_stack[-1]
+                    break_box[0] = (
+                        self.mask if break_box[0] is None
+                        else jnp.logical_or(break_box[0], self.mask)
+                    )
+                    act.note_return(self.mask, None)
+                    return
                 raise GlslError("break under non-uniform condition is not supported", s.line)
             raise _BreakSignal()
         if isinstance(s, ast.Continue):
             if self.mask is not None:
+                if self._vec_loop_stack:
+                    # continue = kill the lane for the rest of this
+                    # iteration only.
+                    act, _ = self._vec_loop_stack[-1]
+                    act.note_return(self.mask, None)
+                    return
                 raise GlslError("continue under non-uniform condition is not supported", s.line)
             raise _ContinueSignal()
         raise GlslError(f"unsupported statement {type(s).__name__}", getattr(s, "line", 0))
@@ -524,12 +543,47 @@ class Interp:
     # Override with REFORGE_SCAN_THRESHOLD=<n> (0 disables lowering).
     _SCAN_THRESHOLD = 512
 
+    def _body_has_masked_jump(self, body: list) -> bool:
+        """True when the loop body contains a break/continue nested under
+        an if — potentially per-pixel, so the vectorized lowering should
+        be tried first.  Nested loops/switches bind their own jumps and
+        are not descended into."""
+        def walk(stmts, under_if):
+            for s in stmts:
+                if isinstance(s, (ast.For, ast.While, ast.DoWhile, ast.Switch)):
+                    continue
+                if isinstance(s, (ast.Break, ast.Continue)) and under_if:
+                    return True
+                if isinstance(s, ast.If):
+                    if walk(s.then, True):
+                        return True
+                    if s.other is not None and walk(s.other, True):
+                        return True
+                if isinstance(s, ast.Block):
+                    if walk(s.body, under_if):
+                        return True
+            return False
+
+        return walk(body, False)
+
     def exec_for(self, s: ast.For, scope: "_Scope") -> None:
         if self._try_exec_for_scan(s, scope):
             return
         loop_scope = scope.child()
         if s.init is not None:
             self.exec_stmt(s.init, loop_scope)
+        if self._body_has_masked_jump(s.body):
+            # A break/continue under an if may be per-pixel: the unrolled
+            # path cannot mask it, so try the vectorized lowering first;
+            # its gates (side effects, nesting) fall back to unrolling,
+            # which is correct whenever the jump is actually uniform.
+            try:
+                self._exec_loop_vectorized(
+                    s.cond, s.body, s.update, loop_scope, s.line
+                )
+                return
+            except GlslError:
+                pass
         iters = 0
         while True:
             if s.cond is not None:
@@ -558,6 +612,12 @@ class Interp:
                 raise GlslError("loop exceeds unroll limit", s.line)
 
     def exec_while(self, s: ast.While, scope: "_Scope") -> None:
+        if self._body_has_masked_jump(s.body):
+            try:
+                self._exec_loop_vectorized(s.cond, s.body, None, scope, s.line)
+                return
+            except GlslError:
+                pass
         iters = 0
         while True:
             cond = self.eval_expr(s.cond, scope)
@@ -609,11 +669,11 @@ class Interp:
         effect_stmts = list(body)
         if update_expr is not None:
             effect_stmts.append(ast.ExprStmt(update_expr, line))
-        if not self._scan_body_allowed(effect_stmts):
+        if not self._scan_body_allowed(effect_stmts, allow_break=True):
             raise GlslError(
                 "data-dependent loop bodies must be side-effect-free (no "
-                "image/texture/atomic access, break/continue/return, or "
-                "function calls; hoist loads before the loop)",
+                "image/texture/atomic access, return, or function calls; "
+                "hoist loads before the loop)",
                 line,
             )
         assigned, declared = self._collect_assigned(effect_stmts)
@@ -632,24 +692,49 @@ class Interp:
                 raise GlslError("loop condition must be bool", line)
             return jnp.broadcast_to(self._as_array(c.data, "bool"), hw)
 
-        cond0 = self.eval_expr(cond_expr, loop_scope)
+        true_val = Val("bool", True)
+        cond0 = (
+            true_val if cond_expr is None
+            else self.eval_expr(cond_expr, loop_scope)
+        )
 
         def body_fn(carry):
-            inner = loop_scope.child()
+            # Fresh activation: break/continue lower to lane kills scoped
+            # to this iteration (continue) or the whole loop (break).
+            act = _Activation(interp=self)
+            break_box: list = [None]
+            inner = _Scope(loop_scope.globals, act, loop_scope)
             for n in carried:
                 inner.declare(n, self._tree_to_val(carry[n], protos[n]))
             prev = self.mask
             self.mask = carry["_active"]
+            self._vec_loop_stack.append((act, break_box))
             try:
                 for st in body:
                     self.exec_stmt(st, inner)
                 if update_expr is not None:
-                    self.eval_expr(update_expr, inner)
-                cnext = self.eval_expr(cond_expr, inner)
+                    # GLSL: `continue` jumps TO the for-update, so
+                    # continued lanes still update; only broken lanes
+                    # stay dead.
+                    act2 = _Activation(interp=self)
+                    if break_box[0] is not None:
+                        act2.note_return(break_box[0], None)
+                    upd_scope = _Scope(loop_scope.globals, act2, inner)
+                    self.eval_expr(update_expr, upd_scope)
+                cnext = (
+                    true_val if cond_expr is None
+                    else self.eval_expr(cond_expr, inner)
+                )
             finally:
+                self._vec_loop_stack.pop()
                 self.mask = prev
             out = {n: self._val_to_tree(inner.lookup(n)) for n in carried}
-            out["_active"] = jnp.logical_and(carry["_active"], cond_plane(cnext))
+            active = jnp.logical_and(carry["_active"], cond_plane(cnext))
+            if break_box[0] is not None:
+                active = jnp.logical_and(
+                    active, jnp.logical_not(break_box[0])
+                )
+            out["_active"] = active
             out["_round"] = carry["_round"] + 1
             return out
 
@@ -736,10 +821,11 @@ class Interp:
         count = max(0, -(-(bound - start) // step))
         return (var, start, count, step)
 
-    def _scan_body_allowed(self, body: list) -> bool:
+    def _scan_body_allowed(self, body: list, allow_break: bool = False) -> bool:
         """Conservative: no side effects, control-flow escapes, or constructs
         that require a static loop variable (static-offset loads, local-array
-        indexing)."""
+        indexing).  ``allow_break`` admits break/continue (the vectorized
+        while_loop lowers them to lane kills); return is never allowed."""
         ok = True
 
         def walk(node):
@@ -751,6 +837,8 @@ class Interp:
                     walk(x)
                 return
             if not hasattr(node, "__dataclass_fields__"):
+                return
+            if allow_break and isinstance(node, (ast.Break, ast.Continue)):
                 return
             if isinstance(node, (ast.Break, ast.Continue, ast.Return, ast.For,
                                  ast.While, ast.DoWhile, ast.Switch)):

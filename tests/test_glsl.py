@@ -1583,3 +1583,74 @@ class TestUboArrays:
 layout (binding = 2) uniform U { float gain; float weightsy[4]; };
 """)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+class TestNonUniformBreak:
+    """break/continue under per-pixel conditions inside the vectorized
+    while_loop: break kills the lane for good, continue skips to the
+    for-update (GLSL jump semantics)."""
+
+    def test_break_escape_idiom(self):
+        # The canonical form: bounded for + data-dependent break.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            float n = 0.0;
+            for (int i = 0; i < 50; i++) {
+                if (v >= 1.0) { break; }
+                v = v * 1.5 + 0.01;
+                n += 1.0;
+            }
+            imageStore(output_image, pos, vec4(v, n, 0.0, 1.0));
+        """)
+        got = np.asarray(out)
+        v = np.asarray(img)[0].astype(np.float64).copy()
+        n = np.zeros_like(v)
+        for _ in range(50):
+            active = v < 1.0
+            v = np.where(active, v * 1.5 + 0.01, v)
+            n = np.where(active, n + 1, n)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
+        np.testing.assert_array_equal(got[1], n.astype(np.float32))
+
+    def test_while_true_break(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            int guard = 0;
+            while (guard < 100) {
+                if (v >= 1.0) { break; }
+                v = v * 2.0 + 0.001;
+                guard++;
+            }
+            imageStore(output_image, pos, vec4(v));
+        """)
+        got = np.asarray(out)
+        v = np.asarray(img)[0].astype(np.float64).copy()
+        for _ in range(100):
+            active = v < 1.0
+            v = np.where(active, v * 2.0 + 0.001, v)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
+
+    def test_continue_runs_update(self):
+        # continue must still run i++ (GLSL jumps to the update): count
+        # only iterations where the accumulator was below the pixel value.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float hits = 0.0;
+            for (int i = 0; i < 8; i++) {
+                if (float(i) * 0.125 >= c.r) { continue; }
+                hits += 1.0;
+            }
+            imageStore(output_image, pos, vec4(hits / 8.0));
+        """)
+        got = np.asarray(out)
+        r = np.asarray(img)[0].astype(np.float64)
+        want = np.zeros_like(r)
+        for i in range(8):
+            want += (i * 0.125 < r)
+        np.testing.assert_allclose(got[0], (want / 8.0).astype(np.float32),
+                                   atol=1e-6)
