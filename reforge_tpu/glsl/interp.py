@@ -644,7 +644,8 @@ class Interp:
     _WHILE_CAP = 1 << 16
 
     def _exec_loop_vectorized(self, cond_expr, body, update_expr,
-                              loop_scope: "_Scope", line: int) -> None:
+                              loop_scope: "_Scope", line: int,
+                              at_least_once: bool = False) -> None:
         """Per-pixel data-dependent loop, lowered to ONE lax.while_loop.
 
         The escape-time idiom (`while (dot(z, z) < 4.0 && i < 100)`,
@@ -744,7 +745,9 @@ class Interp:
             )
 
         init = {n: self._val_to_tree(protos[n]) for n in carried}
-        init["_active"] = cond_plane(cond0)
+        init["_active"] = (
+            jnp.ones(hw, bool) if at_least_once else cond_plane(cond0)
+        )
         init["_round"] = jnp.int32(0)
         # Stabilize the carry exactly like the fori lowering: scalars that
         # widen to (H, W) under the mask get pre-broadcast.
@@ -1005,6 +1008,16 @@ class Interp:
         return True
 
     def exec_do_while(self, s: ast.DoWhile, scope: "_Scope") -> None:
+        if self._body_has_masked_jump(s.body):
+            try:
+                # at_least_once: do-while runs the body before the first
+                # condition check.
+                self._exec_loop_vectorized(
+                    s.cond, s.body, None, scope, s.line, at_least_once=True
+                )
+                return
+            except GlslError:
+                pass
         iters = 0
         while True:
             try:
@@ -1015,7 +1028,12 @@ class Interp:
                 pass
             cond = self.eval_expr(s.cond, scope)
             if not is_static(cond.data):
-                raise GlslError("do-while condition must be uniform", s.line)
+                # The condition turned per-pixel after k uniform
+                # iterations: the remainder is exactly while(cond){body}.
+                self._exec_loop_vectorized(
+                    s.cond, s.body, None, scope, s.line
+                )
+                return
             if not cond.data:
                 break
             iters += 1

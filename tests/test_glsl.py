@@ -1654,3 +1654,27 @@ class TestNonUniformBreak:
             want += (i * 0.125 < r)
         np.testing.assert_allclose(got[0], (want / 8.0).astype(np.float32),
                                    atol=1e-6)
+
+    def test_do_while_data_dependent(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            float n = 0.0;
+            do {
+                v = v * 1.5 + 0.01;
+                n += 1.0;
+                if (n >= 50.0) { break; }
+            } while (v < 1.0);
+            imageStore(output_image, pos, vec4(v, n, 0.0, 1.0));
+        """)
+        got = np.asarray(out)
+        v = np.asarray(img)[0].astype(np.float64).copy()
+        n = np.zeros_like(v)
+        active = np.ones_like(v, bool)
+        while active.any():
+            v = np.where(active, v * 1.5 + 0.01, v)
+            n = np.where(active, n + 1, n)
+            active = active & (n < 50) & (v < 1.0)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
+        np.testing.assert_array_equal(got[1], n.astype(np.float32))
