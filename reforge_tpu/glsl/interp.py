@@ -708,6 +708,11 @@ class Interp:
             for n in carried:
                 inner.declare(n, self._tree_to_val(carry[n], protos[n]))
             prev = self.mask
+            prev_discard = self.discard_mask
+            # discard inside the loop must not leak a while_loop tracer
+            # out through self.discard_mask: accumulate it into the carry
+            # instead (a discarded lane also stops iterating).
+            self.discard_mask = None
             self.mask = carry["_active"]
             self._vec_loop_stack.append((act, break_box))
             try:
@@ -729,12 +734,21 @@ class Interp:
             finally:
                 self._vec_loop_stack.pop()
                 self.mask = prev
+                new_discard = self.discard_mask
+                self.discard_mask = prev_discard
             out = {n: self._val_to_tree(inner.lookup(n)) for n in carried}
             active = jnp.logical_and(carry["_active"], cond_plane(cnext))
             if break_box[0] is not None:
                 active = jnp.logical_and(
                     active, jnp.logical_not(break_box[0])
                 )
+            discard = carry["_discard"]
+            if new_discard is not None:
+                discard = jnp.logical_or(
+                    discard, jnp.broadcast_to(new_discard, hw)
+                )
+                active = jnp.logical_and(active, jnp.logical_not(discard))
+            out["_discard"] = discard
             out["_active"] = active
             out["_round"] = carry["_round"] + 1
             return out
@@ -748,6 +762,7 @@ class Interp:
         init["_active"] = (
             jnp.ones(hw, bool) if at_least_once else cond_plane(cond0)
         )
+        init["_discard"] = jnp.zeros(hw, bool)
         init["_round"] = jnp.int32(0)
         # Stabilize the carry exactly like the fori lowering: scalars that
         # widen to (H, W) under the mask get pre-broadcast.
@@ -774,6 +789,12 @@ class Interp:
         final = jax.lax.while_loop(cond_fn, body_fn, init)
         for n in carried:
             loop_scope.assign(n, self._tree_to_val(final[n], protos[n]))
+        fd = final["_discard"]
+        if self.shader.stage == "fragment":
+            self.discard_mask = (
+                fd if self.discard_mask is None
+                else jnp.logical_or(self.discard_mask, fd)
+            )
         self.stats["while_loop"] = True
 
     # ---- fori_loop lowering of long uniform loops -----------------------

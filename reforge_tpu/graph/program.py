@@ -329,6 +329,7 @@ class GraphProgram:
             plan = None
             if (
                 spec.conv_weights is not None
+                and spec.conv_epilogue is not None
                 and len(node.inputs) == 1
                 and len(node.outputs) == 1
                 and not spec.ssbos_in

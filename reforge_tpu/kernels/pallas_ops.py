@@ -1283,8 +1283,9 @@ def graph_strip_fused(
 def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None) -> int | None:
     """VMEM model for sep_conv_fused_multi: double-buffered strips + n
     H-pass tmps + transpose/accumulator buffers + n double-buffered
-    output blocks, against a 40 MB ceiling (the wrapper raises the Mosaic
-    limit to that).
+    output blocks, against a 30 MB budget — deliberate headroom under
+    the 64 MB Mosaic scoped limit the wrappers set, since the model
+    omits tap-schedule temporaries.
 
     When ``h`` is given, a tile that divides the image height exactly is
     preferred (within 48..128): then h_pad == h and the caller's trailing

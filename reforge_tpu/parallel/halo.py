@@ -131,7 +131,10 @@ class HaloShardedProgram:
             return None
         conv_items, _ = prog._strip_plan
         RH = max((len(wh) - 1) // 2 for _, (wh, ww) in conv_items)
-        if RH > self.h_local:
+        if RH == 0 or RH > self.h_local:
+            # RH == 0 (H-only radius-free plans): halo_pad's r=0 slices
+            # (x[:, -0:, :] == the whole slab!) and the RH:-RH crop both
+            # degenerate; the per-node path handles it.
             return None
         ext = halo_pad(x_local, RH, self.n, idx, mode="edge")
         out_ext = prog._strip_fused_forward(

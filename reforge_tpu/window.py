@@ -126,17 +126,12 @@ class KittyPreview(PreviewBackend):
     def show(self, rgba: np.ndarray) -> None:
         h, w = rgba.shape[:2]
         if w > self.max_px:
-            # Box-filter downsample (average over step x step cells) instead
-            # of strided slicing: matches the pygame path's smoothscale
-            # quality — strided picks aliase high-frequency content.
-            step = (w + self.max_px - 1) // self.max_px
-            hc, wc = h // step, w // step
-            cells = (
-                rgba[: hc * step, : wc * step]
-                .reshape(hc, step, wc, step, rgba.shape[2])
-                .astype(np.uint16)
-            )
-            rgba = (cells.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+            # Normally never taken: the engine already box-downsamples ON
+            # DEVICE to target_px() in linear light before the fetch
+            # (engine.read_output_scaled).  Direct callers get a cheap
+            # strided fallback, capped so the result is never empty.
+            step = min((w + self.max_px - 1) // self.max_px, h, w)
+            rgba = rgba[::step, ::step]
             h, w = rgba.shape[:2]
         payload = zlib.compress(np.ascontiguousarray(rgba).tobytes(), 1)
         b64 = base64.standard_b64encode(payload)

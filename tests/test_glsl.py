@@ -1678,3 +1678,46 @@ class TestNonUniformBreak:
             active = active & (n < 50) & (v < 1.0)
         np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
         np.testing.assert_array_equal(got[1], n.astype(np.float32))
+
+    def test_discard_inside_data_dependent_loop(self):
+        # Raymarch idiom: discard from inside the vectorized loop must
+        # not leak a while_loop tracer (it accumulates via the carry).
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+out vec4 color;
+void main() {
+    ivec2 pos = ivec2(gl_FragCoord.xy);
+    vec4 c = imageLoad(input_image, pos);
+    float v = c.r;
+    int n = 0;
+    while (v < 1.0 && n < 40) {
+        if (c.g > 0.5) { discard; }
+        v = v * 1.5 + 0.01;
+        n++;
+    }
+    color = vec4(v);
+}
+"""
+        spec = translate_shader(src, "march_discard", stage="fragment")
+        rng = np.random.default_rng(13)
+        h, w = 8, 16
+        img = np.asarray(rng.random((4, h, w)), np.float32)
+        ctx = KernelContext(width=w, height=h)
+        got = np.asarray(spec(ctx, {"input_image": jnp.asarray(img)},
+                              {})["output_image"])
+        # Lanes that entered the loop with g > 0.5 discard (zeros);
+        # lanes starting with v >= 1.0 never enter and keep their v.
+        entered = img[0] < 1.0
+        discarded = entered & (img[1] > 0.5)
+        v = img[0].astype(np.float64).copy()
+        active = entered & ~discarded
+        n = np.zeros_like(v)
+        while active.any():
+            v = np.where(active, v * 1.5 + 0.01, v)
+            n = np.where(active, n + 1, n)
+            active = active & (v < 1.0) & (n < 40)
+        want = v.astype(np.float32)
+        np.testing.assert_array_equal(got[0][discarded], 0.0)
+        np.testing.assert_allclose(got[0][~discarded], want[~discarded],
+                                   atol=1e-5)
