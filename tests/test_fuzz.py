@@ -131,3 +131,55 @@ def test_random_graph_renders(seed):
 def test_random_graph_formats(seed, fmt):
     rng = np.random.default_rng(2000 + seed)
     _run(_random_config(rng), fmt)
+
+
+def _shader_specs():
+    import glob
+
+    from reforge_tpu.kernels.loader import load_kernel_file
+
+    out = {}
+    for path in sorted(glob.glob("shaders/*.comp")) + sorted(
+        glob.glob("shaders/*.frag")
+    ):
+        spec = load_kernel_file(path)
+        assert spec is not None, path
+        out[path] = spec
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_shader_param_fuzz(seed):
+    """Every shipped GLSL shader renders finite output under adversarial
+    parameter draws (goldens only pin the defaults)."""
+    from reforge_tpu.kernels.base import KernelContext
+
+    rng = np.random.default_rng(3000 + seed)
+    imgs = {
+        "input_image": jnp.asarray(
+            rng.random((4, H, W), dtype=np.float32)
+        )
+    }
+    for path, spec in _shader_specs().items():
+        if spec.ssbos_in or spec.ssbos_out:
+            continue  # histogram/equalize need wired buffers
+        if set(spec.images_in) - {"input_image", "input_image2"}:
+            continue
+        params = {}
+        for name, decl in spec.params.items():
+            if name.endswith("_rf_time") or rng.random() < 0.3:
+                continue
+            if decl.kind is ParamKind.FLOAT:
+                params[name] = float(rng.choice(FLOAT_DRAWS))
+            elif decl.kind is ParamKind.INT:
+                params[name] = int(rng.choice(INT_DRAWS))
+            else:
+                params[name] = bool(rng.random() < 0.5)
+        ins = dict(imgs)
+        if "input_image2" in spec.images_in:
+            ins["input_image2"] = imgs["input_image"][::-1]
+        ctx = KernelContext(width=W, height=H, time=0.5)
+        outs = spec(ctx, ins, spec.resolve_params(params))
+        for name, v in outs.items():
+            arr = np.asarray(v)
+            assert np.isfinite(arr).all(), (path, params, name)
