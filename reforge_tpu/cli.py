@@ -393,6 +393,49 @@ def _run_batch(args, inputs: list[str]) -> int:
     return 0
 
 
+class _FrameWriter:
+    """Background readback+encode: the main thread queues device frames
+    while a daemon thread fetches and encodes them (the fetch is the slow
+    stage on tunneled devices).  After a failure the queue drains without
+    writing; the first error surfaces via ``finish``."""
+
+    def __init__(self, engine: Engine, enc, maxsize: int):
+        import queue
+        import threading
+
+        self._engine = engine
+        self._enc = enc
+        self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self._errors: list = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._errors:
+                continue  # drain remaining items after a failure
+            try:
+                self._enc.write(self._engine.read_output(item))
+            except Exception as e:  # surfaced on the main thread
+                self._errors.append(e)
+
+    def put(self, frame) -> None:
+        self._q.put(frame)
+
+    @property
+    def failed(self) -> bool:
+        return bool(self._errors)
+
+    def finish(self):
+        """Join the writer; returns the first write error, if any."""
+        self._q.put(None)
+        self._thread.join()
+        return self._errors[0] if self._errors else None
+
+
 def _run_animate(engine: Engine, args, width: int, height: int) -> int:
     """Render a time-varying graph over a still image (or a generator
     graph) into a video: ``-i photo.jpg -o out.mp4 --duration 5``.
@@ -425,26 +468,7 @@ def _run_animate(engine: Engine, args, width: int, height: int) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=16)  # device frames in flight
-    write_errors: list = []
-
-    def _writer():
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if write_errors:
-                continue
-            try:
-                enc.write(engine.read_output(item))
-            except Exception as e:
-                write_errors.append(e)
-
-    wt = threading.Thread(target=_writer, daemon=True)
-    wt.start()
+    writer = _FrameWriter(engine, enc, maxsize=16)  # device frames in flight
 
     x = engine._file_input()
     t_start = float(getattr(args, "start", 0.0) or 0.0)
@@ -452,7 +476,7 @@ def _run_animate(engine: Engine, args, width: int, height: int) -> int:
     chunk = 8
     t0 = _t.perf_counter()
     done = 0
-    while done < total and not write_errors:
+    while done < total and not writer.failed:
         k = min(chunk, total - done)
         # Always render a full chunk (one compiled program for the whole
         # export); surplus frames of a ragged tail are simply not encoded.
@@ -460,15 +484,14 @@ def _run_animate(engine: Engine, args, width: int, height: int) -> int:
             x, t_start + done * dt, dt, chunk, stack=True
         )
         for i in range(k):
-            q.put(frames[i])
+            writer.put(frames[i])
         done += k
         rate = done / max(_t.perf_counter() - t0, 1e-9)
         sys.stderr.write(f"\rFrame {done}/{total}  ({rate:5.1f} fps)")
         sys.stderr.flush()
-    q.put(None)
-    wt.join()
-    if write_errors:
-        print(f"\nError: {write_errors[0]}", file=sys.stderr)
+    err = writer.finish()
+    if err is not None:
+        print(f"\nError: {err}", file=sys.stderr)
         try:
             enc.close()
         except ImageFileError:
@@ -515,30 +538,10 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
     t0 = _t.perf_counter()
     count = 0
     # Decode, dispatch, and readback+encode run as a three-stage pipeline:
-    # the main thread decodes frame i+2 and dispatches i+1 while a writer
-    # thread fetches frame i from the device and encodes it (the fetch is
-    # the slow stage on tunneled devices).  The bounded queue keeps at most
-    # 3 frames of device memory in flight.
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=3)
-    write_errors: list = []
-
-    def _writer():
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if write_errors:
-                continue  # drain remaining items after a failure
-            try:
-                enc.write(engine.read_output(item))
-            except Exception as e:  # surfaced on the main thread
-                write_errors.append(e)
-
-    wt = threading.Thread(target=_writer, daemon=True)
-    wt.start()
+    # the main thread decodes frame i+2 and dispatches i+1 while the
+    # writer thread fetches frame i from the device and encodes it.  The
+    # bounded queue keeps at most 3 frames of device memory in flight.
+    writer = _FrameWriter(engine, enc, maxsize=3)
 
     # Frame batching (--batch-frames K): K frames run as ONE vmapped
     # dispatch with per-frame times, amortizing per-dispatch overhead —
@@ -579,12 +582,12 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
         )
         outs = vfwd(jnp.stack(batch), times)
         for i in range(n):
-            q.put(outs[i])
+            writer.put(outs[i])
         pending_planar.clear()
 
     try:
         for rgba in frames:
-            if write_errors:
+            if writer.failed:
                 break
             if kbatch > 1:
                 if not pending_planar:
@@ -594,7 +597,7 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
                     _flush_batch()
             else:
                 engine.load_input(rgba)
-                q.put(engine.render_frame(t=count / fps))
+                writer.put(engine.render_frame(t=count / fps))
             count += 1
             if args.frames and count >= args.frames:
                 break
@@ -602,21 +605,19 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
                 rate = count / (_t.perf_counter() - t0)
                 sys.stderr.write(f"\rFrame {count}  ({rate:5.1f} fps)")
                 sys.stderr.flush()
-        if kbatch > 1 and not write_errors:
+        if kbatch > 1 and not writer.failed:
             _flush_batch()
     except ImageFileError as e:
-        q.put(None)
-        wt.join()
+        writer.finish()
         print(f"\nError: {e}", file=sys.stderr)
         try:
             enc.close()
         except ImageFileError:
             pass
         return 1
-    q.put(None)
-    wt.join()
-    if write_errors:
-        print(f"\nError: {write_errors[0]}", file=sys.stderr)
+    err = writer.finish()
+    if err is not None:
+        print(f"\nError: {err}", file=sys.stderr)
         try:
             enc.close()
         except ImageFileError:

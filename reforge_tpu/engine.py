@@ -517,11 +517,12 @@ class Engine:
         if target_px is None or target_px <= 0:
             return self.read_output(out)
         h, w = out.shape[1], out.shape[2]
-        # Never produce an empty image: on extreme aspect ratios the step
-        # that bounds the long edge can exceed the short edge, so cap it
-        # there (the long edge then overshoots target_px, which the
-        # backend's own fit-scaling absorbs).
-        step = max(1, min(-(-max(h, w) // int(target_px)), min(h, w)))
+        # Floor division: the result never drops BELOW the display bound
+        # (the backend would have to upscale — blurry); a window at
+        # 50–100% of the frame gets the full frame and the backend's own
+        # high-quality downscale.  Capped at the short edge so extreme
+        # aspect ratios never produce an empty image.
+        step = max(1, min(max(h, w) // int(target_px), min(h, w)))
         if step == 1:
             return self.read_output(out)
         return np.asarray(_scaled_encode_jit(step)(out))

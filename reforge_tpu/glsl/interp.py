@@ -683,7 +683,12 @@ class Interp:
             if n not in declared and loop_scope.lookup(n) is not None
         ]
         protos = {n: loop_scope.lookup(n) for n in carried}
-        if any(p.type == "void" for p in protos.values()):
+        if any(
+            p.type == "void" or p.type.startswith("array")
+            for p in protos.values()
+        ):
+            # Arrays carry lists of Vals that _val_to_tree cannot flatten
+            # (the fori lowering rejects them the same way).
             raise GlslError("unsupported loop-carried variable type", line)
 
         hw = (self.h, self.w)
@@ -866,6 +871,12 @@ class Interp:
                 return
             if isinstance(node, (ast.Break, ast.Continue, ast.Return, ast.For,
                                  ast.While, ast.DoWhile, ast.Switch)):
+                ok = False
+                return
+            if isinstance(node, ast.Discard) and not allow_break:
+                # The fori lowering has no discard carry; the vectorized
+                # while path (allow_break=True) threads it through the
+                # loop carry.
                 ok = False
                 return
             if isinstance(node, ast.Call):

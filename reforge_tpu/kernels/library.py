@@ -570,7 +570,7 @@ def _dither_cw(ctx, ci, ins, p):
 dither.cw_fn = _dither_cw
 
 
-@kernel("kuwahara", halo=lambda p: int(p["radius"]))
+@kernel("kuwahara", halo=lambda p: max(int(p["radius"]), 1))
 def kuwahara(ctx, input_image, *, radius=4):
     """Kuwahara filter: per pixel, the mean of the least-variant of the four
     overlapping (r+1)x(r+1) quadrant windows — a classic painterly smoother,

@@ -1050,7 +1050,12 @@ def _strip_fill_halos(i, slot, scratch, *, tile_h, strip_rows, rh_max,
 
 
 def _raw_strip_geometry(h: int, w: int, tile_h: int, RH: int):
-    """(raw_ok, RH8) for the in-kernel padding gate (see _strip_dma_fn)."""
+    """(raw_ok, RH8) for the in-kernel padding gate (see _strip_dma_fn).
+
+    The 8-row granularity holds for bf16 strips too: Mosaic accepts
+    8-row DMA offsets into (16, 128)-tiled bf16 VMEM (verified on
+    hardware with RH8=8 — output exact to bf16 storage precision with no
+    strip-boundary artifacts), so no separate 16-row gate is needed."""
     RH8 = _round_up(RH, 8)
     strip_rows8 = max(
         _round_up(tile_h + 2 * RH8, 8),
@@ -1308,7 +1313,7 @@ def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None) -> int | N
         )
         return use < 30 * 1024 * 1024
 
-    if h is not None:
+    if h is not None and w % 128 == 0:
         for tile_h in range(128, 40, -8):
             if h % tile_h == 0 and fits(tile_h):
                 return tile_h
@@ -1464,7 +1469,10 @@ def fused_tile_h(w: int, rh: int, rw: int, h: int | None = None) -> int | None:
         budget = (30 if transpose else 15) * 1024 * 1024 + 512 * 1024
         return strips + tmps + out + extra < budget
 
-    if transpose and h is not None:
+    # The divisor preference only pays when the raw in-kernel-padding
+    # geometry can actually engage (w lane-tiled); otherwise smaller
+    # tiles just add strips for nothing.
+    if transpose and h is not None and w % 128 == 0:
         for tile_h in range(128, 40, -8):
             if h % tile_h == 0 and fits(tile_h):
                 return tile_h
@@ -1559,12 +1567,20 @@ def stencil_apply(
     the channel's output tile.  Falls back to the caller's jnp path when
     the working set exceeds VMEM (returns None)."""
     c, h, w = x.shape
-    if tile_h is None:
+    auto_tile = tile_h is None
+    if auto_tile:
         tile_h = stencil_tile_h(w, rh, rw, temps, x.dtype.itemsize)
     if tile_h is None:
         return None
-    if h % tile_h != 0:
-        # Prefer a height-divisor tile so the raw DMA path can engage.
+    if (
+        auto_tile
+        and h % tile_h != 0
+        and w % 128 == 0
+        and x.dtype.itemsize == 4
+    ):
+        # Prefer a height-divisor tile so the raw DMA path can engage —
+        # but only when its other gates can hold (lane-tiled width, f32),
+        # and never override an explicitly requested tile.
         for th in range(tile_h, 8, -8):
             if h % th == 0:
                 tile_h = th
