@@ -183,3 +183,21 @@ def test_shader_param_fuzz(seed):
         for name, v in outs.items():
             arr = np.asarray(v)
             assert np.isfinite(arr).all(), (path, params, name)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_graph_halo_sharded(seed):
+    """Random graphs through the halo-sharded executor match unsharded
+    execution (H=24 divides the 8-device mesh)."""
+    import jax
+
+    from reforge_tpu.parallel import HaloShardedProgram, make_row_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_row_mesh(8)
+    rng = np.random.default_rng(4000 + seed)
+    cfg_text = _random_config(rng)
+    prog, img, fused = _run(cfg_text, "rgba32f")
+    sharded = HaloShardedProgram(prog, mesh)
+    got = np.asarray(sharded(sharded.shard_input(img), 0.25), np.float32)
+    np.testing.assert_allclose(got, fused, atol=1e-4, err_msg=cfg_text)
