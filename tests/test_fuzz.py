@@ -201,3 +201,20 @@ def test_random_graph_halo_sharded(seed):
     sharded = HaloShardedProgram(prog, mesh)
     got = np.asarray(sharded(sharded.shard_input(img), 0.25), np.float32)
     np.testing.assert_allclose(got, fused, atol=1e-4, err_msg=cfg_text)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_graph_gspmd_sharded(seed):
+    """Random graphs under GSPMD auto-partitioning match unsharded."""
+    import jax
+
+    from reforge_tpu.parallel import make_row_mesh, shard_program
+
+    assert len(jax.devices()) >= 8
+    mesh = make_row_mesh(8)
+    rng = np.random.default_rng(5000 + seed)
+    cfg_text = _random_config(rng)
+    prog, img, fused = _run(cfg_text, "rgba32f")
+    sharded = shard_program(prog, mesh)
+    got = np.asarray(sharded(sharded.shard_input(img), 0.25), np.float32)
+    np.testing.assert_allclose(got, fused, atol=1e-4, err_msg=cfg_text)
