@@ -192,18 +192,50 @@ class GraphProgram:
         return out
 
     def _plan_strip_fusion(self):
-        """Static eligibility for whole-graph strip fusion: every node is
-        either a separable conv of FILE_INPUT (conv_weights +
-        conv_epilogue_cw) or a channel-local pointwise kernel (cw_fn,
-        halo 0, images only).  Returns (conv_items, pointwise_nodes) in
-        topological order, or None.
+        """Static eligibility for whole-graph strip fusion.
 
-        When eligible, the graph executes as ONE Pallas kernel
-        (pallas_ops.graph_strip_fused): intermediates never touch HBM —
-        the TPU-native answer to the reference's one-dispatch-per-node
-        command buffer (command.rs:166-242)."""
+        Two tiers, tried in order:
+          * ``("single", conv_items, pointwise)`` — every conv reads
+            FILE_INPUT and every other node is channel-local pointwise:
+            the per-channel megakernel (pallas_ops.graph_strip_fused),
+            which shares conv strip loads across same-input convs.
+          * ``("mc", McPlan)`` — the general multi-stage multi-channel
+            megakernel (pallas_ops.graph_strip_fused_mc): convs of
+            intermediates, small-radius stencils (sobel, sharpen),
+            channel-mixing pointwise nodes (luma thresholds, saturation).
+
+        Either way the graph executes as ONE Pallas kernel: intermediates
+        never touch HBM — the TPU-native answer to the reference's
+        one-dispatch-per-node command buffer (command.rs:166-242)."""
+        single = self._plan_strip_single()
+        if single is not None:
+            return ("single",) + single
+        mc = self._plan_strip_mc()
+        if mc is not None:
+            return ("mc", mc)
+        return None
+
+    def _conv_plan_for(self, node):
+        """(wh, ww) numpy tap vectors when this node is strip-fusable as a
+        separable conv with these params, else None."""
         from ..kernels import ops as _ops
 
+        spec = node.spec
+        if (
+            spec.conv_weights is None
+            or len(node.inputs) != 1
+            or spec.border_for(node.params) != "edge"
+        ):
+            return None
+        plan = spec.conv_weights(node.params)
+        if plan is None:
+            return None
+        taps = len(plan[0]) + len(plan[1])
+        if not (4 <= taps < _ops.X3_MIN_TAPS):
+            return None
+        return plan
+
+    def _plan_strip_single(self):
         conv_items: list = []
         pointwise: list = []
         for layer in self.graph.layers:
@@ -211,19 +243,12 @@ class GraphProgram:
                 spec = node.spec
                 if len(node.outputs) != 1 or spec.ssbos_in or spec.ssbos_out:
                     return None
-                is_conv = (
-                    spec.conv_weights is not None
-                    and spec.conv_epilogue_cw is not None
-                    and len(node.inputs) == 1
+                if (
+                    spec.conv_epilogue_cw is not None
+                    and node.inputs
                     and node.inputs[0][0] == FILE_INPUT
-                    and spec.border_for(node.params) == "edge"
-                )
-                if is_conv:
-                    plan = spec.conv_weights(node.params)
-                    if plan is not None:
-                        taps = len(plan[0]) + len(plan[1])
-                        if not (4 <= taps < _ops.X3_MIN_TAPS):
-                            plan = None
+                ):
+                    plan = self._conv_plan_for(node)
                     if plan is not None:
                         conv_items.append((node, plan))
                         continue
@@ -239,6 +264,278 @@ class GraphProgram:
             return None  # pointwise-only graphs fuse fine under plain XLA
         return (conv_items, pointwise)
 
+    def _plan_strip_mc(self):
+        """Build the multi-stage plan (see pallas_ops.McStage), or None.
+
+        Node classes: separable convs of ANY image resource (optionally
+        with a node-internal pre-map, e.g. bloom's threshold mask),
+        small-radius stencils via ``mc_stencil_fn`` (sobel, sharpen,
+        emboss, median3), and arbitrary pointwise builtins evaluated via
+        their full ``fn`` on channel-full blocks.  Width must be a lane
+        multiple (the mc kernel is raw-DMA only); GLSL nodes and gather/
+        ssbo kernels fall back to per-node execution."""
+        import numpy as np
+
+        from ..config import FILE_INPUT as _FI
+        from ..kernels.pallas_ops import McStage
+
+        if self.width % 128 != 0:
+            return None
+
+        def _r8(v):
+            return (v + 7) // 8 * 8
+
+        # ---- classify ----------------------------------------------------
+        # entries: (kind, node, extra); kinds "conv" | "stencil" | "point"
+        nodes: list = []
+        n_heavy = 0
+        for layer in self.graph.layers:
+            for node in layer:
+                spec = node.spec
+                if len(node.outputs) != 1 or spec.ssbos_in or spec.ssbos_out:
+                    return None
+                plan = None
+                if spec.conv_epilogue is not None:
+                    plan = self._conv_plan_for(node)
+                if plan is not None:
+                    nodes.append(("conv", node, plan))
+                    n_heavy += 1
+                    continue
+                r = spec.halo_for(node.params)
+                if spec.mc_stencil_fn is not None and r is not None and 1 <= r <= 16:
+                    if spec.border_for(node.params) != "edge":
+                        return None
+                    if len(node.inputs) != 1:
+                        return None
+                    nodes.append(("stencil", node, r))
+                    n_heavy += 1
+                    continue
+                if r == 0 and spec.source_path is None and node.inputs:
+                    nodes.append(("point", node, None))
+                    continue
+                return None
+        if n_heavy == 0:
+            return None  # pointwise-only: plain XLA fusion is already one pass
+
+        # ---- extent halos (reverse topo; lifts exact, extents 8-aligned) --
+        need_h: dict[str, int] = {}
+        need_w: dict[str, int] = {}
+        eh: dict[str, int] = {}
+        ew: dict[str, int] = {}
+        for kind, node, extra in reversed(nodes):
+            out_res = node.outputs[0][0]
+            oh = _r8(need_h.get(out_res, 0))
+            ow = _r8(need_w.get(out_res, 0))
+            eh[out_res] = oh
+            ew[out_res] = ow
+            if kind == "conv":
+                wh, ww = extra
+                lift_h = (len(wh) - 1) // 2
+                lift_w = (len(ww) - 1) // 2
+            elif kind == "stencil":
+                lift_h = lift_w = extra
+            else:
+                lift_h = lift_w = 0
+            for res, _ in node.inputs:
+                need_h[res] = max(need_h.get(res, 0), oh + lift_h)
+                need_w[res] = max(need_w.get(res, 0), ow + lift_w)
+        rh_in = _r8(need_h.get(_FI, 0))
+        ew_in = _r8(need_w.get(_FI, 0))
+        input_halo = max(need_h.get(_FI, 0), 1)  # exact rows for halo sharding
+        if rh_in == 0:
+            # No node reads the file with any halo and yet n_heavy > 0:
+            # convs of generated intermediates etc. still fine; rh_in 0
+            # keeps strips flush.  (Allowed: the DMA helper handles rh=0.)
+            pass
+
+        # ---- closures ------------------------------------------------------
+        width, height, fmt = self.width, self.height, self.fmt
+        storage = self.storage_dtype
+
+        def store(v):
+            if fmt == "rgba8":
+                return quantize_rgba8(v)
+            if storage == jnp.bfloat16:
+                return v.astype(jnp.bfloat16).astype(jnp.float32)
+            return v
+
+        def make_ctx(row0, t, block_rows, block_ew, block_cols):
+            return KernelContext(
+                width=width, height=height, time=t, fmt=fmt,
+                row_offset=row0, local_height=block_rows,
+                col_offset=-block_ew, local_width=block_cols,
+            )
+
+        def make_point_fn(node, s_ew, quantized=True):
+            spec, params = node.spec, dict(node.params)
+            descs = [desc for _, desc in node.inputs]
+            out_desc = node.outputs[0][1]
+
+            def fn(row0, t, blocks):
+                ctx = make_ctx(row0, t, blocks[0].shape[1], s_ew,
+                               blocks[0].shape[2])
+                outs = spec(ctx, dict(zip(descs, blocks)), params)
+                v = outs[out_desc]
+                return store(v) if quantized else v
+
+            return fn
+
+        def make_stencil_fn(node, s_ew):
+            spec, params = node.spec, dict(node.params)
+            out_desc = node.outputs[0][1]
+
+            def fn(row0, t, tap, rows, cols):
+                ctx = make_ctx(row0, t, rows, s_ew, cols)
+                return store(spec.mc_stencil_fn(ctx, tap, params))
+
+            return fn
+
+        def make_epilogue(node, s_ew):
+            spec, params = node.spec, dict(node.params)
+
+            def fn(row0, t, x_block, blur):
+                ctx = make_ctx(row0, t, blur.shape[1], s_ew, blur.shape[2])
+                return store(spec.conv_epilogue(ctx, x_block, blur, params))
+
+            return fn
+
+        def make_pre_fn(node, s_ew):
+            spec, params = node.spec, dict(node.params)
+
+            def fn(row0, t, blocks):
+                ctx = make_ctx(row0, t, blocks[0].shape[1], s_ew,
+                               blocks[0].shape[2])
+                # Node-internal pre-map: NOT a node boundary, stays f32.
+                return spec.conv_pre(ctx, blocks[0], params)
+
+            return fn
+
+        # ---- stages + buffer pool (linear-scan reuse) ----------------------
+        stage_specs: list = []  # (McStage fields prepared below)
+        reads_of: list = []
+        any_epilogue = False
+        pre_res_of: dict[int, str] = {}
+        for si, (kind, node, extra) in enumerate(nodes):
+            out_res = node.outputs[0][0]
+            in_res = [res for res, _ in node.inputs]
+            if kind == "conv" and node.spec.conv_pre is not None:
+                pre_res = f"{node.name}::__pre"
+                wh, ww = extra
+                rh = (len(wh) - 1) // 2
+                rw = (len(ww) - 1) // 2
+                ehp = _r8(eh[out_res] + rh)
+                ewp = _r8(ew[out_res] + rw)
+                eh[pre_res] = ehp
+                ew[pre_res] = ewp
+                stage_specs.append(
+                    dict(kind="point", node=node, out=pre_res, ins=in_res,
+                         fn=make_pre_fn(node, ewp))
+                )
+                reads_of.append(list(in_res))
+                stage_specs.append(
+                    dict(kind="conv", node=node, out=out_res, ins=[pre_res],
+                         plan=extra, x_res=in_res[0])
+                )
+                reads_of.append([pre_res, in_res[0]])
+            elif kind == "conv":
+                x_res = in_res[0] if not node.spec.conv_epilogue_identity else None
+                stage_specs.append(
+                    dict(kind="conv", node=node, out=out_res, ins=in_res,
+                         plan=extra, x_res=x_res)
+                )
+                reads_of.append(list(in_res) + ([x_res] if x_res else []))
+            elif kind == "stencil":
+                stage_specs.append(
+                    dict(kind="stencil", node=node, out=out_res, ins=in_res,
+                         r=extra, fn=make_stencil_fn(node, ew[out_res]))
+                )
+                reads_of.append(list(in_res))
+            else:
+                stage_specs.append(
+                    dict(kind="point", node=node, out=out_res, ins=in_res,
+                         fn=make_point_fn(node, ew[out_res]))
+                )
+                reads_of.append(list(in_res))
+            if kind == "conv" and not node.spec.conv_epilogue_identity:
+                any_epilogue = True
+
+        last_use: dict[str, int] = {}
+        for si, reads in enumerate(reads_of):
+            for res in reads:
+                last_use[res] = si
+        buf_of: dict[str, int] = {_FI: -2}
+        free: list[int] = []
+        n_pool = 0
+        for si, ss in enumerate(stage_specs):
+            out_res = ss["out"]
+            if out_res == FINAL_OUTPUT:
+                buf_of[out_res] = -1
+            elif out_res not in buf_of:
+                if free:
+                    buf_of[out_res] = free.pop()
+                else:
+                    buf_of[out_res] = n_pool
+                    n_pool += 1
+            for res in reads_of[si]:
+                if last_use.get(res) == si and buf_of.get(res, -2) >= 0:
+                    free.append(buf_of[res])
+        blur_slot = -3
+        if any_epilogue:
+            blur_slot = n_pool
+            n_pool += 1
+
+        # ---- assemble McStages --------------------------------------------
+        stages: list = []
+        for ss in stage_specs:
+            out_res = ss["out"]
+            s_eh, s_ew = eh[out_res], ew[out_res]
+            out_buf = buf_of[out_res]
+            in_bufs = tuple(buf_of[r] for r in ss["ins"])
+            if ss["kind"] == "conv":
+                node = ss["node"]
+                wh, ww = ss["plan"]
+                wh = np.asarray(wh, np.float32)
+                ww = np.asarray(ww, np.float32)
+                rh = (len(wh) - 1) // 2
+                rw = (len(ww) - 1) // 2
+                rh8, rw8 = _r8(rh), _r8(rw)
+                whp = (0.0,) * (rh8 - rh) + tuple(float(v) for v in wh)
+                wwp = (0.0,) * (rw8 - rw) + tuple(float(v) for v in ww)
+                identity = node.spec.conv_epilogue_identity
+                stages.append(
+                    McStage(
+                        kind="conv", out_buf=out_buf, eh=s_eh, ew=s_ew,
+                        in_bufs=in_bufs, wh=whp, ww=wwp, rh8=rh8, rw8=rw8,
+                        epilogue=None if identity else make_epilogue(node, s_ew),
+                        x_buf=(buf_of[ss["x_res"]] if ss["x_res"] else -3),
+                        blur_buf=(-3 if identity else blur_slot),
+                    )
+                )
+            elif ss["kind"] == "stencil":
+                stages.append(
+                    McStage(
+                        kind="stencil", out_buf=out_buf, eh=s_eh, ew=s_ew,
+                        in_bufs=in_bufs, fn=ss["fn"], r=ss["r"],
+                    )
+                )
+            else:
+                stages.append(
+                    McStage(
+                        kind="point", out_buf=out_buf, eh=s_eh, ew=s_ew,
+                        in_bufs=in_bufs, fn=ss["fn"],
+                    )
+                )
+        if buf_of.get(FINAL_OUTPUT) != -1:
+            return None  # final output not produced by a staged node
+        return {
+            "stages": stages,
+            "n_bufs": n_pool,
+            "rh_in": rh_in,
+            "ew_in": ew_in,
+            "input_halo": input_halo,
+            "store1": store,
+        }
+
     def _strip_fused_forward(self, file_input, t, row0_base=None):
         """Run the whole graph as one strip-fused Pallas kernel, or return
         None when the static plan or runtime gates say no.
@@ -252,7 +549,11 @@ class GraphProgram:
 
         if self._strip_plan is None or not _ops._use_pallas():
             return None
-        conv_items, pointwise = self._strip_plan
+        if self._strip_plan[0] == "mc":
+            return self._strip_mc_forward(
+                file_input, t, self._strip_plan[1], row0_base
+            )
+        _tag, conv_items, pointwise = self._strip_plan
         plans = [plan for _, plan in conv_items]
         if not pallas_ops._transpose_variant(
             self.width, max(len(wh) + len(ww) for wh, ww in plans)
@@ -302,6 +603,25 @@ class GraphProgram:
         return pallas_ops.graph_strip_fused(
             file_input, t, plans, epilogue, tile_h=tile_h,
             row0_base=row0_base,
+        )
+
+    def _strip_mc_forward(self, file_input, t, plan, row0_base=None):
+        """Run the multi-stage multi-channel megakernel, or None when the
+        runtime geometry gates (height divisibility, VMEM model) say no."""
+        from ..kernels import pallas_ops
+
+        in_h = int(file_input.shape[1])
+        n_bufs = max(plan["n_bufs"], 1)
+        tile_h = pallas_ops.mc_strip_tile_h(
+            in_h, self.width, plan["rh_in"], plan["ew_in"], n_bufs,
+            itemsize=file_input.dtype.itemsize,
+        )
+        if tile_h is None:
+            return None
+        return pallas_ops.graph_strip_fused_mc(
+            file_input, t, plan["stages"], n_bufs,
+            plan["rh_in"], plan["ew_in"], tile_h,
+            row0_base=row0_base, store1=plan["store1"],
         )
 
     def _bundle_groups(self, layer) -> tuple[list, list]:

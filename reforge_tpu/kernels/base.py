@@ -105,14 +105,24 @@ class KernelContext:
     fmt: str = "rgba32f"  # "rgba8" | "rgba32f"
     row_offset: Any = 0  # global row index of local row 0 (may be traced)
     local_height: Optional[int] = None  # rows in the local block
+    # Column analog of row_offset/local_height: the strip megakernel
+    # evaluates pointwise nodes on blocks extended past the image's left
+    # edge (halo columns for downstream convs), where local column 0 sits
+    # at a negative global column.  Static (columns are never sharded).
+    col_offset: int = 0  # global column index of local column 0
+    local_width: Optional[int] = None  # columns in the local block
 
     @property
     def block_height(self) -> int:
         return self.local_height if self.local_height is not None else self.height
 
     @property
+    def block_width(self) -> int:
+        return self.local_width if self.local_width is not None else self.width
+
+    @property
     def local_shape(self) -> tuple[int, int]:
-        return (self.block_height, self.width)
+        return (self.block_height, self.block_width)
 
     @property
     def extent(self) -> tuple[int, int]:
@@ -167,6 +177,20 @@ class KernelSpec:
     # megakernel (graph/program.py) — the whole graph in one Pallas pass.
     cw_fn: Optional[Callable[..., Any]] = None
     conv_epilogue_cw: Optional[Callable[..., Any]] = None
+    # Multi-channel strip-fusion forms (graph_strip_fused_mc):
+    #   * conv_pre(ctx, x, params) -> image: node-internal pointwise map
+    #     applied BEFORE the separable conv (e.g. bloom's threshold mask).
+    #     Must be coordinate-independent (its out-of-image halo values are
+    #     produced from edge-replicated inputs).
+    #   * conv_epilogue_identity: True when conv_epilogue just returns the
+    #     blur (lets the megakernel skip materializing a blur buffer).
+    #   * mc_stencil_fn(ctx, tap, params) -> (4, h, w): small-radius
+    #     neighborhood form; tap(dy, dx) is a (4, h, w) shifted view with
+    #     dy/dx in [0, 2*halo] (center = tap(r, r)), edge-replicated at
+    #     image borders.
+    conv_pre: Optional[Callable[..., Any]] = None
+    conv_epilogue_identity: bool = False
+    mc_stencil_fn: Optional[Callable[..., Any]] = None
 
     # ---- reflection (the SPIR-V descriptor-enumeration analog) ---------
 

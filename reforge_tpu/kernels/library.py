@@ -194,10 +194,13 @@ def _box_plan(p):
 
 gaussian.conv_weights = _gauss_plan
 gaussian.conv_epilogue = lambda ctx, x, blurred, p: blurred
+gaussian.conv_epilogue_identity = True
 blur.conv_weights = _gauss_plan
 blur.conv_epilogue = lambda ctx, x, blurred, p: blurred
+blur.conv_epilogue_identity = True
 box_blur.conv_weights = _box_plan
 box_blur.conv_epilogue = lambda ctx, x, blurred, p: blurred
+box_blur.conv_epilogue_identity = True
 
 
 def _unsharp_plan(p):
@@ -242,6 +245,58 @@ def emboss(ctx, input_image, *, amount=1.0):
     return map_rgb(input_image, lambda rgb: conv2d(rgb, taps * amount))
 
 
+# Multi-channel stencil forms (mc megakernel; tap(dy, dx) is a (4, h, w)
+# shifted view).  Tap accumulation follows ops.conv2d's ascending
+# (dy, dx) order so results track the per-node path bit-for-bit up to
+# compiler FMA contraction.
+def _sobel_mc(ctx, tap, p):
+    ys = {}
+
+    def y(dy, dx):
+        if (dy, dx) not in ys:
+            ys[(dy, dx)] = luma(tap(dy, dx))
+        return ys[(dy, dx)]
+
+    gx = (
+        y(0, 0) * -1.0 + y(0, 2) * 1.0 + y(1, 0) * -2.0
+        + y(1, 2) * 2.0 + y(2, 0) * -1.0 + y(2, 2) * 1.0
+    )
+    gy = (
+        y(0, 0) * -1.0 + y(0, 1) * -2.0 + y(0, 2) * -1.0
+        + y(2, 0) * 1.0 + y(2, 1) * 2.0 + y(2, 2) * 1.0
+    )
+    mag = jnp.sqrt(gx * gx + gy * gy) * p["amount"]
+    return map_rgb(tap(1, 1), lambda rgb: jnp.broadcast_to(mag[None], rgb.shape))
+
+
+sobel.mc_stencil_fn = _sobel_mc
+
+
+def _sharpen_mc(ctx, tap, p):
+    high = (
+        tap(0, 1) * -1.0 + tap(1, 0) * -1.0 + tap(1, 1) * 4.0
+        + tap(1, 2) * -1.0 + tap(2, 1) * -1.0
+    )
+    return map_rgb(tap(1, 1), lambda rgb: rgb + p["amount"] * high[:3])
+
+
+sharpen.mc_stencil_fn = _sharpen_mc
+
+
+def _emboss_mc(ctx, tap, p):
+    a = p["amount"]
+    out = (
+        tap(0, 0) * (-2.0 * a) + tap(0, 1) * (-1.0 * a)
+        + tap(1, 0) * (-1.0 * a) + tap(1, 1) * (1.0 * a)
+        + tap(1, 2) * (1.0 * a) + tap(2, 1) * (1.0 * a)
+        + tap(2, 2) * (2.0 * a)
+    )
+    return map_rgb(tap(1, 1), lambda rgb: out[:3])
+
+
+emboss.mc_stencil_fn = _emboss_mc
+
+
 @kernel("median3", halo=lambda p: 1)
 def median3(ctx, input_image):
     """3x3 median via a 9-element sorting network per pixel.
@@ -266,6 +321,21 @@ def median3(ctx, input_image):
     return ops.map_rgb(input_image, lambda rgb: med[:3])
 
 
+def _median3_mc(ctx, tap, p):
+    v = [tap(dy, dx) for dy in range(3) for dx in range(3)]
+    pairs = [
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ]
+    for i, j in pairs:
+        v[i], v[j] = jnp.minimum(v[i], v[j]), jnp.maximum(v[i], v[j])
+    return ops.map_rgb(tap(1, 1), lambda rgb: v[4][:3])
+
+
+median3.mc_stencil_fn = _median3_mc
+
+
 @kernel("bloom", halo=lambda p: gaussian_radius(p["sigma"]))
 def bloom(ctx, input_image, *, threshold=0.7, sigma=8.0, intensity=0.6):
     y = luma(input_image)
@@ -273,6 +343,23 @@ def bloom(ctx, input_image, *, threshold=0.7, sigma=8.0, intensity=0.6):
     glow = gaussian_blur(input_image[:3] * glow_mask, sigma,
                          prefer_mxu=_mxu_ok(ctx))
     return map_rgb(input_image, lambda rgb: rgb + intensity * glow)
+
+
+# Strip-fusion structure for bloom: a node-internal pre-map (the threshold
+# mask, coordinate-independent) feeding the separable gaussian, and an
+# epilogue adding the glow back — the classic threshold -> blur -> add
+# graph as ONE conv stage of the mc megakernel.
+def _bloom_pre(ctx, x, p):
+    y = luma(x)
+    mask = smoothstep(p["threshold"], p["threshold"] + 0.2, y)[None]
+    return jnp.concatenate([x[:3] * mask, x[3:4]], axis=0)
+
+
+bloom.conv_weights = _gauss_plan
+bloom.conv_pre = _bloom_pre
+bloom.conv_epilogue = lambda ctx, x, blurred, p: map_rgb(
+    x, lambda rgb: rgb + p["intensity"] * blurred[:3]
+)
 
 
 # ---- multi-input ---------------------------------------------------------

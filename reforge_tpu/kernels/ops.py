@@ -296,6 +296,8 @@ def grid_coords(ctx) -> tuple[jnp.ndarray, jnp.ndarray]:
     off = ctx.row_offset
     if not (isinstance(off, int) and off == 0):
         ys = ys + jnp.asarray(off, jnp.int32)
+    if ctx.col_offset != 0:
+        xs = xs + jnp.int32(ctx.col_offset)
     return ys, xs
 
 

@@ -21,7 +21,9 @@ pass — so the kernels always do "valid" convolution.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -979,17 +981,19 @@ def _strip_dma_fn(ci, x_hbm, scratch, sems, *, raw, tile_h, strip_rows,
             )
             cp.start() if what == "start" else cp.wait()
 
-        @pl.when(jnp.logical_and(step > 0, step < n_tiles - 1))
-        def _():
-            # tile_h and rh_max are both multiples of 8, so the start
-            # is too — Mosaic needs the explicit divisibility hint.
-            start = pl.multiple_of(step * tile_h - rh_max, 8)
-            cp = pltpu.make_async_copy(
-                x_hbm.at[ci, pl.ds(start, strip_rows), :],
-                scratch.at[slot, pl.ds(0, strip_rows), pl.ds(w_base, in_w)],
-                sems.at[slot],
-            )
-            cp.start() if what == "start" else cp.wait()
+        if n_tiles > 2:  # with 2 strips the mid branch is dead code, and
+            # its full-strip slice can exceed the frame height
+            @pl.when(jnp.logical_and(step > 0, step < n_tiles - 1))
+            def _():
+                # tile_h and rh_max are both multiples of 8, so the start
+                # is too — Mosaic needs the explicit divisibility hint.
+                start = pl.multiple_of(step * tile_h - rh_max, 8)
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[ci, pl.ds(start, strip_rows), :],
+                    scratch.at[slot, pl.ds(0, strip_rows), pl.ds(w_base, in_w)],
+                    sems.at[slot],
+                )
+                cp.start() if what == "start" else cp.wait()
 
         @pl.when(step == n_tiles - 1)
         def _():
@@ -1903,6 +1907,481 @@ def stencil_reduce_mc(
         interpret=interpret,
     )(xp)
     return out[:, :h, :w]
+
+
+# ---- multi-stage cross-channel strip megakernel ---------------------------
+#
+# graph_strip_fused (above) runs a graph whose convs all read the kernel
+# input and whose pointwise nodes are channel-local, on a per-channel grid.
+# The mc (multi-channel) variant below removes both restrictions: stages
+# execute in topological order on channel-FULL strips, each stage writing a
+# VMEM buffer at its own extent halo, so conv-of-intermediate chains
+# (blur -> sobel, threshold -> blur bloom graphs, blur -> blur) and
+# channel-mixing pointwise nodes (luma thresholds, saturation) all fuse
+# into ONE streaming pass: one HBM frame read + one write, intermediates
+# never leave VMEM.  The reference's hot loop dispatches one shader per
+# node with barriers between layers (src/vulkan/command.rs:166-242); this
+# is the TPU answer for arbitrary (static-halo) DAGs.
+#
+# Geometry (all 8-aligned): a stage whose downstream consumers need its
+# value over +/-eh rows and +/-ew cols computes the block
+#   rows [RH - eh, RH + tile_h + eh) x cols [w_base - ew, w_base + w + ew)
+# of the shared strip frame (strip row k <-> global row i*tile_h - RH + k,
+# strip col w_base + j <-> global col j).  Out-of-image rows/cols are then
+# overwritten with edge replicas, reproducing EXACTLY what per-node
+# execution's jnp.pad(mode="edge") of each intermediate would produce —
+# computing "through" the halos instead would change boundary values.
+
+
+@dataclasses.dataclass
+class McStage:
+    """One node of the multi-stage strip plan (built by graph/program.py).
+
+    Closure signatures (all return the stage's storage-quantized block):
+      * point:   fn(row0, t, blocks: list) -> (4, rows, cols)
+      * stencil: fn(row0, t, tap, rows, cols) -> (4, rows, cols), where
+                 tap(dy, dx) is a (4, rows, cols) neighbor view,
+                 dy/dx in [0, 2r]
+      * conv:    epilogue(row0, t, x_block, blur_block) -> (4, rows, cols);
+                 None means the blur IS the output (quantized via store1)
+    """
+
+    kind: str                      # "conv" | "stencil" | "point"
+    out_buf: int                   # pool index; -1 = the kernel output block
+    eh: int                        # output row extent halo (multiple of 8)
+    ew: int                        # output col extent halo (multiple of 8)
+    in_bufs: tuple = ()            # pool indices (-2 = the input strip)
+    fn: Any = None                 # point/stencil closure
+    # conv fields
+    wh: tuple = ()                 # lead-padded H taps (see planner)
+    ww: tuple = ()
+    rh8: int = 0                   # round_up(rh, 8)
+    rw8: int = 0
+    epilogue: Any = None
+    x_buf: int = -3                # epilogue's x source (-3 = unused)
+    blur_buf: int = -3             # scratch pool slot when epilogue != None
+    # stencil fields
+    r: int = 0
+
+
+def _mc_strip_dma_fn(x_hbm, scratch, sems, *, tile_h, strip_rows, rh, n_tiles,
+                     in_h, in_w, w_base):
+    """Channel-full raw strip DMA (in-kernel padding): the clamped window
+    is copied straight from the unpadded (4, H, W) frame; halos are
+    synthesized by _mc_strip_fill_halos.  Same contract as _strip_dma_fn
+    (tile_h/rh/strip_rows multiples of 8, in_w multiple of 128, w_base
+    128-aligned), with the channel dim riding along in one copy."""
+    first_rows = strip_rows - rh
+    last_rows = tile_h + rh
+
+    def dma_do(step, slot, what):
+        @pl.when(step == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(0, first_rows), :],
+                scratch.at[slot, :, pl.ds(rh, first_rows), pl.ds(w_base, in_w)],
+                sems.at[slot],
+            )
+            cp.start() if what == "start" else cp.wait()
+
+        if n_tiles > 2:  # with 2 strips the mid branch is dead code, and
+            # its full-strip slice can exceed the frame height
+            @pl.when(jnp.logical_and(step > 0, step < n_tiles - 1))
+            def _():
+                start = pl.multiple_of(step * tile_h - rh, 8)
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(start, strip_rows), :],
+                    scratch.at[slot, :, pl.ds(0, strip_rows),
+                               pl.ds(w_base, in_w)],
+                    sems.at[slot],
+                )
+                cp.start() if what == "start" else cp.wait()
+
+        @pl.when(step == n_tiles - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(in_h - last_rows, last_rows), :],
+                scratch.at[slot, :, pl.ds(0, last_rows), pl.ds(w_base, in_w)],
+                sems.at[slot],
+            )
+            cp.start() if what == "start" else cp.wait()
+
+    return dma_do
+
+
+def _mc_strip_fill_halos(i, slot, scratch, *, tile_h, strip_rows, rh,
+                         n_tiles, in_w, w_base, edge):
+    """Channel-full halo synthesis: H halos from the DMA'd rows, then W
+    halos over ALL rows, so corners compose as edge(edge) — jnp.pad
+    semantics (see _strip_fill_halos)."""
+    sr, wt = strip_rows, scratch.shape[3]
+
+    if rh > 0:
+        @pl.when(i == 0)
+        def _():
+            if edge:
+                scratch[slot, :, 0:rh, :] = jnp.broadcast_to(
+                    scratch[slot, :, rh : rh + 1, :], (4, rh, wt)
+                )
+            else:
+                scratch[slot, :, 0:rh, :] = jnp.zeros(
+                    (4, rh, wt), scratch.dtype
+                )
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            lo = tile_h + rh
+            if edge:
+                scratch[slot, :, lo:sr, :] = jnp.broadcast_to(
+                    scratch[slot, :, lo - 1 : lo, :], (4, sr - lo, wt)
+                )
+            else:
+                scratch[slot, :, lo:sr, :] = jnp.zeros(
+                    (4, sr - lo, wt), scratch.dtype
+                )
+
+    if w_base > 0:
+        if edge:
+            scratch[slot, :, :, 0:w_base] = jnp.broadcast_to(
+                scratch[slot, :, :, w_base : w_base + 1], (4, sr, w_base)
+            )
+        else:
+            scratch[slot, :, :, 0:w_base] = jnp.zeros(
+                (4, sr, w_base), scratch.dtype
+            )
+    right = wt - w_base - in_w
+    if right > 0:
+        if edge:
+            scratch[slot, :, :, w_base + in_w :] = jnp.broadcast_to(
+                scratch[slot, :, :, w_base + in_w - 1 : w_base + in_w],
+                (4, sr, right),
+            )
+        else:
+            scratch[slot, :, :, w_base + in_w :] = jnp.zeros(
+                (4, sr, right), scratch.dtype
+            )
+
+
+def _graph_strip_kernel_mc(
+    x_hbm, t_ref, r0_ref, o_ref, scratch, bufs, tmp, tmp_t, acc_t, sems,
+    *maybe_xf32,
+    stages: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
+    rh_in: int, w_base: int, in_h: int, in_w: int, store1,
+    pad_edge_mode: bool = True,
+):
+    """Execute the staged plan on one channel-full strip (see module note
+    above).  ``bufs`` is the (n_bufs, 4, strip_rows, w_total) intermediate
+    pool; ``store1`` quantizes a block to inter-node storage semantics."""
+    i = pl.program_id(0)
+
+    dma_do = _mc_strip_dma_fn(
+        x_hbm, scratch, sems, tile_h=tile_h, strip_rows=strip_rows,
+        rh=rh_in, n_tiles=n_tiles, in_h=in_h, in_w=in_w, w_base=w_base,
+    )
+
+    slot = jax.lax.rem(i, 2)
+    other = 1 - slot
+
+    @pl.when(i == 0)
+    def _():
+        dma_do(i, slot, "start")
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        dma_do(i + 1, other, "start")
+
+    dma_do(i, slot, "wait")
+
+    _mc_strip_fill_halos(
+        i, slot, scratch, tile_h=tile_h, strip_rows=strip_rows, rh=rh_in,
+        n_tiles=n_tiles, in_w=in_w, w_base=w_base, edge=pad_edge_mode,
+    )
+
+    # Storage may be bf16 (rgba16f): upcast the strip ONCE into f32
+    # staging (per-slice converts and bf16 packed-sublane shuffles cost
+    # far more; measured — see graph_strip_fused).
+    if maybe_xf32:
+        xf32 = maybe_xf32[0]
+        xf32[:, :, :] = scratch[slot].astype(jnp.float32)
+        strip = xf32
+        strip_ix = lambda c, rs, cs: xf32[c, rs, cs]
+    else:
+        strip = None
+        strip_ix = lambda c, rs, cs: scratch[slot, c, rs, cs]
+
+    def src_ref(buf_idx):
+        """(channel, row-slice, col-slice) reader for a stage input."""
+        if buf_idx == -2:
+            return strip_ix
+        return lambda c, rs, cs, _b=buf_idx: bufs[_b, c, rs, cs]
+
+    def block_of(buf_idx, eh, ew):
+        """The (4, rows, cols) VALUE of a buffer at extent (eh, ew)."""
+        rs = slice(rh_in - eh, rh_in + tile_h + eh)
+        cs = slice(w_base - ew, w_base + out_w + ew)
+        if buf_idx == -2:
+            if maybe_xf32:
+                return xf32[:, rs, cs]
+            return scratch[slot, :, rs, cs]
+        return bufs[buf_idx, :, rs, cs]
+
+    def store_block(stage, value):
+        """Write a stage's block, then overwrite out-of-image rows/cols
+        with edge replicas (per-node jnp.pad parity; rows first over the
+        valid cols, then cols over all rows so corners = edge(edge))."""
+        eh, ew = stage.eh, stage.ew
+        rows = tile_h + 2 * eh
+        cols = out_w + 2 * ew
+        if stage.out_buf == -1:
+            o_ref[:, :, :] = value.astype(o_ref.dtype)
+            return
+        b = stage.out_buf
+        r0, c0 = rh_in - eh, w_base - ew
+        bufs[b, :, r0 : r0 + rows, c0 : c0 + cols] = value
+        if eh > 0:
+            @pl.when(i == 0)
+            def _():
+                bufs[b, :, r0:rh_in, w_base : w_base + out_w] = (
+                    jnp.broadcast_to(
+                        bufs[b, :, rh_in : rh_in + 1, w_base : w_base + out_w],
+                        (4, eh, out_w),
+                    )
+                )
+
+            @pl.when(i == n_tiles - 1)
+            def _():
+                lo = rh_in + tile_h
+                bufs[b, :, lo : lo + eh, w_base : w_base + out_w] = (
+                    jnp.broadcast_to(
+                        bufs[b, :, lo - 1 : lo, w_base : w_base + out_w],
+                        (4, eh, out_w),
+                    )
+                )
+        if ew > 0:
+            bufs[b, :, r0 : r0 + rows, c0:w_base] = jnp.broadcast_to(
+                bufs[b, :, r0 : r0 + rows, w_base : w_base + 1],
+                (4, rows, ew),
+            )
+            hi = w_base + out_w
+            bufs[b, :, r0 : r0 + rows, hi : hi + ew] = jnp.broadcast_to(
+                bufs[b, :, r0 : r0 + rows, hi - 1 : hi], (4, rows, ew)
+            )
+
+    t_s = t_ref[0, 0]
+    row0_strip = r0_ref[0, 0] + i * tile_h  # global row of output row 0
+
+    for stage in stages:
+        row0 = row0_strip - stage.eh  # global row of the block's first row
+        if stage.kind == "point":
+            blocks = [block_of(b, stage.eh, stage.ew) for b in stage.in_bufs]
+            store_block(stage, stage.fn(row0, t_s, blocks))
+        elif stage.kind == "stencil":
+            src = stage.in_bufs[0]
+            rows = tile_h + 2 * stage.eh
+            cols = out_w + 2 * stage.ew
+            base_r = rh_in - stage.eh - stage.r
+            base_c = w_base - stage.ew - stage.r
+
+            def tap(dy, dx, _src=src, _rows=rows, _cols=cols,
+                    _br=base_r, _bc=base_c):
+                rd = src_ref(_src)
+                return jnp.stack(
+                    [
+                        rd(c, slice(_br + dy, _br + dy + _rows),
+                           slice(_bc + dx, _bc + dx + _cols))
+                        for c in range(4)
+                    ]
+                )
+
+            store_block(stage, stage.fn(row0, t_s, tap, rows, cols))
+        else:  # conv
+            src = src_ref(stage.in_bufs[0])
+            eh, ew = stage.eh, stage.ew
+            out_rows = tile_h + 2 * eh
+            out_cols = out_w + 2 * ew
+            off_h = rh_in - eh - stage.rh8
+            woff = w_base - ew - stage.rw8
+            blur_parts = []
+            for c in range(4):
+                _blocked_taps(
+                    lambda r, blk, cc, L, _c=c: src(
+                        _c, slice(off_h + r, off_h + r + blk),
+                        slice(cc, cc + L)
+                    ),
+                    lambda ki, r, n, cc, L, acc: tmp.__setitem__(
+                        (slice(r, r + n), slice(cc, cc + L)), acc
+                    ),
+                    out_rows,
+                    tmp.shape[1],
+                    [stage.wh],
+                )
+                tmp_t[:, 0:out_rows] = tmp[0:out_rows, :].T
+                _blocked_taps(
+                    lambda r, blk, cc, L: tmp_t[
+                        woff + r : woff + r + blk, cc : cc + L
+                    ],
+                    lambda ki, r, n, cc, L, acc: acc_t.__setitem__(
+                        (slice(r, r + n), slice(cc, cc + L)), acc
+                    ),
+                    out_cols,
+                    out_rows,
+                    [stage.ww],
+                )
+                blur_c = acc_t[0:out_cols, 0:out_rows].T
+                if stage.epilogue is None:
+                    blur_parts.append(store1(blur_c))
+                else:
+                    bufs[stage.blur_buf, c,
+                         rh_in - eh : rh_in - eh + out_rows,
+                         w_base - ew : w_base - ew + out_cols] = blur_c
+            if stage.epilogue is None:
+                store_block(stage, jnp.stack(blur_parts))
+            else:
+                blur = bufs[stage.blur_buf, :,
+                            rh_in - eh : rh_in - eh + out_rows,
+                            w_base - ew : w_base - ew + out_cols]
+                x_block = (
+                    block_of(stage.x_buf, eh, ew)
+                    if stage.x_buf != -3 else None
+                )
+                store_block(stage, stage.epilogue(row0, t_s, x_block, blur))
+
+
+def mc_strip_geometry(h: int, w: int, rh_in: int, ew_in: int):
+    """(w_base, w_total) for the mc kernel's strip frame."""
+    w_base = max(128, _round_up(ew_in, 128))
+    w_total = _round_up(w_base + w + ew_in, 128)
+    return w_base, w_total
+
+
+def mc_strip_tile_h(
+    h: int, w: int, rh_in: int, ew_in: int, n_bufs: int,
+    itemsize: int = 4,
+) -> int | None:
+    """Pick tile_h for the mc megakernel, or None when the geometry or
+    VMEM model says no.
+
+    Gates (raw in-kernel-padding DMA only — there is no padded fallback
+    for the mc path): h divisible by tile_h with >= 2 strips, w a lane
+    multiple, tile_h >= rh_in so only the first/last strips touch the
+    image boundary.  Budget: double-buffered channel-full strips + the
+    f32 staging copy (bf16 storage) + the intermediate pool + conv
+    temporaries + double-buffered output blocks, against 60 MB (the
+    wrapper raises the Mosaic scoped limit to 100 MB; v5e has 128 MB
+    physical VMEM)."""
+    if w % 128 != 0 or rh_in % 8 != 0 or ew_in % 8 != 0:
+        return None
+    w_base, w_total = mc_strip_geometry(h, w, rh_in, ew_in)
+
+    def fits(tile_h: int) -> bool:
+        strip_rows = tile_h + 2 * rh_in
+        use = (
+            2 * 4 * strip_rows * w_total * itemsize      # strips
+            + (4 * strip_rows * w_total * 4 if itemsize == 2 else 0)
+            + n_bufs * 4 * strip_rows * w_total * 4      # pool
+            + 3 * strip_rows * w_total * 4               # tmp/tmp_t/acc_t
+            + 2 * 4 * tile_h * w * 4                     # out blocks
+        )
+        return use < 60 * 1024 * 1024
+
+    best = None
+    for tile_h in range(8, min(h // 2, 256) + 1, 8):
+        if h % tile_h or tile_h < rh_in or not fits(tile_h):
+            continue
+        if best is None or tile_h > best:
+            best = tile_h
+    return best
+
+
+def graph_strip_fused_mc(
+    x: jnp.ndarray,
+    t,
+    stages: list,
+    n_bufs: int,
+    rh_in: int,
+    ew_in: int,
+    tile_h: int,
+    mode: str = "edge",
+    row0_base=None,
+    store1=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Execute a staged multi-channel graph plan as ONE fused kernel.
+
+    ``stages`` is a topological list of McStage; ``n_bufs`` sizes the
+    intermediate pool (planner-assigned indices); ``rh_in``/``ew_in`` are
+    the input strip's extent halos (multiples of 8); ``store1`` quantizes
+    a block to inter-node storage semantics (rgba8 UNORM grid / bf16
+    round-trip; defaults from the dtype).  The caller (the graph
+    program's planner) guarantees the geometry gates checked by
+    mc_strip_tile_h."""
+    c, h, w = x.shape
+    assert h % tile_h == 0 and h // tile_h >= 2 and tile_h >= rh_in
+    assert w % 128 == 0 and rh_in % 8 == 0 and ew_in % 8 == 0
+    w_base, w_total = mc_strip_geometry(h, w, rh_in, ew_in)
+    strip_rows = tile_h + 2 * rh_in
+    n_tiles = h // tile_h
+
+    if store1 is None:
+        if x.dtype == jnp.bfloat16:
+            def store1(v):
+                return v.astype(jnp.bfloat16).astype(jnp.float32)
+        else:
+            store1 = lambda v: v
+
+    t_arr = jnp.reshape(jnp.asarray(t, jnp.float32), (1, 1))
+    r0_arr = jnp.reshape(
+        jnp.asarray(0 if row0_base is None else row0_base, jnp.int32), (1, 1)
+    )
+    vmem_use = (
+        2 * 4 * strip_rows * w_total * x.dtype.itemsize
+        + (4 * strip_rows * w_total * 4 if x.dtype.itemsize == 2 else 0)
+        + n_bufs * 4 * strip_rows * w_total * 4
+        + 3 * strip_rows * w_total * 4
+        + 2 * 4 * tile_h * w * 4
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _graph_strip_kernel_mc,
+            stages=tuple(stages),
+            tile_h=tile_h,
+            out_w=w,
+            n_tiles=n_tiles,
+            strip_rows=strip_rows,
+            rh_in=rh_in,
+            w_base=w_base,
+            in_h=h,
+            in_w=w,
+            store1=store1,
+            pad_edge_mode=(mode == "edge"),
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((c, tile_h, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, strip_rows, w_total), x.dtype),
+            pltpu.VMEM((max(n_bufs, 1), 4, strip_rows, w_total), jnp.float32),
+            pltpu.VMEM((strip_rows, w_total), jnp.float32),
+            pltpu.VMEM((w_total, strip_rows), jnp.float32),
+            pltpu.VMEM((w_total, strip_rows), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] + (
+            [pltpu.VMEM((4, strip_rows, w_total), jnp.float32)]
+            if x.dtype != jnp.float32 else []
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * vmem_use + 8 * 1024 * 1024,
+                                 100 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(x, t_arr, r0_arr)
+    return out
 
 
 def mxu_tile_h(w: int, rh: int, rw: int, itemsize: int = 4) -> int | None:

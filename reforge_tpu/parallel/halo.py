@@ -129,8 +129,14 @@ class HaloShardedProgram:
         prog = self.program
         if not self._mesh_is_tpu or prog._strip_plan is None:
             return None
-        conv_items, _ = prog._strip_plan
-        RH = max((len(wh) - 1) // 2 for _, (wh, ww) in conv_items)
+        if prog._strip_plan[0] == "mc":
+            # The mc plan records the whole graph's accumulated input
+            # halo; one exchange of that many rows bounds every stage's
+            # boundary error inside the cropped border.
+            RH = prog._strip_plan[1]["input_halo"]
+        else:
+            _tag, conv_items, _ = prog._strip_plan
+            RH = max((len(wh) - 1) // 2 for _, (wh, ww) in conv_items)
         if RH == 0 or RH > self.h_local:
             # RH == 0 (H-only radius-free plans): halo_pad's r=0 slices
             # (x[:, -0:, :] == the whole slab!) and the RH:-RH crop both

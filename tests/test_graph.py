@@ -291,7 +291,8 @@ class TestConvBundling:
             graph = build_graph(parse(src, expects_input=True))
             prog = GraphProgram(graph, 72, 48, fmt)
             assert prog._strip_plan is not None, fmt
-            conv_items, pointwise = prog._strip_plan
+            tag, conv_items, pointwise = prog._strip_plan
+            assert tag == "single"
             assert len(conv_items) == 2 and len(pointwise) == 3
             rng = np.random.default_rng(6)
             img = jnp.asarray(rng.random((4, 48, 72), dtype=np.float32))
@@ -322,15 +323,135 @@ class TestConvBundling:
                 np.testing.assert_allclose(got, want, atol=1e-6, err_msg=fmt)
             monkeypatch.undo()
 
-    def test_strip_plan_rejects_cross_channel(self):
+    MC_CASES = {
+        "conv_stencil_point": (
+            "input -> soft -> edges -> tone -> output\n"
+            "soft: blur { sigma: 4.0 }\nedges: sobel { amount: 1.0 }\n"
+            "tone: tonemap { exposure: 1.1 }"
+        ),
+        "conv_of_conv": (
+            "input -> a -> b -> output\n"
+            "a: blur { sigma: 3.0 }\nb: blur { sigma: 2.0 }"
+        ),
+        "bloom_pre_conv": (
+            "input -> glow -> output\n"
+            "glow: bloom { threshold: 0.4, sigma: 3.0, intensity: 0.8 }"
+        ),
+        "point_feeding_conv_fan": (
+            "input -> th -> bl -> m -> output\ninput -> m:input_image2\n"
+            "th: threshold { value: 0.4 }\nbl: blur { sigma: 2.0 }\n"
+            "m: mix { factor: 0.6 }"
+        ),
+        "median_saturation": (
+            "input -> med -> sat -> output\n"
+            "med: median3 {}\nsat: saturation { amount: 1.4 }"
+        ),
+        "sharpen_grayscale": (
+            "input -> sh -> gray -> output\n"
+            "sh: sharpen { amount: 0.7 }\ngray: grayscale {}"
+        ),
+        "coord_point_feeding_conv": (
+            # vignette is coordinate-dependent: exercises row/col offsets on
+            # extended blocks AND boundary replication of its halo.
+            "input -> v -> b -> output\n"
+            "v: vignette { strength: 0.5 }\nb: blur { sigma: 2.0 }"
+        ),
+        "emboss_unsharp_chain": (
+            "input -> e -> u -> output\n"
+            "e: emboss { amount: 0.9 }\nu: unsharp { sigma: 2.0, amount: 0.8 }"
+        ),
+    }
+
+    @pytest.mark.parametrize("name", sorted(MC_CASES))
+    def test_mc_strip_fused_matches_per_node(self, name, monkeypatch):
+        """The multi-stage mc megakernel == per-node execution, including
+        boundary semantics (per-node pads every INTERMEDIATE with edge
+        replication; the staged kernel must reproduce that, not compute
+        through its halos)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = self.MC_CASES[name]
+        graph = build_graph(parse(src, expects_input=True))
+        prog = GraphProgram(graph, 128, 48)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc", name
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        want = np.asarray(prog._forward(img, t))  # per-node (CPU: no pallas)
+
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = prog._strip_fused_forward(img, t)
+        assert got is not None, name
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
+
+    def test_mc_strip_fused_formats(self, monkeypatch):
+        """rgba8 quantizes and rgba16f bf16-rounds at every node boundary
+        inside the mc megakernel, matching per-node storage semantics."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = self.MC_CASES["conv_stencil_point"]
+        rng = np.random.default_rng(3)
+        img32 = rng.random((4, 48, 128), dtype=np.float32)
+        t = jnp.float32(0.0)
+        for fmt, tol in (("rgba8", 2.0 / 255.0 + 1e-6), ("rgba16f", 2e-2)):
+            graph = build_graph(parse(src, expects_input=True))
+            prog = GraphProgram(graph, 128, 48, fmt)
+            assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+            img = jnp.asarray(img32)
+            want = np.asarray(prog._forward(img, t), np.float32)
+
+            monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+            monkeypatch.setattr(
+                pallas_ops,
+                "graph_strip_fused_mc",
+                functools.partial(
+                    pallas_ops.graph_strip_fused_mc, interpret=True
+                ),
+            )
+            x = img.astype(prog.storage_dtype)
+            got = prog._strip_fused_forward(x, t)
+            assert got is not None, fmt
+            d = np.abs(np.asarray(got, np.float32) - want)
+            # rgba8: sub-ulp FMA differences can flip 1/255 quantization
+            # buckets (see test_strip_fused_matches_per_node); rgba16f:
+            # bf16 rounding at node boundaries bounds the drift.
+            assert d.max() <= tol, (fmt, d.max())
+            monkeypatch.undo()
+
+    def test_strip_plan_cross_channel_routes_to_mc(self):
         from reforge_tpu.config import parse
         from reforge_tpu.graph import build_graph
         from reforge_tpu.graph.program import GraphProgram
 
-        # grayscale is cross-channel (luma): no cw form, plan must bail.
+        # grayscale is cross-channel (luma): no cw form, so the
+        # per-channel single plan bails — the mc plan takes it instead
+        # (at lane-multiple widths; below that, per-node execution).
         src = (
             "input -> gs -> gray -> output\n"
             "gs: gaussian { sigma: 2.0 }\ngray: grayscale {}"
         )
-        prog = GraphProgram(build_graph(parse(src, expects_input=True)), 64, 48)
-        assert prog._strip_plan is None
+        prog = GraphProgram(build_graph(parse(src, expects_input=True)), 128, 48)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        prog64 = GraphProgram(build_graph(parse(src, expects_input=True)), 64, 48)
+        assert prog64._strip_plan is None
