@@ -2358,7 +2358,7 @@ def graph_strip_fused_mc(
         out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

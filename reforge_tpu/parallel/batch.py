@@ -1,10 +1,21 @@
 """Data-parallel batch execution: many frames across the device mesh.
 
 Frames are independent, so data parallelism is the trivially-scaling axis
-(SURVEY.md §2): vmap the fused graph program over a leading batch
-dimension and shard that dimension across the mesh — zero communication,
-linear scaling.  Used by the CLI's batch mode (glob inputs) and available
-as a library API for offline pipelines.
+(SURVEY.md §2): shard the batch dimension across the mesh and run the
+single-frame program per local frame — zero communication, linear
+scaling.  Used by the CLI's batch mode (glob inputs) and available as a
+library API for offline pipelines.
+
+The per-device execution deliberately is NOT a vmap: ``pallas_call``
+rejects a vmap batch dimension, and wrapping the forward in
+``ops.no_pallas`` would ship the ~4x slower portable jnp kernels on TPU
+(BENCH.md microbench table) on exactly the throughput-oriented path.
+Instead ``shard_map`` gives every device a concrete single-device view of
+its local frames, and a ``lax.map`` over them runs the real single-frame
+forward — Pallas strip megakernels intact — the same trick the halo
+executor uses (halo.py).  The frames of a local shard execute
+sequentially on their device, which is what a single TPU core would do
+with them anyway.
 """
 
 from __future__ import annotations
@@ -29,31 +40,53 @@ def make_batch_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 class BatchProgram:
-    """vmapped + batch-sharded graph program: (B, 4, H, W) -> (B, 4, H, W)."""
+    """Batch-sharded graph program: (B, 4, H, W) -> (B, 4, H, W).
+
+    ``t`` may be a scalar (broadcast to every frame) or a (B,) vector of
+    per-frame times (video batches want monotone timestamps).
+    """
 
     def __init__(self, program: GraphProgram, mesh: Optional[Mesh] = None):
         self.program = program
         self.mesh = mesh
-        def _forward_portable(x, t):
-            # A pallas_call cannot take a vmap batch dimension; trace the
-            # portable jnp kernels inside the batch map (ops.no_pallas).
-            from ..kernels import ops as _ops
 
-            with _ops.no_pallas():
-                return program._forward(x, t)
+        def _local(batch, times):
+            # One device's local frames, sequentially; Pallas kernels
+            # apply directly to each concrete single-frame view.
+            return jax.lax.map(
+                lambda bt: program._forward(bt[0], bt[1]), (batch, times)
+            )
 
-        fwd = jax.vmap(_forward_portable, in_axes=(0, None))
         if mesh is not None:
+            from jax import shard_map
+
+            fwd = shard_map(
+                _local,
+                mesh=mesh,
+                in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                out_specs=P(BATCH_AXIS),
+            )
             batched = NamedSharding(mesh, P(BATCH_AXIS, None, None, None))
-            repl = NamedSharding(mesh, P())
+            tsharded = NamedSharding(mesh, P(BATCH_AXIS))
             self._fn = jax.jit(
-                fwd, in_shardings=(batched, repl), out_shardings=batched
+                fwd, in_shardings=(batched, tsharded), out_shardings=batched
             )
         else:
-            self._fn = jax.jit(fwd)
+            self._fn = jax.jit(_local)
 
     def __call__(self, batch: jnp.ndarray, t) -> jnp.ndarray:
-        return self._fn(batch, jnp.float32(t))
+        times = jnp.asarray(t, jnp.float32)
+        if times.ndim == 0:
+            times = jnp.broadcast_to(times, (batch.shape[0],))
+        elif times.shape != (batch.shape[0],):
+            raise ValueError(
+                f"times shape {times.shape} != batch ({batch.shape[0]},)"
+            )
+        if self.mesh is not None:
+            times = jax.device_put(
+                times, NamedSharding(self.mesh, P(BATCH_AXIS))
+            )
+        return self._fn(batch, times)
 
     def shard_input(self, batch: jnp.ndarray) -> jnp.ndarray:
         if self.mesh is None:

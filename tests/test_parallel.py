@@ -99,6 +99,47 @@ class TestHaloSharding:
         with pytest.raises(ValueError, match="have"):
             make_batch_mesh(len(jax.devices()) + 1)
 
+    @pytest.mark.parametrize("name", ["conv", "coordinate", "branching"])
+    def test_batch_sharded_matches_loop(self, name):
+        """shard_map batch execution == the single-frame program run frame
+        by frame, with PER-FRAME times (each frame must see its own t)."""
+        from reforge_tpu.parallel import BatchProgram, make_batch_mesh
+
+        prog = build(CASES[name])
+        bmesh = make_batch_mesh(N_DEV)
+        bp = BatchProgram(prog, bmesh)
+        rng = np.random.default_rng(7)
+        batch = jnp.asarray(rng.random((N_DEV, 4, 64, 64), dtype=np.float32))
+        times = jnp.asarray(np.linspace(0.0, 1.5, N_DEV), jnp.float32)
+        got = np.asarray(bp(bp.shard_input(batch), times))
+        for b in range(N_DEV):
+            want = np.asarray(prog(batch[b], float(times[b])))
+            np.testing.assert_allclose(
+                got[b], want, atol=1e-5, err_msg=f"{name} frame {b}"
+            )
+
+    def test_batch_scalar_time_broadcasts(self):
+        from reforge_tpu.parallel import BatchProgram
+
+        prog = build(CASES["pointwise"])
+        bp = BatchProgram(prog)  # no mesh: single-device lax.map path
+        rng = np.random.default_rng(3)
+        batch = jnp.asarray(rng.random((3, 4, 64, 64), dtype=np.float32))
+        got = np.asarray(bp(batch, 0.5))
+        for b in range(3):
+            np.testing.assert_allclose(
+                got[b], np.asarray(prog(batch[b], 0.5)), atol=1e-6
+            )
+
+    def test_batch_time_vector_shape_checked(self):
+        from reforge_tpu.parallel import BatchProgram
+
+        prog = build(CASES["pointwise"])
+        bp = BatchProgram(prog)
+        batch = jnp.zeros((3, 4, 64, 64), jnp.float32)
+        with pytest.raises(ValueError, match="times shape"):
+            bp(batch, jnp.zeros((2,), jnp.float32))
+
     def test_indivisible_height_rejected(self, mesh):
         prog = build("input -> invert -> output", h=60)
         with pytest.raises(ValueError, match="not divisible"):
