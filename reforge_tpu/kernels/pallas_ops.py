@@ -496,7 +496,7 @@ def sep_conv_fused_mxu(
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w_out_pad), x.dtype),
         grid=(c, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             const_spec((tile_h, strip_rows)),
             const_spec((128, 128)),
             const_spec((128, 128)),
@@ -714,7 +714,7 @@ def sep_conv_fused_mxu_x3(
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w_out_pad), x.dtype),
         grid=(c, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             const_spec((3, tile_h, strip_rows)),
             const_spec((3, n_ctiles * 128, 128)),
         ],
@@ -922,7 +922,7 @@ def sep_conv_fused_multi(
             jax.ShapeDtypeStruct((c, h_pad, w), x.dtype) for _ in range(n)
         ),
         grid=(c, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(
             pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
                          memory_space=pltpu.VMEM)
@@ -1265,7 +1265,7 @@ def graph_strip_fused(
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -1435,7 +1435,7 @@ def sep_conv_fused(
         kernel_fn,
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -1635,7 +1635,7 @@ def stencil_apply(
         ),
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -1745,7 +1745,7 @@ def stencil_apply_mc(
         ),
         out_shape=jax.ShapeDtypeStruct((out_channels, h_pad, w), x.dtype),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((out_channels, tile_h, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -1894,7 +1894,7 @@ def stencil_reduce_mc(
         ),
         out_shape=jax.ShapeDtypeStruct((out_channels, h_pad, w_pad), x.dtype),
         grid=(ni, nj),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (out_channels, tile_h, tile_w), lambda i, j: (0, i, j),
             memory_space=pltpu.VMEM,

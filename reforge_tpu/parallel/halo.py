@@ -52,21 +52,80 @@ def halo_pad(
 
     Devices at the global top/bottom get edge-replicated (or zero) rows
     instead — reproducing the single-device border convention exactly.
+
+    When r exceeds the slab height, the halo is assembled by CHAINED
+    neighbor ``ppermute`` hops (ceil(r/h) rounds): hop j forwards the
+    block received in hop j-1, so after k hops each device holds its k
+    nearest slabs on each side — never a full-image all-gather (a sigma-16
+    blur on thin slabs stays on the neighbor-exchange path).
     """
-    bot_send = x[:, -r:, :]  # my bottom rows -> below device's top halo
-    top_send = x[:, :r, :]  # my top rows -> above device's bottom halo
-    from_above = jax.lax.ppermute(
-        bot_send, axis_name, [(i, i + 1) for i in range(n_devices - 1)]
-    )
-    from_below = jax.lax.ppermute(
-        top_send, axis_name, [(i, i - 1) for i in range(1, n_devices)]
-    )
+    h = x.shape[1]
+    if r <= h:
+        bot_send = x[:, -r:, :]  # my bottom rows -> below device's top halo
+        top_send = x[:, :r, :]  # my top rows -> above device's bottom halo
+        from_above = jax.lax.ppermute(
+            bot_send, axis_name, [(i, i + 1) for i in range(n_devices - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            top_send, axis_name, [(i, i - 1) for i in range(1, n_devices)]
+        )
+        if mode == "edge":
+            top_edge = jnp.repeat(x[:, :1, :], r, axis=1)
+            bot_edge = jnp.repeat(x[:, -1:, :], r, axis=1)
+            from_above = jnp.where(device_idx == 0, top_edge, from_above)
+            from_below = jnp.where(
+                device_idx == n_devices - 1, bot_edge, from_below
+            )
+        return jnp.concatenate([from_above, x, from_below], axis=1)
+
+    # ---- multi-hop: r > h ------------------------------------------------
+    # Blocks beyond the physical mesh edge arrive as zeros (ppermute has
+    # no link); edge mode then overwrites the out-of-image rows below.
+    down = [(i, i + 1) for i in range(n_devices - 1)]
+    up = [(i, i - 1) for i in range(1, n_devices)]
+    k = min(-(-r // h), max(n_devices - 1, 1))
+    above_blocks: list = []
+    below_blocks: list = []
+    cur_d = x
+    cur_u = x
+    for _ in range(k):
+        cur_d = jax.lax.ppermute(cur_d, axis_name, down)
+        cur_u = jax.lax.ppermute(cur_u, axis_name, up)
+        above_blocks.insert(0, cur_d)
+        below_blocks.append(cur_u)
+    if k * h < r:  # radius reaches past the whole mesh: zero-extend
+        zeros = jnp.zeros((x.shape[0], r - k * h, x.shape[2]), x.dtype)
+        above_blocks.insert(0, zeros)
+        below_blocks.append(zeros)
+    above = jnp.concatenate(above_blocks, axis=1)[:, -r:, :]
+    below = jnp.concatenate(below_blocks, axis=1)[:, :r, :]
     if mode == "edge":
-        top_edge = jnp.repeat(x[:, :1, :], r, axis=1)
-        bot_edge = jnp.repeat(x[:, -1:, :], r, axis=1)
-        from_above = jnp.where(device_idx == 0, top_edge, from_above)
-        from_below = jnp.where(device_idx == n_devices - 1, bot_edge, from_below)
-    return jnp.concatenate([from_above, x, from_below], axis=1)
+        rows = jnp.arange(r, dtype=jnp.int32)[None, :, None]
+        # ``above`` covers global rows [idx*h - r, idx*h): the first
+        # max(0, r - idx*h) rows precede the image and must replicate
+        # global row 0 — found at local index r - idx*h (device 0 has no
+        # valid rows at all; its row 0 is its own first slab row).
+        deficit_a = r - device_idx * h
+        ref_a = jnp.where(
+            device_idx == 0,
+            x[:, 0:1, :],
+            jax.lax.dynamic_slice_in_dim(
+                above, jnp.clip(deficit_a, 0, r - 1), 1, axis=1
+            ),
+        )
+        above = jnp.where(rows < deficit_a, ref_a, above)
+        # Mirrored at the bottom: the last max(0, r - (n-1-idx)*h) rows of
+        # ``below`` lie past the image and replicate the last image row.
+        deficit_b = r - (n_devices - 1 - device_idx) * h
+        ref_b = jnp.where(
+            device_idx == n_devices - 1,
+            x[:, -1:, :],
+            jax.lax.dynamic_slice_in_dim(
+                below, jnp.clip(r - 1 - deficit_b, 0, r - 1), 1, axis=1
+            ),
+        )
+        below = jnp.where(rows >= r - deficit_b, ref_b, below)
+    return jnp.concatenate([above, x, below], axis=1)
 
 
 class HaloShardedProgram:
@@ -137,10 +196,11 @@ class HaloShardedProgram:
         else:
             _tag, conv_items, _ = prog._strip_plan
             RH = max((len(wh) - 1) // 2 for _, (wh, ww) in conv_items)
-        if RH == 0 or RH > self.h_local:
+        if RH == 0 or RH >= self.program.height:
             # RH == 0 (H-only radius-free plans): halo_pad's r=0 slices
             # (x[:, -0:, :] == the whole slab!) and the RH:-RH crop both
-            # degenerate; the per-node path handles it.
+            # degenerate; the per-node path handles it.  (RH > h_local is
+            # fine: halo_pad chains neighbor hops.)
             return None
         ext = halo_pad(x_local, RH, self.n, idx, mode="edge")
         out_ext = prog._strip_fused_forward(
@@ -181,15 +241,12 @@ class HaloShardedProgram:
                     for res, desc in node.inputs
                 }
                 r = node.halo
-                if r is not None and r > h_local:
-                    # Halo wider than a slab would need multi-hop exchange;
-                    # the all-gather path is simpler and still correct, but
-                    # it is a per-frame collective over the whole image —
-                    # say so rather than degrade silently (trace-time, so
-                    # the warning fires once per compile, not per frame).
+                if r is not None and r >= prog.height:
+                    # A radius spanning the whole image: every output row
+                    # depends on every input row; gather and be done.
                     warnln(
-                        f"node '{node.name}': halo {r} exceeds the "
-                        f"{h_local}-row local slab; falling back to "
+                        f"node '{node.name}': halo {r} spans the whole "
+                        f"{prog.height}-row image; falling back to "
                         f"all-gather (full-image collective per frame)"
                     )
                     r = None

@@ -80,18 +80,53 @@ class TestHaloSharding:
         got = np.asarray(sharded(sharded.shard_input(img), 0.25))
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=name)
 
-    def test_wide_halo_falls_back_to_gather(self, mesh):
-        # sigma 8 -> halo 24 > h_local 8: must still be exact via all-gather.
+    def test_wide_halo_multihop_exchange(self, mesh):
+        # sigma 8 -> halo 24 > h_local 8: exact via chained neighbor
+        # ppermute hops (3 rounds), never a full-image all-gather.
         prog = build("input -> gs -> output\ngs: gaussian { sigma: 8.0 }")
         img = rand_image()
         want = np.asarray(prog(img, 0.0))
         sharded = HaloShardedProgram(prog, mesh)
         got = np.asarray(sharded(sharded.shard_input(img), 0.0))
         np.testing.assert_allclose(got, want, atol=1e-5)
-        # The demotion is observable, not silent: one warning at trace time.
-        assert any(
-            "all-gather" in w and "gs" in w for w in utils.recent_warnings()
-        ), utils.recent_warnings()
+        assert not any("all-gather" in w for w in utils.recent_warnings())
+        hlo = (
+            sharded._fused.lower(
+                jax.ShapeDtypeStruct(img.shape, img.dtype),
+                jax.ShapeDtypeStruct((), jnp.float32),
+            )
+            .compile()
+            .as_text()
+        )
+        assert "all-gather" not in hlo, "wide halo must not all-gather"
+
+    def test_sigma16_on_128_rows_multihop(self, mesh):
+        # VERDICT r2 #5's named case: sigma 16 (halo 48) on 8 devices of a
+        # 128-row image (16-row slabs -> 3 hops), both border modes deep
+        # into the synthetic edge region.
+        prog = build(
+            "input -> gs -> output\ngs: gaussian { sigma: 16.0 }", h=128
+        )
+        img = rand_image(h=128)
+        want = np.asarray(prog(img, 0.0))
+        sharded = HaloShardedProgram(prog, mesh)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.0))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert not any("all-gather" in w for w in utils.recent_warnings())
+
+    def test_whole_image_radius_still_gathers(self, mesh):
+        # halo >= the image height: every row depends on every row; the
+        # gather demotion remains, and remains observable.
+        prog = build(
+            "input -> gs -> output\ngs: gaussian { sigma: 24.0 }", h=64
+        )
+        assert prog.graph.layers[0][0].halo >= 64
+        img = rand_image()
+        want = np.asarray(prog(img, 0.0))
+        sharded = HaloShardedProgram(prog, mesh)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.0))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert any("all-gather" in w for w in utils.recent_warnings())
 
     def test_batch_mesh_rejects_oversubscription(self):
         from reforge_tpu.parallel import make_batch_mesh
