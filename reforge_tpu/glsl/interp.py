@@ -657,10 +657,12 @@ class Interp:
         active.  The reference compiles such shaders natively via shaderc
         (shader.rs:73-93); XLA needs the static while_loop structure.
 
-        Restrictions: the body must be side-effect-free (no image/
-        texture/atomic access, no break/continue/return, no user function
-        calls — hoist loads before the loop), and the loop must not sit
-        inside non-uniform control flow."""
+        The body may GATHER freely — imageLoad/texture/texelFetch with
+        loop-carried coordinates (texture-sampling raymarch, iterative
+        warps) and calls to pure-compute user functions (SDF maps) all
+        lower into the while body; only genuine writes (imageStore,
+        atomics, globals/shared from callees) and `return` stay banned,
+        and the loop must not sit inside non-uniform control flow."""
         if self.mask is not None or loop_scope.activation.live_mask() is not None:
             raise GlslError(
                 "data-dependent loops inside non-uniform control flow are "
@@ -672,9 +674,9 @@ class Interp:
             effect_stmts.append(ast.ExprStmt(update_expr, line))
         if not self._scan_body_allowed(effect_stmts, allow_break=True):
             raise GlslError(
-                "data-dependent loop bodies must be side-effect-free (no "
-                "image/texture/atomic access, return, or function calls; "
-                "hoist loads before the loop)",
+                "data-dependent loop bodies must be side-effect-free: no "
+                "imageStore/atomic access or return, and called functions "
+                "must not write images, globals, or shared memory",
                 line,
             )
         assigned, declared = self._collect_assigned(effect_stmts)
@@ -854,7 +856,11 @@ class Interp:
         """Conservative: no side effects, control-flow escapes, or constructs
         that require a static loop variable (static-offset loads, local-array
         indexing).  ``allow_break`` admits break/continue (the vectorized
-        while_loop lowers them to lane kills); return is never allowed."""
+        while_loop lowers them to lane kills) and — because that lowering
+        executes the body under a lane mask with a proper carry — pure
+        GATHERS (imageLoad/texture/texelFetch: the raymarch and
+        iterative-warp idioms) plus calls to qualifying user functions
+        (see _loop_callable); return is never allowed."""
         ok = True
 
         def walk(node):
@@ -880,12 +886,19 @@ class Interp:
                 ok = False
                 return
             if isinstance(node, ast.Call):
-                if node.name in (
-                    "imageStore", "imageLoad", "texture", "texelFetch",
-                    "atomicAdd",
-                ) or node.name in self.shader.functions:
-                    ok = False
+                if node.name in ("imageStore", "atomicAdd"):
+                    ok = False  # genuine side effects: stores stay banned
                     return
+                if node.name in (
+                    "imageLoad", "texture", "textureLod", "texelFetch",
+                ):
+                    if not allow_break:
+                        ok = False  # fori path: loads need static offsets
+                        return
+                elif node.name in self.shader.functions:
+                    if not (allow_break and self._loop_callable(node.name)):
+                        ok = False
+                        return
             if isinstance(node, ast.Index):
                 # Only SSBO-member reads handle traced indices; local array
                 # or vector indexing needs a static loop variable.
@@ -906,9 +919,77 @@ class Interp:
         walk(body)
         return ok
 
+    def _loop_callable(self, name: str, _seen: Optional[set] = None) -> bool:
+        """True when a user function may be called inside a vectorized
+        loop body: pure compute plus gathers — no imageStore/atomics, no
+        writes to globals or shared memory (state the loop carry cannot
+        see), nested calls recursively qualifying, no recursion.  Static
+        nested loops are fine (they unroll during the body trace); a
+        nested data-dependent loop raises at trace time and the caller
+        falls back to the unrolled path."""
+        seen = _seen if _seen is not None else set()
+        if name in seen:
+            return False
+        seen.add(name)
+        fn = self.shader.functions.get(name)
+        if fn is None:
+            return False
+        local = {p.name for p in fn.params}
+        ok = True
+
+        def root_ident(t):
+            while isinstance(t, (ast.Member, ast.Index)):
+                t = t.expr
+            return t.name if isinstance(t, ast.Ident) else None
+
+        def walk(node):
+            nonlocal ok
+            if not ok:
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, ast.Decl):
+                local.add(node.name)
+            if isinstance(node, ast.Call):
+                if node.name in ("imageStore", "atomicAdd", "barrier"):
+                    ok = False
+                    return
+                if node.name in self.shader.functions and not self._loop_callable(
+                    node.name, seen
+                ):
+                    ok = False
+                    return
+            if isinstance(node, ast.Assign):
+                n = root_ident(node.target)
+                if n is not None and n not in local:
+                    ok = False  # global write: invisible to the loop carry
+                    return
+            if isinstance(node, ast.Unary) and node.op in (
+                "++pre", "--pre", "++post", "--post"
+            ):
+                n = root_ident(node.expr)
+                if n is not None and n not in local:
+                    ok = False
+                    return
+            if isinstance(node, ast.Index):
+                base = node.expr
+                if isinstance(base, ast.Ident) and base.name in self.shared_members:
+                    ok = False  # shared planes live in interpreter state
+                    return
+            for field in node.__dataclass_fields__:
+                walk(getattr(node, field))
+
+        walk(fn.body)
+        return ok
+
     def _collect_assigned(self, body: list) -> tuple[list[str], set[str]]:
         """(names assigned in body, names declared in body).  Declared names
-        shadow the enclosing scope and must not be written back."""
+        shadow the enclosing scope and must not be written back.  Args
+        bound to out/inout parameters of user calls count as assigned."""
         names: list[str] = []
         declared: set[str] = set()
 
@@ -934,6 +1015,11 @@ class Interp:
                 "++pre", "--pre", "++post", "--post"
             ):
                 note(node.expr)
+            if isinstance(node, ast.Call) and node.name in self.shader.functions:
+                fn = self.shader.functions[node.name]
+                for p, a in zip(fn.params, node.args):
+                    if p.qualifier in ("out", "inout"):
+                        note(a)
             for field in node.__dataclass_fields__:
                 walk(getattr(node, field))
 

@@ -1557,17 +1557,166 @@ class TestDataDependentLoops:
         assert got.min() >= 0.0 and got.max() <= 1.0
         assert len(np.unique(got[0])) > 3  # actual per-pixel variation
 
-    def test_loads_inside_loop_rejected(self):
+    def test_loads_inside_loop(self):
+        # Loop-carried gathers lower into the while body (formerly
+        # rejected with "hoist loads before the loop").
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            int n = 0;
+            while (v < 1.0 && n < 64) {
+                v += imageLoad(input_image, pos).g;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        act = (v < 1.0) & (n < 64)
+        while act.any():
+            v = np.where(act, v + a[1], v)
+            n = np.where(act, n + 1, n)
+            act = (v < 1.0) & (n < 64)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
+        np.testing.assert_array_equal(got[1], n.astype(np.float32))
+
+    def test_stores_inside_loop_rejected(self):
         with pytest.raises(GlslError, match="side-effect-free"):
             run_shader("""
                 ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
-                vec4 c = imageLoad(input_image, pos);
-                float v = c.r;
+                float v = imageLoad(input_image, pos).r;
                 while (v < 1.0) {
-                    v += imageLoad(input_image, pos).g;
+                    imageStore(output_image, pos, vec4(v));
+                    v += 0.25;
                 }
-                imageStore(output_image, pos, vec4(v));
             """)
+
+    def test_iterative_warp(self):
+        # The iterative-warp idiom: follow a flow field read from the
+        # image itself, a data-dependent number of steps per pixel.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec2 uv = (vec2(pos) + 0.5) / vec2(imageSize(input_image));
+            float acc = 0.0;
+            int n = 0;
+            while (acc < 1.0 && n < 16) {
+                vec4 s = texture(input_image, uv);
+                uv = fract(uv + (s.rg - 0.5) * 0.1);
+                acc += s.b * 0.5 + 0.05;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(uv, acc, float(n)));
+        """, h=8, w=8)
+        got = np.asarray(out)
+
+        a = np.asarray(img, np.float64)
+        h, w = a.shape[1], a.shape[2]
+
+        def tex(plane, uv_x, uv_y):
+            xf = uv_x * w - 0.5
+            yf = uv_y * h - 0.5
+            x0 = np.floor(xf)
+            y0 = np.floor(yf)
+            tx, ty = xf - x0, yf - y0
+            x0 = np.clip(x0.astype(int), 0, w - 1)
+            x1 = np.clip(x0 + 1, 0, w - 1)
+            y0 = np.clip(y0.astype(int), 0, h - 1)
+            y1 = np.clip(y0 + 1, 0, h - 1)
+            top = plane[y0, x0] * (1 - tx) + plane[y0, x1] * tx
+            bot = plane[y1, x0] * (1 - tx) + plane[y1, x1] * tx
+            return top * (1 - ty) + bot * ty
+
+        ux, uy = np.meshgrid(
+            (np.arange(w) + 0.5) / w, (np.arange(h) + 0.5) / h
+        )
+        acc = np.zeros((h, w))
+        n = np.zeros((h, w))
+        act = (acc < 1.0) & (n < 16)
+        while act.any():
+            r = tex(a[0], ux, uy)
+            g = tex(a[1], ux, uy)
+            b = tex(a[2], ux, uy)
+            nux = (ux + (r - 0.5) * 0.1) % 1.0
+            nuy = (uy + (g - 0.5) * 0.1) % 1.0
+            ux = np.where(act, nux, ux)
+            uy = np.where(act, nuy, uy)
+            acc = np.where(act, acc + b * 0.5 + 0.05, acc)
+            n = np.where(act, n + 1, n)
+            act = (acc < 1.0) & (n < 16)
+        np.testing.assert_allclose(got[0], ux, atol=2e-4)
+        np.testing.assert_allclose(got[1], uy, atol=2e-4)
+        np.testing.assert_allclose(got[2], acc, atol=2e-4)
+        np.testing.assert_array_equal(got[3], n)
+
+    def test_raymarch_with_sdf_function_and_texture(self):
+        # Texture-sampling raymarch: a user SDF function called in the
+        # data-dependent loop, plus a texture read at the hit point.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec2 uv = (vec2(pos) + 0.5) / vec2(imageSize(output_image));
+            float t = 0.0;
+            int steps = 0;
+            for (int i = 0; i < 48 && t < 4.0; i++) {
+                vec3 p = vec3(uv * 2.0 - 1.0, t);
+                float d = map(p);
+                if (d < 0.01) { break; }
+                t += d;
+                steps = i + 1;
+            }
+            vec4 albedo = texture(input_image, fract(uv + t * 0.25));
+            imageStore(output_image, pos,
+                       vec4(albedo.rgb * (1.0 - t * 0.25), float(steps)));
+        """, extra_decls="""
+            float map(vec3 p) {
+                return length(p - vec3(0.0, 0.0, 2.0)) - 0.8;
+            }
+        """, h=10, w=12)
+        got = np.asarray(out)
+
+        a = np.asarray(img, np.float64)
+        h, w = got.shape[1], got.shape[2]
+
+        def tex(plane, uv_x, uv_y):
+            xf = uv_x * w - 0.5
+            yf = uv_y * h - 0.5
+            x0 = np.floor(xf)
+            y0 = np.floor(yf)
+            tx, ty = xf - x0, yf - y0
+            x0 = np.clip(x0.astype(int), 0, w - 1)
+            x1 = np.clip(x0 + 1, 0, w - 1)
+            y0 = np.clip(y0.astype(int), 0, h - 1)
+            y1 = np.clip(y0 + 1, 0, h - 1)
+            top = plane[y0, x0] * (1 - tx) + plane[y0, x1] * tx
+            bot = plane[y1, x0] * (1 - tx) + plane[y1, x1] * tx
+            return top * (1 - ty) + bot * ty
+
+        ux, uy = np.meshgrid(
+            (np.arange(w) + 0.5) / w, (np.arange(h) + 0.5) / h
+        )
+        px, py = ux * 2.0 - 1.0, uy * 2.0 - 1.0
+        t = np.zeros((h, w))
+        steps = np.zeros((h, w))
+        hit = np.zeros((h, w), bool)
+        for i in range(48):
+            act = ~hit & (t < 4.0)
+            if not act.any():
+                break
+            d = np.sqrt(px**2 + py**2 + (t - 2.0) ** 2) - 0.8
+            newly_hit = act & (d < 0.01)
+            hit |= newly_hit
+            adv = act & ~newly_hit
+            t = np.where(adv, t + d, t)
+            steps = np.where(adv, i + 1, steps)
+        sx, sy = (ux + t * 0.25) % 1.0, (uy + t * 0.25) % 1.0
+        shade = 1.0 - t * 0.25
+        for c in range(3):
+            np.testing.assert_allclose(
+                got[c], tex(a[c], sx, sy) * shade, atol=2e-4, err_msg=f"ch{c}"
+            )
+        np.testing.assert_array_equal(got[3], steps)
 
 
 class TestUboArrays:
