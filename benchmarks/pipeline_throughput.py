@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Pipeline-staged vs single-device throughput on a deep node chain.
+"""Pipeline-staged vs single-device throughput: the crossover table.
 
 Pipeline parallelism only pays when stages run on genuinely separate
 chips and the per-stage compute outweighs the stage-boundary activation
-transfer (ICI).  This benchmark measures both executions on whatever
-devices are present and prints an honest verdict:
+transfer (ICI).  This benchmark measures both executions across a grid
+of (chain length x image size) and prints one honest verdict line per
+cell, so BENCH.md carries a table instead of a vibe:
 
   * on the 8-virtual-device CPU mesh (test environment) the "devices"
     share physical cores, so staging measures pure overhead — expect it
@@ -13,10 +14,17 @@ devices are present and prints an honest verdict:
   * on a real multi-chip TPU pod slice this is the go/no-go measurement
     for `--pipeline`.
 
-Usage: python benchmarks/pipeline_throughput.py [--backend cpu] [--nodes 10]
+Stages are balanced on MEASURED per-node costs (parallel.measure_costs),
+and the staged execution streams frames with multiple in flight
+(render_stream), so stage s works frame i while stage s-1 works frame
+i+1.
+
+Usage: python benchmarks/pipeline_throughput.py [--backend cpu]
+           [--nodes 4,10] [--sizes 512,1024] [--frames 48]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -27,9 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
-    ap.add_argument("--nodes", type=int, default=10)
-    ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--nodes", default="4,10")
+    ap.add_argument("--sizes", default="512,1024")
+    ap.add_argument("--frames", type=int, default=48)
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -42,40 +50,59 @@ def main() -> int:
 
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
-    import jax.numpy as jnp
 
     from reforge_tpu.benchmarks import bench_program, make_test_image
     from reforge_tpu.config import parse
     from reforge_tpu.graph import build_graph, make_program
     from reforge_tpu.parallel import PipelineStagedProgram
 
-    # A deep linear chain of similarly-heavy conv nodes — the best case
-    # for staging.
-    names = [f"n{i}" for i in range(args.nodes)]
-    chain = " -> ".join(["input"] + names + ["output"])
-    decls = "\n".join(f"{n}: gaussian {{ sigma: 2.{i} }}" for i, n in enumerate(names))
-    cfg = parse(chain + "\n" + decls, expects_input=True)
-    prog = make_program(build_graph(cfg), args.size, args.size)
-    img = make_test_image(args.size, args.size)
-
-    single = bench_program(prog, img, frames=args.frames)
-    staged_prog = PipelineStagedProgram(prog)
-    n_stages = len(staged_prog.devices)
-    staged = bench_program(staged_prog, img, frames=args.frames)
-
     dev = jax.devices()[0].platform
     print(
-        f"backend={dev} devices={len(jax.devices())} nodes={args.nodes} "
-        f"stages={n_stages} size={args.size}"
+        f"backend={dev} devices={len(jax.devices())} frames={args.frames}",
+        flush=True,
     )
-    print(f"single-device fused: {single['fps']:8.1f} fps ({single['ms_per_frame']:.2f} ms)")
-    print(f"pipeline-staged:     {staged['fps']:8.1f} fps ({staged['ms_per_frame']:.2f} ms)")
-    ratio = staged["fps"] / single["fps"]
-    verdict = "BEATS" if ratio > 1.05 else ("MATCHES" if ratio > 0.95 else "LOSES TO")
-    print(
-        f"verdict: pipeline staging {verdict} single-device fusion "
-        f"({ratio:.2f}x) on this {dev} topology"
-    )
+
+    def bench_stream(staged, img, frames):
+        # Warm + stream with stages+1 frames in flight.
+        list(staged.render_stream([img] * 4))
+        start = time.perf_counter()
+        for _ in staged.render_stream([img] * frames):
+            pass
+        elapsed = time.perf_counter() - start
+        return {"fps": frames / elapsed, "ms_per_frame": elapsed / frames * 1e3}
+
+    for n_nodes in [int(v) for v in args.nodes.split(",")]:
+        names = [f"n{i}" for i in range(n_nodes)]
+        chain = " -> ".join(["input"] + names + ["output"])
+        decls = "\n".join(
+            f"{n}: gaussian {{ sigma: 2.{i} }}" for i, n in enumerate(names)
+        )
+        cfg = parse(chain + "\n" + decls, expects_input=True)
+        for size in [int(v) for v in args.sizes.split(",")]:
+            prog = make_program(build_graph(cfg), size, size)
+            img = make_test_image(size, size)
+            single = bench_program(prog, img, frames=args.frames)
+            staged_prog = PipelineStagedProgram(prog, measure=True)
+            staged = bench_stream(staged_prog, img, args.frames)
+            ratio = staged["fps"] / single["fps"]
+            verdict = (
+                "BEATS" if ratio > 1.05
+                else ("MATCHES" if ratio > 0.95 else "LOSES")
+            )
+            print(
+                json.dumps(
+                    {
+                        "nodes": n_nodes,
+                        "size": size,
+                        "stages": len(staged_prog.devices),
+                        "single_ms": round(single["ms_per_frame"], 2),
+                        "staged_ms": round(staged["ms_per_frame"], 2),
+                        "ratio": round(ratio, 2),
+                        "verdict": verdict,
+                    }
+                ),
+                flush=True,
+            )
     return 0
 
 

@@ -187,7 +187,11 @@ class Engine:
                 )
             try:
                 program.sharded = PipelineStagedProgram(  # type: ignore[attr-defined]
-                    program, n_stages=self.info.pipeline_stages
+                    program, n_stages=self.info.pipeline_stages,
+                    # Balance stages on measured per-node dispatch times
+                    # (a few warmup dispatches at build), not the static
+                    # tap-count heuristic.
+                    measure=True,
                 )
             except Exception as e:
                 warnln(f"Cannot pipeline-stage graph: {e}; running single-device")

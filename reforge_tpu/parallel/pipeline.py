@@ -29,18 +29,54 @@ from ..kernels.base import KernelContext
 
 
 def _node_cost(node: PipelineNode) -> float:
-    """Rough per-node cost: pointwise 1, conv scales with taps."""
+    """Fallback per-node cost when no measured costs are given:
+    pointwise 1, conv scales with taps."""
     halo = node.halo
     if halo is None:
         return 4.0  # gather-ish
     return 1.0 + 0.2 * halo
 
 
+def measure_costs(
+    program: GraphProgram,
+    file_input: Optional[jnp.ndarray] = None,
+    t: float = 0.0,
+    reps: int = 3,
+) -> dict[str, float]:
+    """Measured per-node costs (ms) for stage balancing.
+
+    Runs the program's per-node timed execution (the same machinery as
+    ``--timing per-node``) ``reps`` times after a warmup and keeps the
+    minimum per node — the steady-state dispatch cost, robust to one-off
+    compile/caching noise."""
+    if file_input is None:
+        file_input = jnp.zeros((4, program.height, program.width), jnp.float32)
+    program.run_per_node(file_input, t)  # warm every per-node jit
+    best: dict[str, float] = {}
+    for i in range(max(reps, 1)):
+        _, times = program.run_per_node(file_input, t + 0.01 * i)
+        for name, ms in times.items():
+            if name not in best or ms < best[name]:
+                best[name] = ms
+    return best
+
+
 def split_layers(
-    layers: Sequence[Sequence[PipelineNode]], n_stages: int
+    layers: Sequence[Sequence[PipelineNode]],
+    n_stages: int,
+    node_costs: Optional[dict[str, float]] = None,
 ) -> list[list[list[PipelineNode]]]:
-    """Partition consecutive layers into n_stages cost-balanced groups."""
-    costs = [sum(_node_cost(n) for n in layer) for layer in layers]
+    """Partition consecutive layers into n_stages cost-balanced groups.
+
+    ``node_costs`` maps node name -> measured ms (see measure_costs);
+    nodes missing from it, or a None map, use the static heuristic."""
+
+    def cost_of(n: PipelineNode) -> float:
+        if node_costs is not None and n.name in node_costs:
+            return node_costs[n.name]
+        return _node_cost(n)
+
+    costs = [sum(cost_of(n) for n in layer) for layer in layers]
     total = sum(costs) or 1.0
     target = total / n_stages
     stages: list[list] = []
@@ -75,12 +111,20 @@ class PipelineStagedProgram:
     """Graph program executed as device-staged pipeline segments."""
 
     def __init__(self, program: GraphProgram, devices: Optional[list] = None,
-                 n_stages: Optional[int] = None):
+                 n_stages: Optional[int] = None,
+                 node_costs: Optional[dict[str, float]] = None,
+                 measure: bool = False):
+        """``node_costs``: measured per-node ms for stage balancing
+        (see measure_costs); ``measure=True`` measures them here (runs
+        the per-node programs once — a few dispatches of startup cost)."""
         self.program = program
         devs = devices if devices is not None else jax.devices()
+        if measure and node_costs is None:
+            node_costs = measure_costs(program)
+        self.node_costs = node_costs
         n = n_stages or len(devs)
         n = max(1, min(n, len(devs), len(program.graph.layers)))
-        self.stage_layers = split_layers(program.graph.layers, n)
+        self.stage_layers = split_layers(program.graph.layers, n, node_costs)
         # The splitter may produce fewer groups than requested (e.g. one
         # heavy trailing layer); follow the actual stage count.
         n = len(self.stage_layers)
@@ -174,3 +218,33 @@ class PipelineStagedProgram:
             outputs = fn(inputs, jax.device_put(t, dev))
             live.update(outputs)
         return live[FINAL_OUTPUT]
+
+    def render_stream(self, frames, times=None, depth: Optional[int] = None):
+        """Multi-frame-in-flight pipelined rendering: yields outputs.
+
+        ``frames`` is an iterable of (4, H, W) inputs; ``times`` an
+        optional parallel iterable of per-frame times (defaults to the
+        frame index / 60).  Every stage dispatch is asynchronous, so
+        submitting frame i+1 before frame i completes keeps stage s busy
+        on frame i while stage s-1 computes frame i+1 — the multi-device
+        generalization of frames-in-flight (frame.rs:10-18).  At most
+        ``depth`` frames (default: number of stages + 1) are in flight;
+        the oldest is blocked on before the next is admitted, bounding
+        device memory exactly like the engine's in-flight queue."""
+        from collections import deque
+
+        if depth is None:
+            depth = len(self._stage_fns) + 1
+        depth = max(depth, 1)
+        pending: deque = deque()
+        for i, frame in enumerate(frames):
+            t = (i / 60.0) if times is None else times[i]
+            if len(pending) >= depth:
+                out = pending.popleft()
+                jax.block_until_ready(out)
+                yield out
+            pending.append(self(frame, t))
+        while pending:
+            out = pending.popleft()
+            jax.block_until_ready(out)
+            yield out

@@ -399,6 +399,63 @@ class TestPipelineParallel:
             np.asarray(staged(img, 0.0)), np.asarray(prog(img, 0.0)), atol=1e-6
         )
 
+    def test_measured_costs_balance_stages(self):
+        """split_layers balances on measured per-node ms when given: a
+        chain where one node dominates puts the boundary right after it
+        instead of splitting by the static heuristic's layer count."""
+        from reforge_tpu.parallel import PipelineStagedProgram
+        from reforge_tpu.parallel.pipeline import split_layers
+
+        src = (
+            "input -> a -> b -> c -> d -> output\n"
+            "a: invert {}\nb: invert {}\nc: invert {}\nd: invert {}\n"
+        )
+        prog = build(src)
+        # 'a' measured 10x heavier than the rest: stage 1 = just 'a'.
+        costs = {"a": 10.0, "b": 1.0, "c": 1.0, "d": 1.0}
+        groups = split_layers(prog.graph.layers, 2, costs)
+        assert len(groups) == 2
+        assert [n.name for layer in groups[0] for n in layer] == ["a"]
+        # And the uniform-cost split stays balanced 2/2.
+        groups = split_layers(prog.graph.layers, 2, {k: 1.0 for k in costs})
+        assert len(groups[0]) == 2 and len(groups[1]) == 2
+
+    def test_measure_true_runs_and_matches(self):
+        from reforge_tpu.parallel import PipelineStagedProgram
+
+        prog = build(CASES["conv"])
+        img = rand_image()
+        staged = PipelineStagedProgram(
+            prog, devices=jax.devices()[:2], measure=True
+        )
+        assert staged.node_costs and all(
+            v >= 0.0 for v in staged.node_costs.values()
+        )
+        np.testing.assert_allclose(
+            np.asarray(staged(img, 0.0)), np.asarray(prog(img, 0.0)), atol=1e-5
+        )
+
+    def test_render_stream_matches_sequential(self):
+        """Multi-frame-in-flight streaming == one-at-a-time calls, with
+        per-frame times, in order."""
+        from reforge_tpu.parallel import PipelineStagedProgram
+
+        prog = build(CASES["coordinate"])
+        staged = PipelineStagedProgram(prog, devices=jax.devices()[:3])
+        rng = np.random.default_rng(11)
+        frames = [
+            jnp.asarray(rng.random((4, 64, 64), dtype=np.float32))
+            for _ in range(5)
+        ]
+        times = [0.0, 0.3, 0.6, 0.9, 1.2]
+        got = list(staged.render_stream(frames, times, depth=3))
+        assert len(got) == 5
+        for i, (f, t) in enumerate(zip(frames, times)):
+            np.testing.assert_allclose(
+                np.asarray(got[i]), np.asarray(prog(f, t)), atol=1e-5,
+                err_msg=f"frame {i}",
+            )
+
 
 class TestStripLocalHalo:
     def test_strip_local_matches_per_node(self, mesh, monkeypatch):
