@@ -661,13 +661,18 @@ class Interp:
         loop-carried coordinates (texture-sampling raymarch, iterative
         warps) and calls to pure-compute user functions (SDF maps) all
         lower into the while body; only genuine writes (imageStore,
-        atomics, globals/shared from callees) and `return` stay banned,
-        and the loop must not sit inside non-uniform control flow."""
-        if self.mask is not None or loop_scope.activation.live_mask() is not None:
-            raise GlslError(
-                "data-dependent loops inside non-uniform control flow are "
-                "not supported",
-                line,
+        atomics, globals/shared from callees) and `return` stay banned.
+
+        A loop INSIDE non-uniform control flow (a per-pixel `if`, or
+        after a lane-masked `return`) folds the enclosing lane mask into
+        the initial active mask: lanes outside the branch never iterate,
+        so their carried variables come back unchanged and the ordinary
+        write-back is already the masked blend."""
+        enclosing = self.mask
+        live = loop_scope.activation.live_mask()
+        if live is not None:
+            enclosing = (
+                live if enclosing is None else jnp.logical_and(enclosing, live)
             )
         effect_stmts = list(body)
         if update_expr is not None:
@@ -769,6 +774,10 @@ class Interp:
         init["_active"] = (
             jnp.ones(hw, bool) if at_least_once else cond_plane(cond0)
         )
+        if enclosing is not None:
+            init["_active"] = jnp.logical_and(
+                init["_active"], jnp.broadcast_to(enclosing, hw)
+            )
         init["_discard"] = jnp.zeros(hw, bool)
         init["_round"] = jnp.int32(0)
         # Stabilize the carry exactly like the fori lowering: scalars that

@@ -1583,6 +1583,67 @@ class TestDataDependentLoops:
         np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
         np.testing.assert_array_equal(got[1], n.astype(np.float32))
 
+    def test_loop_inside_nonuniform_if(self):
+        # A data-dependent loop under a per-pixel branch: the enclosing
+        # lane mask folds into the initial active mask, so lanes outside
+        # the branch keep their pre-loop values exactly.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            int n = 0;
+            if (c.g < 0.5) {
+                while (v < 1.0 && n < 50) {
+                    v = v * 1.5 + 0.01;
+                    n++;
+                }
+            }
+            imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        sel = a[1] < 0.5
+        act = sel & (v < 1.0) & (n < 50)
+        while act.any():
+            v = np.where(act, v * 1.5 + 0.01, v)
+            n = np.where(act, n + 1, n)
+            act = act & (v < 1.0) & (n < 50)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
+        np.testing.assert_array_equal(got[1], n.astype(np.float32))
+
+    def test_loop_inside_nonuniform_else_with_gather(self):
+        # Else-branch masking + a gather in the loop body, together.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            if (c.g < 0.5) {
+                v = 2.0;
+            } else {
+                int n = 0;
+                while (v < 1.0 && n < 32) {
+                    v += imageLoad(input_image, pos).b;
+                    n++;
+                }
+            }
+            imageStore(output_image, pos, vec4(v));
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        sel = a[1] >= 0.5
+        act = sel & (v < 1.0) & (n < 32)
+        while act.any():
+            v = np.where(act, v + a[2], v)
+            n = np.where(act, n + 1, n)
+            act = act & (v < 1.0) & (n < 32)
+        v = np.where(a[1] < 0.5, 2.0, v)
+        np.testing.assert_allclose(
+            np.asarray(out)[0], v.astype(np.float32), atol=1e-5
+        )
+
     def test_stores_inside_loop_rejected(self):
         with pytest.raises(GlslError, match="side-effect-free"):
             run_shader("""
