@@ -277,6 +277,7 @@ class GraphProgram:
         import numpy as np
 
         from ..config import FILE_INPUT as _FI
+        from ..kernels import ops as _ops
         from ..kernels.pallas_ops import McStage
 
         if self.width % 128 != 0:
@@ -316,6 +317,18 @@ class GraphProgram:
                 return None
         if n_heavy == 0:
             return None  # pointwise-only: plain XLA fusion is already one pass
+        if (
+            any(kind == "conv" for kind, _, _ in nodes)
+            and self.width >= _ops.MC_CONV_MAX_WIDTH
+        ):
+            # Measured on the v5e (tunnel-safe sequenced method): the mc
+            # conv stage loses to per-node execution at 4K — per-node runs
+            # the standalone raw-DMA conv kernel there (blur->sobel->
+            # tonemap 4K: mc 1.65 ms vs per-node 1.13; tonemap->blur 4K:
+            # 1.42 vs 1.37) while mc wins every 1080p case (1.56-1.87x)
+            # and stencil-only 4K (1.59x).  Gate conv-bearing mc plans at
+            # wide frames until the mc conv stage closes the gap.
+            return None
 
         # ---- extent halos (reverse topo; lifts exact, extents 8-aligned) --
         need_h: dict[str, int] = {}

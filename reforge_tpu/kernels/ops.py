@@ -97,6 +97,11 @@ def _use_pallas() -> bool:
 # at 4K (BENCH.md).
 X3_MIN_TAPS = 56
 
+# Frame width at which conv-bearing multi-channel strip plans stop paying
+# vs per-node execution (whose convs run the standalone raw-DMA kernel);
+# measured on v5e (graph/program.py::_plan_strip_mc).
+MC_CONV_MAX_WIDTH = 2560
+
 
 def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
              prefer_mxu: bool = False) -> jnp.ndarray:
