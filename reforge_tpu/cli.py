@@ -124,7 +124,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
         type=int,
         default=0,
         metavar="S",
-        help="Stage graph layers across S devices (pipeline parallelism)",
+        help="Stage graph layers across S devices (pipeline parallelism; "
+        "experimental — single-device fusion wins on every measured "
+        "topology, see BENCH.md)",
     )
     p.add_argument(
         "--backend",
