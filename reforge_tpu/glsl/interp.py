@@ -455,9 +455,27 @@ class Interp:
             value = self.eval_expr(s.value, scope) if s.value is not None else None
             if self.mask is None:
                 raise _ReturnSignal(value)
+            # Lanes that already returned must not return again (a
+            # trailing `return` after a masked one): compose the
+            # activation's live mask in (branch masks get it from
+            # exec_if, but same-level statements don't).
+            live = scope.activation.live_mask()
+            m = self.mask if live is None else jnp.logical_and(self.mask, live)
+            if self._vec_loop_stack and value is None:
+                # Void return inside a vectorized data-dependent loop:
+                # the lane leaves the loop AND the enclosing activation —
+                # record it loop-wide (like break) so later rounds skip
+                # it; the lowering notes the accumulated mask on the
+                # enclosing activation after the loop.
+                act, boxes = self._vec_loop_stack[-1]
+                boxes[1] = (
+                    m if boxes[1] is None else jnp.logical_or(boxes[1], m)
+                )
+                act.note_return(m, None)
+                return
             # Non-uniform return: deactivate these lanes for the remainder
             # of the activation.
-            scope.activation.note_return(self.mask, value)
+            scope.activation.note_return(m, value)
             return
         if isinstance(s, ast.Discard):
             if self.shader.stage != "fragment":
@@ -483,10 +501,10 @@ class Interp:
                 if self._vec_loop_stack:
                     # Vectorized loop: break = kill the lane for the rest
                     # of this iteration AND all later rounds.
-                    act, break_box = self._vec_loop_stack[-1]
-                    break_box[0] = (
-                        self.mask if break_box[0] is None
-                        else jnp.logical_or(break_box[0], self.mask)
+                    act, boxes = self._vec_loop_stack[-1]
+                    boxes[0] = (
+                        self.mask if boxes[0] is None
+                        else jnp.logical_or(boxes[0], self.mask)
                     )
                     act.note_return(self.mask, None)
                     return
@@ -544,15 +562,15 @@ class Interp:
     _SCAN_THRESHOLD = 512
 
     def _body_has_masked_jump(self, body: list) -> bool:
-        """True when the loop body contains a break/continue nested under
-        an if — potentially per-pixel, so the vectorized lowering should
-        be tried first.  Nested loops/switches bind their own jumps and
-        are not descended into."""
+        """True when the loop body contains a break/continue/return nested
+        under an if — potentially per-pixel, so the vectorized lowering
+        should be tried first.  Nested loops/switches bind their own jumps
+        and are not descended into."""
         def walk(stmts, under_if):
             for s in stmts:
                 if isinstance(s, (ast.For, ast.While, ast.DoWhile, ast.Switch)):
                     continue
-                if isinstance(s, (ast.Break, ast.Continue)) and under_if:
+                if isinstance(s, (ast.Break, ast.Continue, ast.Return)) and under_if:
                     return True
                 if isinstance(s, ast.If):
                     if walk(s.then, True):
@@ -565,6 +583,30 @@ class Interp:
             return False
 
         return walk(body, False)
+
+    def _body_has_return(self, body: list) -> bool:
+        """True when the loop body contains a lexical `return` (calls are
+        by name, so user-function bodies are never descended into)."""
+        found = False
+
+        def walk(node):
+            nonlocal found
+            if found:
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, ast.Return):
+                found = True
+                return
+            for field in node.__dataclass_fields__:
+                walk(getattr(node, field))
+
+        walk(body)
+        return found
 
     def exec_for(self, s: ast.For, scope: "_Scope") -> None:
         if self._try_exec_for_scan(s, scope):
@@ -713,9 +755,10 @@ class Interp:
 
         def body_fn(carry):
             # Fresh activation: break/continue lower to lane kills scoped
-            # to this iteration (continue) or the whole loop (break).
+            # to this iteration (continue) or the whole loop (break);
+            # boxes = [break mask, return mask] accumulated per round.
             act = _Activation(interp=self)
-            break_box: list = [None]
+            boxes: list = [None, None]
             inner = _Scope(loop_scope.globals, act, loop_scope)
             for n in carried:
                 inner.declare(n, self._tree_to_val(carry[n], protos[n]))
@@ -726,17 +769,18 @@ class Interp:
             # instead (a discarded lane also stops iterating).
             self.discard_mask = None
             self.mask = carry["_active"]
-            self._vec_loop_stack.append((act, break_box))
+            self._vec_loop_stack.append((act, boxes))
             try:
                 for st in body:
                     self.exec_stmt(st, inner)
                 if update_expr is not None:
                     # GLSL: `continue` jumps TO the for-update, so
-                    # continued lanes still update; only broken lanes
-                    # stay dead.
+                    # continued lanes still update; only broken/returned
+                    # lanes stay dead.
                     act2 = _Activation(interp=self)
-                    if break_box[0] is not None:
-                        act2.note_return(break_box[0], None)
+                    for b in boxes:
+                        if b is not None:
+                            act2.note_return(b, None)
                     upd_scope = _Scope(loop_scope.globals, act2, inner)
                     self.eval_expr(update_expr, upd_scope)
                 cnext = (
@@ -750,9 +794,13 @@ class Interp:
                 self.discard_mask = prev_discard
             out = {n: self._val_to_tree(inner.lookup(n)) for n in carried}
             active = jnp.logical_and(carry["_active"], cond_plane(cnext))
-            if break_box[0] is not None:
-                active = jnp.logical_and(
-                    active, jnp.logical_not(break_box[0])
+            for b in boxes:
+                if b is not None:
+                    active = jnp.logical_and(active, jnp.logical_not(b))
+            returned = carry["_returned"]
+            if boxes[1] is not None:
+                returned = jnp.logical_or(
+                    returned, jnp.broadcast_to(boxes[1], hw)
                 )
             discard = carry["_discard"]
             if new_discard is not None:
@@ -761,6 +809,7 @@ class Interp:
                 )
                 active = jnp.logical_and(active, jnp.logical_not(discard))
             out["_discard"] = discard
+            out["_returned"] = returned
             out["_active"] = active
             out["_round"] = carry["_round"] + 1
             return out
@@ -779,6 +828,7 @@ class Interp:
                 init["_active"], jnp.broadcast_to(enclosing, hw)
             )
         init["_discard"] = jnp.zeros(hw, bool)
+        init["_returned"] = jnp.zeros(hw, bool)
         init["_round"] = jnp.int32(0)
         # Stabilize the carry exactly like the fori lowering: scalars that
         # widen to (H, W) under the mask get pre-broadcast.
@@ -811,6 +861,10 @@ class Interp:
                 fd if self.discard_mask is None
                 else jnp.logical_or(self.discard_mask, fd)
             )
+        if self._body_has_return(body):
+            # Lanes that returned inside the loop leave the enclosing
+            # activation too: statements after the loop skip them.
+            loop_scope.activation.note_return(final["_returned"], None)
         self.stats["while_loop"] = True
 
     # ---- fori_loop lowering of long uniform loops -----------------------
@@ -883,6 +937,14 @@ class Interp:
             if not hasattr(node, "__dataclass_fields__"):
                 return
             if allow_break and isinstance(node, (ast.Break, ast.Continue)):
+                return
+            if (
+                allow_break
+                and isinstance(node, ast.Return)
+                and node.value is None
+            ):
+                # Void return: the lane leaves the loop and the enclosing
+                # activation (threaded through the carry like discard).
                 return
             if isinstance(node, (ast.Break, ast.Continue, ast.Return, ast.For,
                                  ast.While, ast.DoWhile, ast.Switch)):
@@ -2447,10 +2509,17 @@ class Interp:
             else:
                 fscope.declare(p.name, self.convert(a, p.type, line))
         ret: Optional[Val] = None
+        # The function body is NOT lexically inside any vectorized loop:
+        # a return (or break in its own loops) must bind to the function,
+        # not kill the caller's loop lanes.
+        prev_stack = self._vec_loop_stack
+        self._vec_loop_stack = []
         try:
             self.exec_block(fn.body, fscope)
         except _ReturnSignal as r:
             ret = r.value
+        finally:
+            self._vec_loop_stack = prev_stack
         # Copy back out/inout parameters.
         for p, a_expr in zip(fn.params, arg_exprs):
             if p.qualifier in ("out", "inout"):

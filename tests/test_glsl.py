@@ -1644,6 +1644,72 @@ class TestDataDependentLoops:
             np.asarray(out)[0], v.astype(np.float32), atol=1e-5
         )
 
+    def test_return_inside_loop(self):
+        # A per-pixel `return` inside the marching loop: the lane leaves
+        # the loop AND skips everything after it (the store), keeping the
+        # output image's prior contents (zeros, alpha 1).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            int n = 0;
+            while (v < 1.0 && n < 50) {
+                if (c.g < 0.3) { return; }
+                v = v * 1.5 + 0.01;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v, float(n), 0.5, 1.0));
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        runs = a[1] >= 0.3
+        act = runs & (v < 1.0) & (n < 50)
+        while act.any():
+            v = np.where(act, v * 1.5 + 0.01, v)
+            n = np.where(act, n + 1, n)
+            act = act & (v < 1.0) & (n < 50)
+        # Early-return lanes that entered the loop never store.
+        returned = ~runs & (a[0] < 1.0)
+        want_v = np.where(returned, 0.0, v)
+        want_n = np.where(returned, 0.0, n)
+        want_b = np.where(returned, 0.0, 0.5)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], want_v, atol=1e-5)
+        np.testing.assert_array_equal(got[1], want_n.astype(np.float32))
+        np.testing.assert_allclose(got[2], want_b, atol=1e-6)
+
+    def test_function_with_early_return_called_in_loop(self):
+        # A user function with its own masked return, called from the
+        # loop body: the return binds to the FUNCTION, not the loop.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            int n = 0;
+            while (v < 1.0 && n < 50) {
+                v = bump(v);
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+        """, extra_decls="""
+            float bump(float x) {
+                if (x > 0.6) { return x + 0.3; }
+                return x + 0.05;
+            }
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        act = (v < 1.0) & (n < 50)
+        while act.any():
+            v2 = np.where(v > 0.6, v + 0.3, v + 0.05)
+            v = np.where(act, v2, v)
+            n = np.where(act, n + 1, n)
+            act = act & (v < 1.0) & (n < 50)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
+        np.testing.assert_array_equal(got[1], n.astype(np.float32))
+
     def test_stores_inside_loop_rejected(self):
         with pytest.raises(GlslError, match="side-effect-free"):
             run_shader("""
