@@ -32,8 +32,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--edits", type=int, default=12)
-    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--size", default="512",
+                    help="square pixels (512) or WxH (3840x2160)")
     args = ap.parse_args()
+    if "x" in args.size:
+        width, height = (int(v) for v in args.size.split("x"))
+    else:
+        width = height = int(args.size)
 
     import jax
 
@@ -56,8 +61,8 @@ def main() -> int:
             f.write(graphs[0] % 2.0)
         eng = Engine(
             RenderInfo(
-                width=args.size,
-                height=args.size,
+                width=width,
+                height=height,
                 config_path=cfg,
                 # Point at the empty temp dir so nodes resolve to builtin
                 # kernels (separable gaussian), not repo .comp files — the
@@ -69,7 +74,7 @@ def main() -> int:
         )
         eng.load_input(
             np.random.default_rng(0).integers(
-                0, 256, (args.size, args.size, 4), np.uint8
+                0, 256, (height, width, 4), np.uint8
             )
         )
         eng.render_frame_blocking()  # warm the initial program
@@ -115,7 +120,7 @@ def main() -> int:
                 f"min {min(xs):7.1f}   max {max(xs):7.1f}"
             )
 
-        print(f"backend={jax.default_backend()} size={args.size} edits={args.edits}")
+        print(f"backend={jax.default_backend()} size={width}x{height} edits={args.edits}")
         print(f"edit -> new output rendered (warm):  {stats(warm_ms)}")
         print(f"edit -> new program adopted (warm):  {stats(adopt_ms)}")
         print(f"edit -> new output rendered (cold):  {stats(cold_ms)}")
