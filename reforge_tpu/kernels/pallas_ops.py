@@ -140,21 +140,25 @@ def sep_conv(
 
 
 def _sep_fused_kernel(
-    x_hbm, o_ref, scratch, tmp, tmp_t, acc_t, sems, *,
+    x_hbm, o_ref, scratch, tmp_t, sems, *,
     weights_h: tuple, weights_w: tuple, tile_h: int, out_w: int,
     n_tiles: int, strip_rows: int, raw: bool = False, rh_max: int = 0,
     in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
     w_base: int | None = None, rw: int = 0,
 ):
     """One H-strip: DMA (strip_rows, W + 2r_w) into VMEM (double
-    buffered), conv along H, transpose, conv along (now-sublane) W,
-    transpose back into the output block.
+    buffered), conv along H storing blocks transposed, conv along the
+    (now-sublane) W direction storing blocks transposed back into the
+    output block.
 
     Both conv directions touch HBM exactly once: the strip load and the
     block store; the next strip's DMA overlaps this strip's compute.  The
     in-VMEM transpose makes BOTH tap loops sublane shifts — lane-direction
     shifted slices materialize per-tap rotation temporaries (blowing the
     scoped-VMEM budget and costing lane-rotate ops), sublane shifts don't.
+    The transposes happen at accumulator-block granularity inside the tap
+    schedule's stores, so no pass writes an untransposed buffer only to
+    re-read it for a bulk `.T`.
     ``strip_rows`` is tile_h + 2r_h rounded to the sublane tile (8); slack
     rows exist in the padded input and are never read by the taps.
     """
@@ -189,33 +193,36 @@ def _sep_fused_kernel(
             edge=pad_edge_mode,
         )
 
-    # Conv along H with the phased/striped tap schedule (_blocked_taps).
+    # Conv along H with the phased/striped tap schedule (_blocked_taps),
+    # each accumulator block stored TRANSPOSED straight into the
+    # (w_total, tile_h) buffer the W pass reads — block-granular
+    # transposes skip the full-buffer roundtrip (untransposed write +
+    # read + bulk `.T`) the old tmp/tmp_t pair paid per strip.
     _blocked_taps(
         lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L],
-        lambda ki, r, n, c, L, acc: tmp.__setitem__(
-            (slice(r, r + n), slice(c, c + L)), acc
+        lambda ki, r, n, c, L, acc: tmp_t.__setitem__(
+            (slice(c, c + L), slice(r, r + n)), acc.T
         ),
         tile_h,
-        tmp.shape[1],
+        tmp_t.shape[0],
         [weights_h],
     )
 
     # Conv along W as sublane shifts of the transposed strip, same
-    # schedule, then one transpose back into the output block.  The data
-    # sits at column w_base; the taps are padded to rw, so the source
-    # rows (transposed columns) start w_base - rw past the output row.
+    # schedule, accumulator blocks stored transposed DIRECTLY into the
+    # output block.  The data sits at column w_base; the taps are padded
+    # to rw, so the source rows (transposed columns) start w_base - rw
+    # past the output row.
     woff = w_base - rw
-    tmp_t[:, :] = tmp[:, :].T
     _blocked_taps(
         lambda r, blk, c, L: tmp_t[r + woff : r + woff + blk, c : c + L],
-        lambda ki, r, n, c, L, acc: acc_t.__setitem__(
-            (slice(r, r + n), slice(c, c + L)), acc
+        lambda ki, r, n, c, L, acc: o_ref.__setitem__(
+            (0, slice(c, c + L), slice(r, r + n)), acc.T
         ),
         out_w,
         tile_h,
         [weights_w],
     )
-    o_ref[0, :, :] = acc_t[0:out_w, :].T
 
 
 BLOCK_LANES = 1280  # lane-chunk width of the register-blocked tap schedule
@@ -785,7 +792,7 @@ def _sep_fused_kernel_multi(
     zeros so offsets align)."""
     n_convs = len(weights)
     o_refs = rest[:n_convs]
-    scratch, tmps, tmp_t, acc_t, sems = rest[n_convs:]
+    scratch, tmps_t, sems = rest[n_convs:]
     ci = pl.program_id(0)
     i = pl.program_id(1)
     if w_base is None:
@@ -818,33 +825,37 @@ def _sep_fused_kernel_multi(
         )
 
     # Shared-load H pass: one register-blocked sweep accumulates ALL convs
-    # from each loaded value block (the whole point of the bundle).
+    # from each loaded value block (the whole point of the bundle), each
+    # accumulator block stored TRANSPOSED straight into its conv's
+    # (w_total, tile_h) buffer — the W pass needs that orientation, and
+    # block-granular transposes skip the full-buffer roundtrip the old
+    # tmp/tmp_t pair paid per conv per strip.
     _blocked_taps(
         lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L],
-        lambda ki, r, n, c, L, acc: tmps.__setitem__(
-            (ki, slice(r, r + n), slice(c, c + L)), acc
+        lambda ki, r, n, c, L, acc: tmps_t.__setitem__(
+            (ki, slice(c, c + L), slice(r, r + n)), acc.T
         ),
         tile_h,
-        tmps.shape[2],
+        tmps_t.shape[1],
         [wh for wh, _ in weights],
     )
 
     # W pass per conv (inputs differ, so no cross-conv sharing exists);
-    # register-blocked taps + one transpose each.  The data sits at
-    # column w_base; taps are padded to rw_max.
+    # accumulator blocks store transposed DIRECTLY into the output block.
+    # The data sits at column w_base; taps are padded to rw_max.
     woff = w_base - rw_max
     for k, (_, ww) in enumerate(weights):
-        tmp_t[:, :] = tmps[k].T
         _blocked_taps(
-            lambda r, blk, c, L: tmp_t[r + woff : r + woff + blk, c : c + L],
-            lambda ki, r, n, c, L, acc: acc_t.__setitem__(
-                (slice(r, r + n), slice(c, c + L)), acc
+            lambda r, blk, c, L, k=k: tmps_t[
+                k, r + woff : r + woff + blk, c : c + L
+            ],
+            lambda ki, r, n, c, L, acc, k=k: o_refs[k].__setitem__(
+                (0, slice(c, c + L), slice(r, r + n)), acc.T
             ),
             out_w,
             tile_h,
             [ww],
         )
-        o_refs[k][0, :, :] = acc_t[0:out_w, :].T
 
 
 def sep_conv_fused_multi(
@@ -930,9 +941,7 @@ def sep_conv_fused_multi(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, strip_rows, w_total), x.dtype),
-            pltpu.VMEM((n, tile_h, w_total), x.dtype),
-            pltpu.VMEM((w_total, tile_h), x.dtype),
-            pltpu.VMEM((w_total, tile_h), x.dtype),
+            pltpu.VMEM((n, w_total, tile_h), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1077,7 +1086,7 @@ def _raw_strip_geometry(h: int, w: int, tile_h: int, RH: int):
 
 
 def _graph_strip_kernel(
-    x_hbm, t_ref, r0_ref, o_ref, scratch, tmps, tmp_t, acc_t, sems,
+    x_hbm, t_ref, r0_ref, o_ref, scratch, tmps_t, blur_b, sems,
     *maybe_xf32,
     weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_max: int, rw_max: int, epilogue, raw: bool = False,
@@ -1136,35 +1145,42 @@ def _graph_strip_kernel(
     else:
         src = lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L]
 
-    # Shared-load H pass for all convs at once.
+    # Shared-load H pass for all convs at once, each accumulator block
+    # stored TRANSPOSED straight into its conv's (w_total, tile_h)
+    # buffer: the W pass needs the transposed orientation anyway, and
+    # transposing at block granularity skips the full-buffer roundtrip
+    # (untransposed write + read + bulk `.T` copy) the old tmp/tmp_t
+    # pair paid per conv per strip.
     _blocked_taps(
         src,
-        lambda ki, r, n, c, L, acc: tmps.__setitem__(
-            (ki, slice(r, r + n), slice(c, c + L)), acc
+        lambda ki, r, n, c, L, acc: tmps_t.__setitem__(
+            (ki, slice(c, c + L), slice(r, r + n)), acc.T
         ),
         tile_h,
-        tmps.shape[2],
+        tmps_t.shape[1],
         [wh for wh, _ in weights],
     )
 
-    # W pass per conv; each result captured as a VALUE for the epilogue.
-    # The data sits at column w_base of the strip; the taps are padded to
-    # rw_max, so the source rows (transposed columns) start w_base-rw_max
-    # past the output row.
+    # W pass per conv, accumulator blocks again stored transposed — back
+    # into natural orientation — so the epilogue reads each blur as a
+    # value with no bulk transpose.  The data sits at column w_base of
+    # the strip; the taps are padded to rw_max, so the source rows
+    # (transposed columns) start w_base-rw_max past the output row.
     woff = w_base - rw_max
     blurs = []
     for k, (_, ww) in enumerate(weights):
-        tmp_t[:, :] = tmps[k].T
         _blocked_taps(
-            lambda r, blk, c, L: tmp_t[r + woff : r + woff + blk, c : c + L],
-            lambda ki, r, n, c, L, acc: acc_t.__setitem__(
-                (slice(r, r + n), slice(c, c + L)), acc
+            lambda r, blk, c, L, k=k: tmps_t[
+                k, r + woff : r + woff + blk, c : c + L
+            ],
+            lambda ki, r, n, c, L, acc, k=k: blur_b.__setitem__(
+                (k, slice(c, c + L), slice(r, r + n)), acc.T
             ),
             out_w,
             tile_h,
             [ww],
         )
-        blurs.append(acc_t[0:out_w, :].T)
+        blurs.append(blur_b[k])
 
     # The strip's center block, for pointwise consumption of the input
     # (bf16 -> f32 upcast is exact, so the staged copy IS the stored
@@ -1273,9 +1289,8 @@ def graph_strip_fused(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, strip_rows, w_total), x.dtype),
-            pltpu.VMEM((n, tile_h, w_total), jnp.float32),
-            pltpu.VMEM((w_total, tile_h), jnp.float32),
-            pltpu.VMEM((w_total, tile_h), jnp.float32),
+            pltpu.VMEM((n, w_total, tile_h), jnp.float32),
+            pltpu.VMEM((n, tile_h, w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
             [pltpu.VMEM((strip_rows, w_total), jnp.float32)]
@@ -1309,11 +1324,11 @@ def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None) -> int | N
     def fits(tile_h: int) -> bool:
         strip_rows = _round_up(tile_h + 2 * RH, 8)
         use = (
-            2 * strip_rows * w_total * 4
-            + n * tile_h * w_total * 4
-            + 2 * w_total * tile_h * 4
-            + 2 * n * tile_h * w * 4
-            + 2 * tile_h * w * 4  # transpose temps
+            2 * strip_rows * w_total * 4  # double-buffered strips
+            + n * w_total * tile_h * 4    # transposed H results
+            + n * tile_h * w * 4          # W results (epilogue inputs)
+            + 2 * tile_h * w * 4          # double-buffered output block
+            + 2 * tile_h * w * 4          # epilogue temporaries
         )
         return use < 30 * 1024 * 1024
 
@@ -1419,8 +1434,6 @@ def sep_conv_fused(
         )
         scratch = [
             pltpu.VMEM((2, strip_rows, w_total), x.dtype),
-            pltpu.VMEM((tile_h, w_total), x.dtype),
-            pltpu.VMEM((w_total, tile_h), x.dtype),
             pltpu.VMEM((w_total, tile_h), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
@@ -1465,8 +1478,8 @@ def fused_tile_h(w: int, rh: int, rw: int, h: int | None = None) -> int | None:
         strips = 2 * _round_up(tile_h + 2 * rh, 8) * w_total * 4
         out = 2 * tile_h * w * 4
         if transpose:
-            tmps = 3 * tile_h * w_total * 4  # tmp + tmp_t + acc_t
-            extra = tile_h * w * 4  # transpose temp
+            tmps = tile_h * w_total * 4  # tmp_t (transposed-store schedule)
+            extra = tile_h * w * 4  # block-transpose temporaries
         else:
             tmps = tile_h * w_total * 4
             extra = 12 * tile_h * w * 4  # lane-rotation temporaries
@@ -2063,7 +2076,7 @@ def _mc_strip_fill_halos(i, slot, scratch, *, tile_h, strip_rows, rh,
 
 
 def _graph_strip_kernel_mc(
-    x_hbm, t_ref, r0_ref, o_ref, scratch, bufs, tmp, tmp_t, acc_t, sems,
+    x_hbm, t_ref, r0_ref, o_ref, scratch, bufs, tmp, tmp_t, sems,
     *maybe_xf32,
     stages: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_in: int, w_base: int, in_h: int, in_w: int, store1,
@@ -2203,31 +2216,35 @@ def _graph_strip_kernel_mc(
             woff = w_base - ew - stage.rw8
             blur_parts = []
             for c in range(4):
+                # H pass stores accumulator blocks TRANSPOSED straight
+                # into the (w_total, rows) buffer the W pass reads; the
+                # W pass stores transposed back into natural orientation
+                # (reusing ``tmp``).  Block-granular transposes inside
+                # the tap stores skip both bulk `.T` roundtrips.
                 _blocked_taps(
                     lambda r, blk, cc, L, _c=c: src(
                         _c, slice(off_h + r, off_h + r + blk),
                         slice(cc, cc + L)
                     ),
-                    lambda ki, r, n, cc, L, acc: tmp.__setitem__(
-                        (slice(r, r + n), slice(cc, cc + L)), acc
+                    lambda ki, r, n, cc, L, acc: tmp_t.__setitem__(
+                        (slice(cc, cc + L), slice(r, r + n)), acc.T
                     ),
                     out_rows,
                     tmp.shape[1],
                     [stage.wh],
                 )
-                tmp_t[:, 0:out_rows] = tmp[0:out_rows, :].T
                 _blocked_taps(
                     lambda r, blk, cc, L: tmp_t[
                         woff + r : woff + r + blk, cc : cc + L
                     ],
-                    lambda ki, r, n, cc, L, acc: acc_t.__setitem__(
-                        (slice(r, r + n), slice(cc, cc + L)), acc
+                    lambda ki, r, n, cc, L, acc: tmp.__setitem__(
+                        (slice(cc, cc + L), slice(r, r + n)), acc.T
                     ),
                     out_cols,
                     out_rows,
                     [stage.ww],
                 )
-                blur_c = acc_t[0:out_cols, 0:out_rows].T
+                blur_c = tmp[0:out_rows, 0:out_cols]
                 if stage.epilogue is None:
                     blur_parts.append(store1(blur_c))
                 else:
@@ -2279,7 +2296,7 @@ def mc_strip_tile_h(
             2 * 4 * strip_rows * w_total * itemsize      # strips
             + (4 * strip_rows * w_total * 4 if itemsize == 2 else 0)
             + n_bufs * 4 * strip_rows * w_total * 4      # pool
-            + 3 * strip_rows * w_total * 4               # tmp/tmp_t/acc_t
+            + 2 * strip_rows * w_total * 4               # tmp/tmp_t
             + 2 * 4 * tile_h * w * 4                     # out blocks
         )
         return use < 60 * 1024 * 1024
@@ -2337,7 +2354,7 @@ def graph_strip_fused_mc(
         2 * 4 * strip_rows * w_total * x.dtype.itemsize
         + (4 * strip_rows * w_total * 4 if x.dtype.itemsize == 2 else 0)
         + n_bufs * 4 * strip_rows * w_total * 4
-        + 3 * strip_rows * w_total * 4
+        + 2 * strip_rows * w_total * 4
         + 2 * 4 * tile_h * w * 4
     )
     out = pl.pallas_call(
@@ -2368,7 +2385,6 @@ def graph_strip_fused_mc(
             pltpu.VMEM((2, 4, strip_rows, w_total), x.dtype),
             pltpu.VMEM((max(n_bufs, 1), 4, strip_rows, w_total), jnp.float32),
             pltpu.VMEM((strip_rows, w_total), jnp.float32),
-            pltpu.VMEM((w_total, strip_rows), jnp.float32),
             pltpu.VMEM((w_total, strip_rows), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
