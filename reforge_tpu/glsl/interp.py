@@ -702,8 +702,13 @@ class Interp:
         The body may GATHER freely — imageLoad/texture/texelFetch with
         loop-carried coordinates (texture-sampling raymarch, iterative
         warps) and calls to pure-compute user functions (SDF maps) all
-        lower into the while body; only genuine writes (imageStore,
-        atomics, globals/shared from callees) and `return` stay banned.
+        lower into the while body.  Direct ``imageStore`` calls are
+        allowed too: each stored image's planes ride the loop carry, so
+        per-round writes (identity or scatter, both masked to active
+        lanes) accumulate exactly as sequential rounds would — and loads
+        of the same image inside the loop observe the carried contents.
+        Still banned: atomics and writes hidden inside called functions
+        (state the carry cannot see).
 
         A loop INSIDE non-uniform control flow (a per-pixel `if`, or
         after a lane-masked `return`) folds the enclosing lane mask into
@@ -721,11 +726,12 @@ class Interp:
             effect_stmts.append(ast.ExprStmt(update_expr, line))
         if not self._scan_body_allowed(effect_stmts, allow_break=True):
             raise GlslError(
-                "data-dependent loop bodies must be side-effect-free: no "
-                "imageStore/atomic access or return, and called functions "
-                "must not write images, globals, or shared memory",
+                "data-dependent loop bodies must not use atomics, and "
+                "called functions must not write images, globals, or "
+                "shared memory (direct imageStore in the body is fine)",
                 line,
             )
+        stored_imgs = self._stored_images(effect_stmts, line)
         assigned, declared = self._collect_assigned(effect_stmts)
         carried = [
             n for n in assigned
@@ -769,6 +775,13 @@ class Interp:
             # instead (a discarded lane also stops iterating).
             self.discard_mask = None
             self.mask = carry["_active"]
+            # Stored images read/write the carried planes during this
+            # round; the pre-loop contents are restored afterwards so no
+            # while tracer leaks out through self.stores.
+            prev_stores = {nm: self.stores.get(nm) for nm in stored_imgs}
+            for nm in stored_imgs:
+                self.stores[nm] = list(carry["_img:" + nm])
+            new_imgs = {}
             self._vec_loop_stack.append((act, boxes))
             try:
                 for st in body:
@@ -787,12 +800,26 @@ class Interp:
                     true_val if cond_expr is None
                     else self.eval_expr(cond_expr, inner)
                 )
+                for nm in stored_imgs:
+                    new_imgs[nm] = [
+                        jnp.broadcast_to(
+                            self._as_array(p, "float"), hw
+                        ).astype(jnp.float32)
+                        for p in self.stores[nm]
+                    ]
             finally:
                 self._vec_loop_stack.pop()
                 self.mask = prev
                 new_discard = self.discard_mask
                 self.discard_mask = prev_discard
+                for nm, pv in prev_stores.items():
+                    if pv is None:
+                        self.stores.pop(nm, None)
+                    else:
+                        self.stores[nm] = pv
             out = {n: self._val_to_tree(inner.lookup(n)) for n in carried}
+            for nm in stored_imgs:
+                out["_img:" + nm] = new_imgs[nm]
             active = jnp.logical_and(carry["_active"], cond_plane(cnext))
             for b in boxes:
                 if b is not None:
@@ -820,6 +847,13 @@ class Interp:
             )
 
         init = {n: self._val_to_tree(protos[n]) for n in carried}
+        for nm in stored_imgs:
+            init["_img:" + nm] = [
+                jnp.broadcast_to(
+                    self._as_array(p, "float"), hw
+                ).astype(jnp.float32)
+                for p in self._image_current(nm)
+            ]
         init["_active"] = (
             jnp.ones(hw, bool) if at_least_once else cond_plane(cond0)
         )
@@ -855,6 +889,8 @@ class Interp:
         final = jax.lax.while_loop(cond_fn, body_fn, init)
         for n in carried:
             loop_scope.assign(n, self._tree_to_val(final[n], protos[n]))
+        for nm in stored_imgs:
+            self.stores[nm] = list(final["_img:" + nm])
         fd = final["_discard"]
         if self.shader.stage == "fragment":
             self.discard_mask = (
@@ -957,9 +993,16 @@ class Interp:
                 ok = False
                 return
             if isinstance(node, ast.Call):
-                if node.name in ("imageStore", "atomicAdd"):
-                    ok = False  # genuine side effects: stores stay banned
+                if node.name == "atomicAdd":
+                    ok = False  # atomics: no loop carry models them
                     return
+                if node.name == "imageStore":
+                    if not allow_break:
+                        ok = False  # fori path: no image carry
+                        return
+                    # Vectorized while path: the written planes ride the
+                    # loop carry (see the image-carry block in the while
+                    # lowering), so direct stores are fine.
                 if node.name in (
                     "imageLoad", "texture", "textureLod", "texelFetch",
                 ):
@@ -989,6 +1032,34 @@ class Interp:
 
         walk(body)
         return ok
+
+    def _stored_images(self, stmts, line: int) -> list:
+        """Image names a loop body stores to (carried through the
+        vectorized while_loop; see the image-carry block above)."""
+        names: list = []
+
+        def walk(node):
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if (
+                isinstance(node, ast.Call)
+                and node.name == "imageStore"
+                and node.args
+            ):
+                nm = self._get_image(
+                    node.args[0], getattr(node, "line", line)
+                )
+                if nm not in names:
+                    names.append(nm)
+            for f in node.__dataclass_fields__:
+                walk(getattr(node, f))
+
+        walk(stmts)
+        return names
 
     def _loop_callable(self, name: str, _seen: Optional[set] = None) -> bool:
         """True when a user function may be called inside a vectorized

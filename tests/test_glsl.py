@@ -1710,16 +1710,114 @@ class TestDataDependentLoops:
         np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-5)
         np.testing.assert_array_equal(got[1], n.astype(np.float32))
 
-    def test_stores_inside_loop_rejected(self):
-        with pytest.raises(GlslError, match="side-effect-free"):
-            run_shader("""
+    def test_store_inside_loop_identity_coord(self):
+        # imageStore in the body: the written planes ride the loop carry,
+        # so per-round identity-coordinate stores accumulate like
+        # sequential rounds (lanes that never iterate leave the image
+        # untouched — zeros with alpha 1 for a never-written output).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            int n = 0;
+            while (v < 1.0 && n < 50) {
+                v = v * 1.5 + 0.01;
+                imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+                n++;
+            }
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        act = (v < 1.0) & (n < 50)
+        while act.any():
+            v = np.where(act, v * 1.5 + 0.01, v)
+            n = np.where(act, n + 1, n)
+            act = act & (v < 1.0) & (n < 50)
+        got = np.asarray(out)
+        ever = n > 0
+        np.testing.assert_allclose(
+            got[0], np.where(ever, v, 0.0).astype(np.float32), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            got[1], np.where(ever, n - 1, 0.0).astype(np.float32)
+        )
+
+    def test_scatter_store_inside_loop(self):
+        # Scatter stores in the body (computed coordinates).  Each pixel
+        # writes its mirrored column, so every target has exactly one
+        # writer and the result is deterministic.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            ivec2 size = imageSize(output_image);
+            vec4 c = imageLoad(input_image, pos);
+            float v = c.r;
+            int n = 0;
+            while (v < 1.0 && n < 50) {
+                v = v * 1.5 + 0.01;
+                imageStore(output_image,
+                           ivec2(size.x - 1 - pos.x, pos.y),
+                           vec4(v, float(n), 0.0, 1.0));
+                n++;
+            }
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        act = (v < 1.0) & (n < 50)
+        while act.any():
+            v = np.where(act, v * 1.5 + 0.01, v)
+            n = np.where(act, n + 1, n)
+            act = act & (v < 1.0) & (n < 50)
+        got = np.asarray(out)
+        ever = n > 0
+        np.testing.assert_allclose(
+            got[0], np.where(ever, v, 0.0)[:, ::-1].astype(np.float32),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            got[1], np.where(ever, n - 1, 0.0)[:, ::-1].astype(np.float32)
+        )
+
+    def test_store_then_load_same_image_in_loop(self):
+        # Read-modify-write of the stored image across rounds: loads
+        # observe the carried contents, so the accumulation is exact.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            int limit = int(c.r * 4.0) + 1;
+            int n = 0;
+            while (n < limit) {
+                vec4 cur = imageLoad(output_image, pos);
+                imageStore(output_image, pos,
+                           vec4(cur.r + 0.125, 0.0, 0.0, 1.0));
+                n++;
+            }
+        """)
+        a = np.asarray(img, np.float64)
+        iters = (a[0] * 4.0).astype(np.int64) + 1
+        got = np.asarray(out)
+        np.testing.assert_allclose(
+            got[0], (0.125 * iters).astype(np.float32), atol=1e-6
+        )
+
+    def test_atomics_inside_loop_rejected(self):
+        with pytest.raises(GlslError, match="atomics"):
+            run_shader(
+                """
                 ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
                 float v = imageLoad(input_image, pos).r;
                 while (v < 1.0) {
-                    imageStore(output_image, pos, vec4(v));
+                    atomicAdd(stats.count[0], 1.0);
                     v += 0.25;
                 }
-            """)
+                imageStore(output_image, pos, vec4(v));
+                """,
+                extra_decls=(
+                    "layout(std430, binding = 2) buffer Stats "
+                    "{ float count[4]; } stats;\n"
+                ),
+            )
 
     def test_iterative_warp(self):
         # The iterative-warp idiom: follow a flow field read from the
