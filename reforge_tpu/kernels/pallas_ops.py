@@ -1342,13 +1342,16 @@ def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None) -> int | N
     return None
 
 
-# Variant policy, re-measured after the phased/striped tap schedule
-# (which accelerates the transpose variant's sublane tap loops but not
-# the lane variant's W pass): transpose wins at >= this width, OR at any
-# width once the combined tap count reaches TRANSPOSE_MIN_TAPS (1080p
-# sigma-4: transpose 0.91 ms vs lanes 1.30; sigma-2: lanes 1.00 vs 1.13).
-TRANSPOSE_MIN_WIDTH = 2560
-TRANSPOSE_MIN_TAPS = 40
+# Variant policy, re-measured after the transposed-store tap schedule
+# (block-granular transposes inside the tap stores; no bulk `.T`
+# roundtrips): the transpose variant now wins at EVERY measured size —
+# 1080p sigma-2 0.44 vs 0.71 ms, sigma-4 0.49 vs 0.95, and even 512^2
+# (0.33 vs 0.35, 0.34 vs 0.39).  The lanes variant remains available
+# via the explicit ``variant="lanes"`` override for re-measurement.
+# (Round-2 thresholds — width 2560 / 40 taps — predated the
+# transposed-store schedule, whose fixed cost they priced in.)
+TRANSPOSE_MIN_WIDTH = 0
+TRANSPOSE_MIN_TAPS = 0
 
 
 def _transpose_variant(w: int, taps_total: int) -> bool:
