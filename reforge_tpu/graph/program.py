@@ -104,6 +104,7 @@ class GraphProgram:
         self.storage_dtype = self.STORAGE_DTYPES.get(fmt, jnp.float32)
         self._fused = jax.jit(self._forward)
         self._strip_plan = self._plan_strip_fusion()
+        self._coord_plane_stack = None  # lazy; see _strip_fused_forward
         self._node_fns: dict[str, Any] = {}
         self._seq_fns: dict[tuple, Any] = {}  # render_sequence jits
         self._compiled = None  # AOT executable from compile()
@@ -573,12 +574,55 @@ class GraphProgram:
         ):
             return None
         in_h = int(file_input.shape[1])
+        # Coordinate-plane hoist (KernelSpec.cw_coord_plane): pointwise
+        # nodes whose per-pixel work factors into a data/time-independent
+        # coordinate term get that term precomputed ONCE per program and
+        # streamed into the megakernel as a side input — the per-channel
+        # iota/sqrt/smoothstep rebuild leaves the frame loop entirely.
+        # Only on the whole-frame path (sharded slabs have traced row
+        # offsets; they keep the in-kernel cw_fn).
+        plane_idx: dict = {}
+        aux = None
+        if row0_base is None and in_h == self.height:
+            plane_nodes = [
+                node
+                for node in pointwise
+                if node.spec.cw_coord_plane is not None
+                and node.spec.cw_plane_fn is not None
+            ]
+            if plane_nodes:
+                if self._coord_plane_stack is None:
+                    # This runs under an active jit trace (_forward); the
+                    # planes must be CONCRETE (built once, cached on self)
+                    # — ensure_compile_time_eval keeps the iota/sqrt chain
+                    # out of the trace.
+                    with jax.ensure_compile_time_eval():
+                        ctx0 = KernelContext(
+                            width=self.width, height=self.height,
+                            time=jnp.float32(0.0), fmt=self.fmt,
+                        )
+                        self._coord_plane_stack = jnp.stack(
+                            [
+                                node.spec.cw_coord_plane(ctx0, node.params)
+                                .astype(jnp.float32)
+                                for node in plane_nodes
+                            ]
+                        )
+                aux = self._coord_plane_stack
+                plane_idx = {id(node): k for k, node in enumerate(plane_nodes)}
+        radii = [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans]
         tile_h = pallas_ops.multi_tile_h(
-            self.width,
-            [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans],
-            len(plans),
-            h=in_h,
+            self.width, radii, len(plans), h=in_h,
+            n_aux=0 if aux is None else int(aux.shape[0]),
         )
+        if tile_h is None and aux is not None:
+            # The coord planes pushed the VMEM model over budget: drop the
+            # hoist (epilogue rebuilds them in-kernel) rather than losing
+            # the whole megakernel.
+            aux, plane_idx = None, {}
+            tile_h = pallas_ops.multi_tile_h(
+                self.width, radii, len(plans), h=in_h
+            )
         if tile_h is None:
             return None
 
@@ -596,7 +640,7 @@ class GraphProgram:
         def load_cw(v):
             return v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
 
-        def epilogue(ci, row0, t_s, xin, blurs):
+        def epilogue(ci, row0, t_s, xin, blurs, aux_blocks=()):
             ctx = KernelContext(
                 width=width, height=height, time=t_s, fmt=fmt,
                 row_offset=row0, local_height=xin.shape[0],
@@ -609,13 +653,19 @@ class GraphProgram:
                 res[node.outputs[0][0]] = store_cw(v)
             for node in pointwise:
                 ins = {desc: load_cw(res[r]) for r, desc in node.inputs}
-                v = node.spec.cw_fn(ctx, ci, ins, node.params)
+                k = plane_idx.get(id(node))
+                if k is not None and aux_blocks:
+                    v = node.spec.cw_plane_fn(
+                        ctx, ci, ins, node.params, aux_blocks[k]
+                    )
+                else:
+                    v = node.spec.cw_fn(ctx, ci, ins, node.params)
                 res[node.outputs[0][0]] = store_cw(v)
             return res[FINAL_OUTPUT]
 
         return pallas_ops.graph_strip_fused(
             file_input, t, plans, epilogue, tile_h=tile_h,
-            row0_base=row0_base,
+            row0_base=row0_base, aux=aux,
         )
 
     def _strip_mc_forward(self, file_input, t, plan, row0_base=None):

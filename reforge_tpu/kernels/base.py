@@ -177,6 +177,18 @@ class KernelSpec:
     # megakernel (graph/program.py) — the whole graph in one Pallas pass.
     cw_fn: Optional[Callable[..., Any]] = None
     conv_epilogue_cw: Optional[Callable[..., Any]] = None
+    # Coordinate-plane hoist for strip fusion: when a pointwise node's
+    # per-pixel work factors into a data-independent, time-independent
+    # coordinate term (vignette's radial fade, scanlines' row mask),
+    # cw_coord_plane(ctx, params) -> (h, w) f32 builds that plane ONCE at
+    # program-build time and the megakernel streams it in as a side input
+    # (one extra DMA block per strip, overlapped with the tap passes)
+    # instead of recomputing iota/sqrt/smoothstep per channel per frame
+    # on the VPU.  cw_plane_fn(ctx, ci, ins, params, plane) is the cw_fn
+    # form consuming the prebuilt block; cw_fn remains the fallback on
+    # every other path (per-node, sharded, CPU).
+    cw_coord_plane: Optional[Callable[..., Any]] = None
+    cw_plane_fn: Optional[Callable[..., Any]] = None
     # Multi-channel strip-fusion forms (graph_strip_fused_mc):
     #   * conv_pre(ctx, x, params) -> image: node-internal pointwise map
     #     applied BEFORE the separable conv (e.g. bloom's threshold mask).

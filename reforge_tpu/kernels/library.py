@@ -488,7 +488,16 @@ def _vignette_cw(ctx, ci, ins, p):
     return jnp.where(ci < 3, x * fade, x)
 
 
+def _fade_plane_cw(ctx, ci, ins, p, plane):
+    x = ins["input_image"]
+    return jnp.where(ci < 3, x * plane, x)
+
+
 vignette.cw_fn = _vignette_cw
+vignette.cw_coord_plane = lambda ctx, p: _vignette_fade(
+    ctx, p["strength"], p["radius"]
+)
+vignette.cw_plane_fn = _fade_plane_cw
 
 
 @kernel("pixelate", halo=lambda p: None)
@@ -545,7 +554,17 @@ def _scanlines_cw(ctx, ci, ins, p):
     return jnp.where(ci < 3, x * fade, x)
 
 
+def _scanlines_plane(ctx, p):
+    ys, _ = ops.grid_coords(ctx)
+    period = max(int(p["period"]), 1)
+    return jnp.where((ys % period) == 0, 1.0 - p["darkness"], 1.0).astype(
+        jnp.float32
+    )
+
+
 scanlines.cw_fn = _scanlines_cw
+scanlines.cw_coord_plane = _scanlines_plane
+scanlines.cw_plane_fn = _fade_plane_cw
 
 
 @kernel("wave", halo=lambda p: None)

@@ -1086,12 +1086,11 @@ def _raw_strip_geometry(h: int, w: int, tile_h: int, RH: int):
 
 
 def _graph_strip_kernel(
-    x_hbm, t_ref, r0_ref, o_ref, scratch, tmps_t, blur_b, sems,
-    *maybe_xf32,
+    x_hbm, t_ref, r0_ref, *refs,
     weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_max: int, rw_max: int, epilogue, raw: bool = False,
     in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
-    w_base: int | None = None,
+    w_base: int | None = None, n_aux: int = 0,
 ):
     """The WHOLE graph in one streaming pass: shared-load convs + a traced
     channel-local epilogue that evaluates every remaining (pointwise) node
@@ -1101,7 +1100,15 @@ def _graph_strip_kernel(
     the reference cannot do across pipeline dispatches (one vkCmdDispatch
     + barriers per node, command.rs:166-242): intermediate images never
     touch HBM at all — the frame costs ONE input read + ONE output write
-    regardless of graph depth."""
+    regardless of graph depth.
+
+    ``n_aux`` coordinate planes (see KernelSpec.cw_coord_plane) arrive as
+    one extra block-pipelined input: data- and time-independent epilogue
+    terms are precomputed once per program and streamed per strip instead
+    of being rebuilt on the VPU per channel per frame."""
+    if n_aux:
+        aux_ref, *refs = refs
+    o_ref, scratch, tmps_t, blur_b, sems, *maybe_xf32 = refs
     ci = pl.program_id(0)
     i = pl.program_id(1)
     if w_base is None:
@@ -1189,7 +1196,13 @@ def _graph_strip_kernel(
         xin = xf32[rh_max : rh_max + tile_h, w_base : w_base + out_w]
     else:
         xin = scratch[slot, rh_max : rh_max + tile_h, w_base : w_base + out_w]
-    out = epilogue(ci, r0_ref[0, 0] + i * tile_h, t_ref[0, 0], xin, blurs)
+    if n_aux:
+        aux_blocks = [aux_ref[k] for k in range(n_aux)]
+        out = epilogue(
+            ci, r0_ref[0, 0] + i * tile_h, t_ref[0, 0], xin, blurs, aux_blocks
+        )
+    else:
+        out = epilogue(ci, r0_ref[0, 0] + i * tile_h, t_ref[0, 0], xin, blurs)
     o_ref[0, :, :] = out
 
 
@@ -1202,13 +1215,17 @@ def graph_strip_fused(
     tile_h: int = 64,
     interpret: bool = False,
     row0_base=None,
+    aux: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Execute a conv + channel-local-pointwise graph as ONE fused kernel.
 
     ``plans`` is a list of (wh, ww) tap vectors (the graph's conv nodes,
     all reading the kernel input); ``epilogue(ci, row0, t, xin, blurs)``
     produces the final (tile_h, w) output block for channel ``ci`` from
-    the input block and the blur results.  See _graph_strip_kernel."""
+    the input block and the blur results.  ``aux`` is an optional
+    (n_aux, h, w) f32 stack of precomputed coordinate planes streamed to
+    the epilogue per strip (epilogue then takes a sixth ``aux_blocks``
+    argument).  See _graph_strip_kernel."""
     c, h, w = x.shape
     whs = [np.asarray(wh, np.float32) for wh, _ in plans]
     wws = [np.asarray(ww, np.float32) for _, ww in plans]
@@ -1261,6 +1278,23 @@ def graph_strip_fused(
     r0_arr = jnp.reshape(
         jnp.asarray(0 if row0_base is None else row0_base, jnp.int32), (1, 1)
     )
+    n_aux = 0
+    aux_args = ()
+    aux_specs = []
+    if aux is not None:
+        n_aux = int(aux.shape[0])
+        if aux.shape[1] != h_pad:
+            aux = jnp.pad(
+                aux, ((0, 0), (0, h_pad - aux.shape[1]), (0, 0))
+            )
+        aux_args = (aux,)
+        aux_specs = [
+            pl.BlockSpec(
+                (n_aux, tile_h, w),
+                lambda ci, i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
     out = pl.pallas_call(
         functools.partial(
             _graph_strip_kernel,
@@ -1277,6 +1311,7 @@ def graph_strip_fused(
             in_w=w,
             pad_edge_mode=(pad_mode == "edge"),
             w_base=w_base,
+            n_aux=n_aux,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),
@@ -1284,7 +1319,7 @@ def graph_strip_fused(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + aux_specs,
         out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -1300,11 +1335,12 @@ def graph_strip_fused(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, t_arr, r0_arr)
+    )(xp, t_arr, r0_arr, *aux_args)
     return out[:, :h, :]
 
 
-def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None) -> int | None:
+def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None,
+                 n_aux: int = 0) -> int | None:
     """VMEM model for sep_conv_fused_multi: double-buffered strips + n
     H-pass tmps + transpose/accumulator buffers + n double-buffered
     output blocks, against a 30 MB budget — deliberate headroom under
@@ -1329,6 +1365,7 @@ def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None) -> int | N
             + n * tile_h * w * 4          # W results (epilogue inputs)
             + 2 * tile_h * w * 4          # double-buffered output block
             + 2 * tile_h * w * 4          # epilogue temporaries
+            + 2 * n_aux * tile_h * w * 4  # double-buffered coord planes
         )
         return use < 30 * 1024 * 1024
 

@@ -323,6 +323,51 @@ class TestConvBundling:
                 np.testing.assert_allclose(got, want, atol=1e-6, err_msg=fmt)
             monkeypatch.undo()
 
+    def test_coord_plane_hoist_engages_and_matches(self, monkeypatch):
+        """The coordinate-plane hoist (vignette/scanlines planes built once
+        and streamed as a megakernel side input) must actually engage on
+        the whole-frame path and be bit-identical to the in-kernel cw_fn
+        fallback."""
+        import functools
+
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = (
+            "input -> soften -> vig -> lines -> output\n"
+            "soften: gaussian { sigma: 2.0 }\n"
+            "vig: vignette { strength: 0.5 }\n"
+            "lines: scanlines { period: 3, darkness: 0.4 }"
+        )
+        graph = build_graph(parse(src, expects_input=True))
+        prog = GraphProgram(graph, 72, 48)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "single"
+        img = rand_image(48, 72, seed=9)
+        t = jnp.float32(0.25)
+
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(pallas_ops, "TRANSPOSE_MIN_WIDTH", 1)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused",
+            functools.partial(pallas_ops.graph_strip_fused, interpret=True),
+        )
+        got = np.asarray(prog._strip_fused_forward(img, t))
+        # the hoist engaged: both plane nodes were prebuilt
+        assert prog._coord_plane_stack is not None
+        assert int(prog._coord_plane_stack.shape[0]) == 2
+
+        # fallback path (planes disabled) must agree exactly
+        for node in prog._strip_plan[2]:
+            monkeypatch.setattr(node.spec, "cw_coord_plane", None)
+        prog2 = GraphProgram(graph, 72, 48)
+        want = np.asarray(prog2._strip_fused_forward(img, t))
+        assert prog2._coord_plane_stack is None
+        # XLA contracts the in-kernel `x*(1 - s*smoothstep)` chain into
+        # FMAs; the prebuilt plane rounds the fade once.  1-2 ULP.
+        np.testing.assert_allclose(got, want, atol=3e-7, rtol=0)
+
     MC_CASES = {
         "conv_stencil_point": (
             "input -> soft -> edges -> tone -> output\n"
