@@ -77,7 +77,8 @@ def main() -> int:
     def kernel_skip_w(x_hbm, t_ref, r0_ref, o_ref, scratch, tmps_t, blur_b,
                      sems, *maybe_xf32, weights, tile_h, out_w, n_tiles,
                      strip_rows, rh_max, rw_max, epilogue, raw=False,
-                     in_h=0, in_w=0, pad_edge_mode=True, w_base=None):
+                     in_h=0, in_w=0, pad_edge_mode=True, w_base=None,
+                     n_aux=0):
         """The shipped kernel minus the entire W pass (and its transposed
         stores): the H results stand in for the blurs.  Timing-only."""
         ci = pl.program_id(0)

@@ -461,16 +461,51 @@ class Interp:
             # exec_if, but same-level statements don't).
             live = scope.activation.live_mask()
             m = self.mask if live is None else jnp.logical_and(self.mask, live)
-            if self._vec_loop_stack and value is None:
-                # Void return inside a vectorized data-dependent loop:
-                # the lane leaves the loop AND the enclosing activation —
+            if self._vec_loop_stack:
+                # Return inside a vectorized data-dependent loop: the
+                # lane leaves the loop AND the enclosing activation —
                 # record it loop-wide (like break) so later rounds skip
                 # it; the lowering notes the accumulated mask on the
-                # enclosing activation after the loop.
+                # enclosing activation after the loop.  A VALUED return
+                # additionally blends its value into the round's retval
+                # box (masks of successive returns are disjoint — `m`
+                # already excludes lanes the activation killed), which
+                # the lowering threads through the while carry.
                 act, boxes = self._vec_loop_stack[-1]
                 boxes[1] = (
                     m if boxes[1] is None else jnp.logical_or(boxes[1], m)
                 )
+                if value is not None:
+                    if (
+                        value.type.startswith(("struct:", "array"))
+                        or value.type in MAT_TYPES
+                    ):
+                        raise GlslError(
+                            "struct/array/matrix return from a "
+                            "data-dependent loop is not supported",
+                            s.line,
+                        )
+                    old = boxes[2]
+                    if old is None:
+                        # Broadcast every plane to (h, w): lanes outside
+                        # `m` carry a dummy that _returned gates out.
+                        planes = (
+                            [self._as_array(p, value.elem_type)
+                             for p in value.data]
+                            if value.is_vector()
+                            else self._as_array(value.data, value.elem_type)
+                        )
+                        boxes[2] = Val(value.type, planes)
+                    elif value.is_vector():
+                        boxes[2] = Val(
+                            value.type,
+                            [jnp.where(m, n, o)
+                             for n, o in zip(value.data, old.data)],
+                        )
+                    else:
+                        boxes[2] = Val(
+                            value.type, jnp.where(m, value.data, old.data)
+                        )
                 act.note_return(m, None)
                 return
             # Non-uniform return: deactivate these lanes for the remainder
@@ -759,12 +794,15 @@ class Interp:
             else self.eval_expr(cond_expr, loop_scope)
         )
 
+        retval_proto: list = [None]
+
         def body_fn(carry):
             # Fresh activation: break/continue lower to lane kills scoped
             # to this iteration (continue) or the whole loop (break);
-            # boxes = [break mask, return mask] accumulated per round.
+            # boxes = [break mask, return mask, return value] accumulated
+            # per round (the value slot is a Val, masks only in [:2]).
             act = _Activation(interp=self)
-            boxes: list = [None, None]
+            boxes: list = [None, None, None]
             inner = _Scope(loop_scope.globals, act, loop_scope)
             for n in carried:
                 inner.declare(n, self._tree_to_val(carry[n], protos[n]))
@@ -791,7 +829,7 @@ class Interp:
                     # continued lanes still update; only broken/returned
                     # lanes stay dead.
                     act2 = _Activation(interp=self)
-                    for b in boxes:
+                    for b in boxes[:2]:
                         if b is not None:
                             act2.note_return(b, None)
                     upd_scope = _Scope(loop_scope.globals, act2, inner)
@@ -821,7 +859,7 @@ class Interp:
             for nm in stored_imgs:
                 out["_img:" + nm] = new_imgs[nm]
             active = jnp.logical_and(carry["_active"], cond_plane(cnext))
-            for b in boxes:
+            for b in boxes[:2]:
                 if b is not None:
                     active = jnp.logical_and(active, jnp.logical_not(b))
             returned = carry["_returned"]
@@ -839,6 +877,29 @@ class Interp:
             out["_returned"] = returned
             out["_active"] = active
             out["_round"] = carry["_round"] + 1
+            if boxes[2] is not None:
+                # Valued return: thread the round's blended value through
+                # the carry.  Rounds are disjoint (a returned lane never
+                # re-enters: _active excludes it), so blending this
+                # round's value over the carried one at boxes[1] lanes is
+                # exact.  Predicated tracing executes every statement
+                # every round, so a body with a valued return sets
+                # boxes[2] on EVERY trace — the carry key is stable.
+                retval_proto[0] = boxes[2]
+                ret_m = jnp.broadcast_to(boxes[1], hw)
+                prev_rv = carry.get("_retval")
+                rv = boxes[2]
+                if prev_rv is not None:
+                    old = self._tree_to_val(prev_rv, rv)
+                    if rv.is_vector():
+                        rv = Val(
+                            rv.type,
+                            [jnp.where(ret_m, n, o)
+                             for n, o in zip(rv.data, old.data)],
+                        )
+                    else:
+                        rv = Val(rv.type, jnp.where(ret_m, rv.data, old.data))
+                out["_retval"] = self._val_to_tree(rv)
             return out
 
         def cond_fn(carry):
@@ -865,9 +926,17 @@ class Interp:
         init["_returned"] = jnp.zeros(hw, bool)
         init["_round"] = jnp.int32(0)
         # Stabilize the carry exactly like the fori lowering: scalars that
-        # widen to (H, W) under the mask get pre-broadcast.
-        for _ in range(2):
+        # widen to (H, W) under the mask get pre-broadcast.  The first
+        # pass may also DISCOVER the `_retval` slot (a valued return in
+        # the body): seed it with zeros of the discovered shape and go
+        # again.
+        for _ in range(3):
             out = jax.eval_shape(body_fn, init)
+            if "_retval" in out and "_retval" not in init:
+                init["_retval"] = jax.tree_util.tree_map(
+                    lambda sp: jnp.zeros(sp.shape, sp.dtype), out["_retval"]
+                )
+                continue
             flat_i, tree = jax.tree_util.tree_flatten(init)
             flat_o = jax.tree_util.tree_leaves(out)
             if all(
@@ -899,8 +968,14 @@ class Interp:
             )
         if self._body_has_return(body):
             # Lanes that returned inside the loop leave the enclosing
-            # activation too: statements after the loop skip them.
-            loop_scope.activation.note_return(final["_returned"], None)
+            # activation too: statements after the loop skip them — and a
+            # valued return delivers its carried value to the enclosing
+            # activation (the function-call machinery blends it with any
+            # post-loop returns by disjoint lane masks).
+            rv = None
+            if retval_proto[0] is not None and "_retval" in final:
+                rv = self._tree_to_val(final["_retval"], retval_proto[0])
+            loop_scope.activation.note_return(final["_returned"], rv)
         self.stats["while_loop"] = True
 
     # ---- fori_loop lowering of long uniform loops -----------------------
@@ -974,13 +1049,10 @@ class Interp:
                 return
             if allow_break and isinstance(node, (ast.Break, ast.Continue)):
                 return
-            if (
-                allow_break
-                and isinstance(node, ast.Return)
-                and node.value is None
-            ):
-                # Void return: the lane leaves the loop and the enclosing
-                # activation (threaded through the carry like discard).
+            if allow_break and isinstance(node, ast.Return):
+                # Return (void or valued): the lane leaves the loop and
+                # the enclosing activation; a valued return's result
+                # rides the while carry (threaded like discard).
                 return
             if isinstance(node, (ast.Break, ast.Continue, ast.Return, ast.For,
                                  ast.While, ast.DoWhile, ast.Switch)):

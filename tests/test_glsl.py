@@ -1679,6 +1679,89 @@ class TestDataDependentLoops:
         np.testing.assert_array_equal(got[1], want_n.astype(np.float32))
         np.testing.assert_allclose(got[2], want_b, atol=1e-6)
 
+    def test_valued_return_from_loop_in_function(self):
+        # A VALUED per-pixel `return` inside a data-dependent loop, in a
+        # user function: each lane's value rides the while carry out and
+        # blends (by disjoint lane masks) with the post-loop return.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float r = steps(c.r);
+            imageStore(output_image, pos, vec4(r, 0.0, 0.0, 1.0));
+        """, extra_decls="""
+            float steps(float x) {
+                float v = x;
+                int n = 0;
+                while (n < 50) {
+                    if (v >= 1.0) { return float(n); }
+                    v = v * 1.5 + 0.05;
+                    n++;
+                }
+                return -1.0;
+            }
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        res = np.full_like(v, np.nan)
+        act = np.ones_like(v, bool)
+        for _ in range(50):
+            hit = act & (v >= 1.0)
+            res = np.where(hit, n, res)
+            act = act & ~hit
+            v = np.where(act, v * 1.5 + 0.05, v)
+            n = np.where(act, n + 1, n)
+        res = np.where(np.isnan(res), -1.0, res)
+        np.testing.assert_allclose(
+            np.asarray(out)[0], res.astype(np.float32), atol=1e-6
+        )
+
+    def test_valued_vector_return_from_escape_loop(self):
+        # Escape-time idiom returning a vec2 from inside a static-bound
+        # for (vectorized because of the per-pixel return): both
+        # components must come back per-lane.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            vec2 e = esc(vec2(c.r * 2.0 - 1.5, c.g * 2.0 - 1.0));
+            imageStore(output_image, pos, vec4(e.x, e.y, 0.0, 1.0));
+        """, extra_decls="""
+            vec2 esc(vec2 p) {
+                vec2 z = vec2(0.0);
+                for (int i = 0; i < 24; i++) {
+                    z = vec2(z.x * z.x - z.y * z.y, 2.0 * z.x * z.y) + p;
+                    if (dot(z, z) > 4.0) {
+                        return vec2(float(i), dot(z, z));
+                    }
+                }
+                return vec2(24.0, dot(z, z));
+            }
+        """)
+        a = np.asarray(img, np.float64).astype(np.float32)
+        cx = a[0] * np.float32(2.0) - np.float32(1.5)
+        cy = a[1] * np.float32(2.0) - np.float32(1.0)
+        zx = np.zeros_like(cx)
+        zy = np.zeros_like(cy)
+        rx = np.full_like(cx, np.nan)
+        ry = np.full_like(cy, np.nan)
+        act = np.ones_like(cx, bool)
+        for i in range(24):
+            nzx = zx * zx - zy * zy + cx
+            nzy = np.float32(2.0) * zx * zy + cy
+            zx = np.where(act, nzx, zx)
+            zy = np.where(act, nzy, zy)
+            d = zx * zx + zy * zy
+            hit = act & (d > 4.0)
+            rx = np.where(hit, np.float32(i), rx)
+            ry = np.where(hit, d, ry)
+            act = act & ~hit
+        d = zx * zx + zy * zy
+        rx = np.where(np.isnan(rx), np.float32(24.0), rx)
+        ry = np.where(np.isnan(ry), d, ry)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], rx, atol=1e-4)
+        np.testing.assert_allclose(got[1], ry, rtol=2e-4, atol=1e-4)
+
     def test_function_with_early_return_called_in_loop(self):
         # A user function with its own masked return, called from the
         # loop body: the return binds to the FUNCTION, not the loop.
