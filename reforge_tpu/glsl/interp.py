@@ -742,8 +742,11 @@ class Interp:
         per-round writes (identity or scatter, both masked to active
         lanes) accumulate exactly as sequential rounds would — and loads
         of the same image inside the loop observe the carried contents.
-        Still banned: atomics and writes hidden inside called functions
-        (state the carry cannot see).
+        Direct ``atomicAdd`` likewise: the target SSBO buffers / shared
+        arrays ride the carry, per-round scatter-adds masked to active
+        lanes.  Still banned: writes hidden inside called functions
+        (state the carry cannot see) and ``barrier`` (divergent barriers
+        are UB in GLSL).
 
         A loop INSIDE non-uniform control flow (a per-pixel `if`, or
         after a lane-masked `return`) folds the enclosing lane mask into
@@ -761,12 +764,20 @@ class Interp:
             effect_stmts.append(ast.ExprStmt(update_expr, line))
         if not self._scan_body_allowed(effect_stmts, allow_break=True):
             raise GlslError(
-                "data-dependent loop bodies must not use atomics, and "
-                "called functions must not write images, globals, or "
-                "shared memory (direct imageStore in the body is fine)",
+                "functions called from data-dependent loop bodies must "
+                "not write images, globals, or shared memory, and the "
+                "body must not call barrier() (direct imageStore / "
+                "atomicAdd in the body are fine)",
                 line,
             )
         stored_imgs = self._stored_images(effect_stmts, line)
+        # atomicAdd in the body: the SSBO buffers / shared arrays ride
+        # the carry exactly like stored images, so per-round scatter-adds
+        # accumulate as sequential rounds would (and reads in the loop
+        # condition observe the carried contents).
+        has_atomic = self._body_has_atomic(effect_stmts)
+        buf_keys = list(self.buffers) if has_atomic else []
+        shm_keys = list(self.shared_state) if has_atomic else []
         assigned, declared = self._collect_assigned(effect_stmts)
         carried = [
             n for n in assigned
@@ -819,7 +830,15 @@ class Interp:
             prev_stores = {nm: self.stores.get(nm) for nm in stored_imgs}
             for nm in stored_imgs:
                 self.stores[nm] = list(carry["_img:" + nm])
+            prev_bufs = {k: self.buffers[k] for k in buf_keys}
+            prev_shm = {k: self.shared_state[k] for k in shm_keys}
+            for k in buf_keys:
+                self.buffers[k] = carry["_buf:" + k]
+            for k in shm_keys:
+                self.shared_state[k] = carry["_shm:" + k]
             new_imgs = {}
+            new_bufs = {}
+            new_shm = {}
             self._vec_loop_stack.append((act, boxes))
             try:
                 for st in body:
@@ -845,6 +864,10 @@ class Interp:
                         ).astype(jnp.float32)
                         for p in self.stores[nm]
                     ]
+                for k in buf_keys:
+                    new_bufs[k] = self.buffers[k]
+                for k in shm_keys:
+                    new_shm[k] = self.shared_state[k]
             finally:
                 self._vec_loop_stack.pop()
                 self.mask = prev
@@ -855,9 +878,17 @@ class Interp:
                         self.stores.pop(nm, None)
                     else:
                         self.stores[nm] = pv
+                for k, pv in prev_bufs.items():
+                    self.buffers[k] = pv
+                for k, pv in prev_shm.items():
+                    self.shared_state[k] = pv
             out = {n: self._val_to_tree(inner.lookup(n)) for n in carried}
             for nm in stored_imgs:
                 out["_img:" + nm] = new_imgs[nm]
+            for k in buf_keys:
+                out["_buf:" + k] = new_bufs[k]
+            for k in shm_keys:
+                out["_shm:" + k] = new_shm[k]
             active = jnp.logical_and(carry["_active"], cond_plane(cnext))
             for b in boxes[:2]:
                 if b is not None:
@@ -915,6 +946,10 @@ class Interp:
                 ).astype(jnp.float32)
                 for p in self._image_current(nm)
             ]
+        for k in buf_keys:
+            init["_buf:" + k] = jnp.asarray(self.buffers[k])
+        for k in shm_keys:
+            init["_shm:" + k] = jnp.asarray(self.shared_state[k])
         init["_active"] = (
             jnp.ones(hw, bool) if at_least_once else cond_plane(cond0)
         )
@@ -960,6 +995,10 @@ class Interp:
             loop_scope.assign(n, self._tree_to_val(final[n], protos[n]))
         for nm in stored_imgs:
             self.stores[nm] = list(final["_img:" + nm])
+        for k in buf_keys:
+            self.buffers[k] = final["_buf:" + k]
+        for k in shm_keys:
+            self.shared_state[k] = final["_shm:" + k]
         fd = final["_discard"]
         if self.shader.stage == "fragment":
             self.discard_mask = (
@@ -1065,8 +1104,14 @@ class Interp:
                 ok = False
                 return
             if isinstance(node, ast.Call):
-                if node.name == "atomicAdd":
-                    ok = False  # atomics: no loop carry models them
+                if node.name == "atomicAdd" and not allow_break:
+                    ok = False  # fori path: no buffer carry
+                    return
+                if node.name == "barrier" and allow_break:
+                    # A barrier under divergent per-pixel control flow is
+                    # UB in GLSL; the vectorized lowering has no shared-
+                    # resync point inside the while body either.
+                    ok = False
                     return
                 if node.name == "imageStore":
                     if not allow_break:
@@ -1104,6 +1149,30 @@ class Interp:
 
         walk(body)
         return ok
+
+    def _body_has_atomic(self, stmts) -> bool:
+        """True when a loop body calls atomicAdd directly (callees with
+        atomics are rejected by _loop_callable)."""
+        found = False
+
+        def walk(node):
+            nonlocal found
+            if found:
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, ast.Call) and node.name == "atomicAdd":
+                found = True
+                return
+            for f in node.__dataclass_fields__:
+                walk(getattr(node, f))
+
+        walk(stmts)
+        return found
 
     def _stored_images(self, stmts, line: int) -> list:
         """Image names a loop body stores to (carried through the

@@ -1884,14 +1884,40 @@ class TestDataDependentLoops:
             got[0], (0.125 * iters).astype(np.float32), atol=1e-6
         )
 
-    def test_atomics_inside_loop_rejected(self):
-        with pytest.raises(GlslError, match="atomics"):
+    def test_atomics_inside_loop(self):
+        # atomicAdd in the body rides the loop carry (see test_ssbo.py
+        # for the full-counter oracle); the image result is unaffected.
+        out, img = run_shader(
+            """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            while (v < 1.0) {
+                atomicAdd(stats.count[0], 1.0);
+                v += 0.25;
+            }
+            imageStore(output_image, pos, vec4(v));
+            """,
+            extra_decls=(
+                "layout(std430, binding = 2) buffer Stats "
+                "{ float count[4]; } stats;\n"
+            ),
+        )
+        a = np.asarray(img, np.float32)[0]
+        want = a.copy()
+        while (want < 1.0).any():
+            want = np.where(want < 1.0, want + np.float32(0.25), want)
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_atomic_in_callee_inside_loop_rejected(self):
+        # A CALLED function touching the SSBO from a loop body is state
+        # the carry cannot see — still rejected.
+        with pytest.raises(GlslError, match="called from data-dependent"):
             run_shader(
                 """
                 ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
                 float v = imageLoad(input_image, pos).r;
                 while (v < 1.0) {
-                    atomicAdd(stats.count[0], 1.0);
+                    bump();
                     v += 0.25;
                 }
                 imageStore(output_image, pos, vec4(v));
@@ -1899,6 +1925,7 @@ class TestDataDependentLoops:
                 extra_decls=(
                     "layout(std430, binding = 2) buffer Stats "
                     "{ float count[4]; } stats;\n"
+                    "void bump() { atomicAdd(stats.count[0], 1.0); }\n"
                 ),
             )
 

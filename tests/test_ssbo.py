@@ -74,6 +74,54 @@ class TestExecution:
         )
         np.testing.assert_array_equal(bins.astype(int), ref)
 
+    def test_atomic_add_inside_data_dependent_loop(self):
+        # atomicAdd in a vectorized while body: the SSBO rides the loop
+        # carry, so the counter must equal the SUM of every lane's
+        # per-pixel iteration count (exactly what a GPU's atomics
+        # accumulate, order aside).
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer Stats { float total[4]; } stats;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    float v = c.r;
+    int n = 0;
+    while (v < 1.0 && n < 30) {
+        v = v * 1.4 + 0.03;
+        atomicAdd(stats.total[0], 1.0);
+        if (v > 0.9) { atomicAdd(stats.total[1], 1.0); }
+        n++;
+    }
+    imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+}
+"""
+        spec = translate_shader(src, "loop_atomic")
+        img = rand_image(12, 16, seed=7)
+        ctx = KernelContext(width=16, height=12)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        got = np.asarray(out["output_image"])
+        stats = np.asarray(out["Stats"])
+        # numpy oracle
+        v = np.asarray(img, np.float64)[0].copy()
+        n = np.zeros_like(v)
+        t0 = 0.0
+        t1 = 0.0
+        act = (v < 1.0) & (n < 30)
+        while act.any():
+            v = np.where(act, v * np.float32(1.4) + np.float32(0.03), v)
+            t0 += act.sum()
+            t1 += (act & (v > 0.9)).sum()
+            n = np.where(act, n + 1, n)
+            act = act & (v < 1.0) & (n < 30)
+        np.testing.assert_allclose(got[1], n.astype(np.float32))
+        assert stats[0] == t0, (stats, t0)
+        assert stats[1] == t1, (stats, t1)
+
     def test_graph_pipeline_end_to_end(self):
         cfg = parse_file(WIRING, True, SHADER_DIR)
         assert cfg is not None, utils.recent_warnings()
