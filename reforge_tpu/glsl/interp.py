@@ -88,6 +88,17 @@ class Val:
         return VEC_TYPES[self.type][1] if self.is_vector() else 1
 
 
+def _struct_flattenable(v: Val) -> bool:
+    """True when a struct Val contains no array fields (recursively) —
+    i.e. it round-trips through _val_to_tree / _tree_to_val."""
+    for f in v.data.values():
+        if f.type.startswith("array"):
+            return False
+        if f.type.startswith("struct:") and not _struct_flattenable(f):
+            return False
+    return True
+
+
 def is_static(x: Any) -> bool:
     return isinstance(x, (int, float, bool))
 
@@ -476,36 +487,22 @@ class Interp:
                     m if boxes[1] is None else jnp.logical_or(boxes[1], m)
                 )
                 if value is not None:
-                    if (
-                        value.type.startswith(("struct:", "array"))
-                        or value.type in MAT_TYPES
+                    if value.type.startswith("array") or (
+                        value.type.startswith("struct:")
+                        and not _struct_flattenable(value)
                     ):
                         raise GlslError(
-                            "struct/array/matrix return from a "
-                            "data-dependent loop is not supported",
+                            "array-valued return from a data-dependent "
+                            "loop is not supported",
                             s.line,
                         )
                     old = boxes[2]
-                    if old is None:
-                        # Broadcast every plane to (h, w): lanes outside
-                        # `m` carry a dummy that _returned gates out.
-                        planes = (
-                            [self._as_array(p, value.elem_type)
-                             for p in value.data]
-                            if value.is_vector()
-                            else self._as_array(value.data, value.elem_type)
-                        )
-                        boxes[2] = Val(value.type, planes)
-                    elif value.is_vector():
-                        boxes[2] = Val(
-                            value.type,
-                            [jnp.where(m, n, o)
-                             for n, o in zip(value.data, old.data)],
-                        )
-                    else:
-                        boxes[2] = Val(
-                            value.type, jnp.where(m, value.data, old.data)
-                        )
+                    # Broadcast every plane to (h, w): lanes outside `m`
+                    # carry a dummy that _returned gates out.
+                    bv = self._broadcast_val(value)
+                    boxes[2] = bv if old is None else self._blend_val(
+                        m, bv, old
+                    )
                 act.note_return(m, None)
                 return
             # Non-uniform return: deactivate these lanes for the remainder
@@ -922,14 +919,7 @@ class Interp:
                 rv = boxes[2]
                 if prev_rv is not None:
                     old = self._tree_to_val(prev_rv, rv)
-                    if rv.is_vector():
-                        rv = Val(
-                            rv.type,
-                            [jnp.where(ret_m, n, o)
-                             for n, o in zip(rv.data, old.data)],
-                        )
-                    else:
-                        rv = Val(rv.type, jnp.where(ret_m, rv.data, old.data))
+                    rv = self._blend_val(ret_m, rv, old)
                 out["_retval"] = self._val_to_tree(rv)
             return out
 
@@ -1308,6 +1298,37 @@ class Interp:
 
         walk(body)
         return names, declared
+
+    def _blend_val(self, m, new: Val, old: Val) -> Val:
+        """Per-lane select between two same-typed Vals (vector, matrix,
+        struct, scalar) — the generic masked blend."""
+        if new.is_vector():
+            return Val(
+                new.type,
+                [jnp.where(m, n, o) for n, o in zip(new.data, old.data)],
+            )
+        if new.type in MAT_TYPES:
+            return Val(
+                new.type,
+                [
+                    [jnp.where(m, n, o) for n, o in zip(nc, oc)]
+                    for nc, oc in zip(new.data, old.data)
+                ],
+            )
+        if new.type.startswith("struct:"):
+            return Val(
+                new.type,
+                {
+                    k: self._blend_val(m, f, old.data[k])
+                    for k, f in new.data.items()
+                },
+            )
+        return Val(new.type, jnp.where(m, new.data, old.data))
+
+    def _broadcast_val(self, v: Val) -> Val:
+        """Every plane of ``v`` broadcast to (h, w) (via the tree
+        round-trip, whose leaves go through _as_array)."""
+        return self._tree_to_val(self._val_to_tree(v), v)
 
     def _val_to_tree(self, v: Val):
         if v.is_vector():
@@ -2744,13 +2765,7 @@ class Interp:
                 else:
                     rm = activation.returned_mask
                     ret = self.convert(ret, merged.type, line)
-                    if merged.is_vector():
-                        ret = Val(
-                            merged.type,
-                            [jnp.where(rm, mv, rv) for mv, rv in zip(merged.data, ret.data)],
-                        )
-                    else:
-                        ret = Val(merged.type, jnp.where(rm, merged.data, ret.data))
+                    ret = self._blend_val(rm, merged, ret)
         if ret is None:
             if fn.return_type == "void":
                 return Val("void", None)
@@ -2780,6 +2795,10 @@ class _Activation:
         if value is not None:
             if self.return_value is None:
                 self.return_value = value
+            elif self.interp is not None:
+                self.return_value = self.interp._blend_val(
+                    mask, value, self.return_value
+                )
             else:
                 old = self.return_value
                 if value.is_vector():

@@ -50,6 +50,11 @@ class GraphTraceError(Exception):
 _NODE_FN_CACHE: dict[tuple, tuple[Any, Any]] = {}
 _NODE_FN_CACHE_MAX = 512
 
+# Column-extent alignment for the mc strip plan.  8 = sublane minimum
+# (narrowest blocks); 128 = every intermediate-pool block read/write is
+# lane-aligned at the cost of up to 120 extra halo columns per side.
+MC_EW_ALIGN = 8
+
 
 def _as_f32_scalar(v):
     """Host scalar -> device f32 without re-dispatching when the caller
@@ -287,6 +292,13 @@ class GraphProgram:
         def _r8(v):
             return (v + 7) // 8 * 8
 
+        def _rw(v):
+            # Column extents align to MC_EW_ALIGN (sublane-8 minimum;
+            # 128 makes every pool-block read/write lane-aligned at the
+            # cost of wider blocks — see the mc gate note below).
+            a = MC_EW_ALIGN
+            return (v + a - 1) // a * a
+
         # ---- classify ----------------------------------------------------
         # entries: (kind, node, extra); kinds "conv" | "stencil" | "point"
         nodes: list = []
@@ -339,7 +351,7 @@ class GraphProgram:
         for kind, node, extra in reversed(nodes):
             out_res = node.outputs[0][0]
             oh = _r8(need_h.get(out_res, 0))
-            ow = _r8(need_w.get(out_res, 0))
+            ow = _rw(need_w.get(out_res, 0))
             eh[out_res] = oh
             ew[out_res] = ow
             if kind == "conv":
@@ -354,7 +366,7 @@ class GraphProgram:
                 need_h[res] = max(need_h.get(res, 0), oh + lift_h)
                 need_w[res] = max(need_w.get(res, 0), ow + lift_w)
         rh_in = _r8(need_h.get(_FI, 0))
-        ew_in = _r8(need_w.get(_FI, 0))
+        ew_in = _rw(need_w.get(_FI, 0))
         input_halo = max(need_h.get(_FI, 0), 1)  # exact rows for halo sharding
         if rh_in == 0:
             # No node reads the file with any halo and yet n_heavy > 0:
@@ -438,7 +450,7 @@ class GraphProgram:
                 rh = (len(wh) - 1) // 2
                 rw = (len(ww) - 1) // 2
                 ehp = _r8(eh[out_res] + rh)
-                ewp = _r8(ew[out_res] + rw)
+                ewp = _rw(ew[out_res] + rw)
                 eh[pre_res] = ehp
                 ew[pre_res] = ewp
                 stage_specs.append(

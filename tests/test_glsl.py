@@ -1762,6 +1762,49 @@ class TestDataDependentLoops:
         np.testing.assert_allclose(got[0], rx, atol=1e-4)
         np.testing.assert_allclose(got[1], ry, rtol=2e-4, atol=1e-4)
 
+    def test_struct_return_from_loop(self):
+        # A struct-valued return out of the data-dependent loop: every
+        # field comes back per-lane (the generic tree blend).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            Hit h = march(c.r);
+            imageStore(output_image, pos, vec4(h.d, float(h.steps) / 50.0, h.p.y, 1.0));
+        """, extra_decls="""
+            struct Hit { float d; int steps; vec2 p; };
+            Hit march(float x) {
+                float v = x;
+                int n = 0;
+                while (n < 50) {
+                    if (v >= 1.0) { return Hit(v, n, vec2(v * 0.5, v - 1.0)); }
+                    v = v * 1.5 + 0.05;
+                    n++;
+                }
+                return Hit(-1.0, 50, vec2(0.0));
+            }
+        """)
+        a = np.asarray(img, np.float32)[0]
+        v = a.copy()
+        n = np.zeros_like(v)
+        d = np.full_like(v, np.nan)
+        ns = np.zeros_like(v)
+        act = np.ones_like(v, bool)
+        for _ in range(50):
+            hit = act & (v >= 1.0)
+            d = np.where(hit, v, d)
+            ns = np.where(hit, n, ns)
+            act = act & ~hit
+            v = np.where(act, v * np.float32(1.5) + np.float32(0.05), v)
+            n = np.where(act, n + 1, n)
+        ns = np.where(np.isnan(d), 50, ns)
+        d = np.where(np.isnan(d), -1.0, d)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], d, atol=1e-6)
+        np.testing.assert_allclose(got[1], ns / np.float32(50.0), atol=1e-6)
+        np.testing.assert_allclose(
+            got[2], np.where(d < 0, 0.0, d - 1.0), atol=1e-6
+        )
+
     def test_function_with_early_return_called_in_loop(self):
         # A user function with its own masked return, called from the
         # loop body: the return binds to the FUNCTION, not the loop.
