@@ -442,6 +442,38 @@ class TestConvBundling:
         assert got is not None, name
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
 
+    def test_mc_strip_fused_lane_aligned_extents(self, monkeypatch):
+        """MC_EW_ALIGN=128 (lane-aligned pool blocks — the wide-frame
+        experiment knob) must produce identical results: wider halo
+        columns are synthesized then cropped, never observed."""
+        import functools
+
+        from reforge_tpu.graph import program as prog_mod
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = self.MC_CASES["conv_stencil_point"]
+        graph = build_graph(parse(src, expects_input=True))
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        prog0 = GraphProgram(graph, 128, 48)
+        want = np.asarray(prog0._forward(img, t))  # per-node
+
+        monkeypatch.setattr(prog_mod, "MC_EW_ALIGN", 128)
+        prog = GraphProgram(graph, 128, 48)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = prog._strip_fused_forward(img, t)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
+
     def test_mc_strip_fused_formats(self, monkeypatch):
         """rgba8 quantizes and rgba16f bf16-rounds at every node boundary
         inside the mc megakernel, matching per-node storage semantics."""
