@@ -59,6 +59,19 @@ def grayscale(ctx, input_image):
     return map_rgb(input_image, lambda rgb: jnp.broadcast_to(y[None], rgb.shape))
 
 
+@kernel("sepia")
+def sepia(ctx, input_image, *, amount=1.0):
+    """Classic sepia tone matrix, lerped by ``amount``."""
+    r, g, b = input_image[0], input_image[1], input_image[2]
+    sr = 0.393 * r + 0.769 * g + 0.189 * b
+    sg = 0.349 * r + 0.686 * g + 0.168 * b
+    sb = 0.272 * r + 0.534 * g + 0.131 * b
+    toned = jnp.stack([sr, sg, sb], axis=0)
+    rgb = input_image[:3]
+    out = rgb + (jnp.clip(toned, 0.0, 1.0) - rgb) * amount
+    return ops.with_alpha(out, input_image[3])
+
+
 @kernel("brightness_contrast")
 def brightness_contrast(ctx, input_image, *, brightness=0.0, contrast=1.0):
     return map_rgb(input_image, lambda rgb: (rgb - 0.5) * contrast + 0.5 + brightness)
@@ -871,6 +884,30 @@ def halftone(ctx, input_image, *, size=8, angle=0.0):
     ink = smoothstep(dot_r, dot_r - 1.5, d)
     out = jnp.broadcast_to((1.0 - ink)[None], input_image[:3].shape)
     return ops.with_alpha(out, input_image[3])
+
+
+@kernel("motion_blur", halo=lambda p: None)
+def motion_blur(ctx, input_image, *, length=12.0, angle=0.0, samples=0):
+    """Directional blur: average samples along the motion vector.
+
+    ``angle`` in degrees (0 = horizontal drag), ``length`` in pixels
+    end-to-end; ``samples`` 0 picks one per pixel of length."""
+    L = max(float(length), 0.0)
+    if L == 0.0:
+        return input_image
+    n = int(samples) if int(samples) >= 2 else max(int(L), 2)
+    th = float(angle) * np.pi / 180.0
+    dy, dx = float(np.sin(th)), float(np.cos(th))
+    ys, xs = ops.grid_coords(ctx)
+    yf = ys.astype(jnp.float32)
+    xf = xs.astype(jnp.float32)
+    acc = None
+    for i in range(n):
+        t = (i / (n - 1) - 0.5) * L
+        s = ops.sample_bilinear(input_image, yf + dy * t, xf + dx * t)
+        acc = s if acc is None else acc + s
+    out = acc / n
+    return ops.with_alpha(out[:3], input_image[3])
 
 
 @kernel("radial_blur", halo=lambda p: None)

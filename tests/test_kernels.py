@@ -122,6 +122,51 @@ class TestNumerics:
         )
         np.testing.assert_allclose(out, 0.25, atol=1e-6)
 
+    def test_sepia_matrix(self):
+        img = rand_image()
+        out = np.asarray(run("sepia", {"input_image": img}, {}))
+        a = np.asarray(img, np.float64)
+        want_r = np.clip(0.393 * a[0] + 0.769 * a[1] + 0.189 * a[2], 0, 1)
+        np.testing.assert_allclose(out[0], want_r, atol=1e-6)
+        np.testing.assert_array_equal(out[3], a[3])
+        # amount=0 is identity
+        out0 = np.asarray(
+            run("sepia", {"input_image": img}, {"amount": 0.0})
+        )
+        np.testing.assert_allclose(out0, np.asarray(img), atol=1e-7)
+
+    def test_motion_blur_horizontal_matches_box(self):
+        # angle 0 with n samples spanning length L averages horizontal
+        # bilinear taps; on a constant-rows image it is an identity, and
+        # on a vertical edge it smears horizontally only.
+        img = rand_image()
+        rows = np.asarray(img).copy()
+        rows[:] = rows[:, :, :1]  # constant along x, varies by row
+        out = np.asarray(
+            run(
+                "motion_blur",
+                {"input_image": jnp.asarray(rows)},
+                {"length": 8.0, "angle": 0.0},
+            )
+        )
+        # horizontal drag on an x-constant image is an identity away
+        # from the clamped left/right borders
+        np.testing.assert_allclose(
+            out[:3, :, 6:-6], rows[:3, :, 6:-6], atol=1e-5
+        )
+        cols = np.asarray(img).copy()
+        cols[:] = cols[:, :1, :]  # constant along y, varies by column
+        out2 = np.asarray(
+            run(
+                "motion_blur",
+                {"input_image": jnp.asarray(cols)},
+                {"length": 8.0, "angle": 90.0},
+            )
+        )
+        np.testing.assert_allclose(
+            out2[:3, 6:-6, :], cols[:3, 6:-6, :], atol=1e-5
+        )
+
     def test_grayscale_luma(self):
         img = rand_image()
         out = np.asarray(run("grayscale", img))
