@@ -23,8 +23,11 @@ Semantics of the mapping:
   * non-uniform ``if``/``return`` predicate all writes with a lane mask
     (``jnp.where`` merges); uniform control flow (loops over UBO params,
     which are static in this framework) unrolls in Python.
-  * ``imageStore`` must target untransformed ``gl_GlobalInvocationID``
-    coordinates (scatter stores are rejected at compile time).
+  * ``imageStore`` to untransformed ``gl_GlobalInvocationID`` coordinates
+    is a masked whole-plane write; stores to arbitrary (data-dependent)
+    coordinates lower to scatter ops with last-writer-wins ordering, and
+    inside data-dependent loops the written image rides the loop carry
+    (see docs/glsl.md "Scatter stores" and "Data-dependent loops").
 """
 
 from __future__ import annotations

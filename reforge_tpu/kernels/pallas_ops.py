@@ -15,8 +15,12 @@ Layout notes (see the TPU tiling model in the Pallas guide):
   * conv along W tiles the H axis: block (4, TILE_H, W + 2r) — tap shifts
     are lane moves; Mosaic lowers static lane slices efficiently.
 
-Padding (edge or zero) happens in the caller via jnp.pad — one fused XLA
-pass — so the kernels always do "valid" convolution.
+Padding (edge or zero) happens *inside* the kernels: the strip DMA reads
+clamped windows straight from the unpadded frame and halos are synthesized
+in VMEM (edge replication / zeros, corners composing as edge-of-edge).
+XLA does not hoist a caller-side ``jnp.pad`` out of ``lax.scan`` frame
+loops — the whole-frame pad copy cost 0.90 ms/frame at 4K before this
+(see ``_strip_dma_fn`` / ``_strip_fill_halos`` / ``_raw_strip_geometry``).
 """
 
 from __future__ import annotations

@@ -310,6 +310,25 @@ class TestGspmdSharding:
         got = np.asarray(sharded(sharded.shard_input(img), 0.25))
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=name)
 
+    def test_warns_on_tpu_mesh_kernel_cliff(self, mesh, monkeypatch):
+        # GSPMD drops the Pallas megakernel (portable kernels only); the
+        # user must be told when that happens on real hardware.
+        from reforge_tpu.parallel import spatial
+
+        prog = build(CASES["pointwise"])
+        utils.clear_warnings()
+        shard_program(prog, mesh)
+        assert not any(
+            "portable" in w for w in utils.recent_warnings()
+        ), "CPU mesh must not warn"
+
+        monkeypatch.setattr(spatial, "_mesh_is_tpu", lambda m: True)
+        utils.clear_warnings()
+        shard_program(prog, mesh)
+        assert any(
+            "portable" in w and "--shard" in w for w in utils.recent_warnings()
+        ), utils.recent_warnings()
+
 
 class TestBorderModes:
     def test_zero_border_glsl_sharded(self, mesh, tmp_path):
