@@ -91,17 +91,6 @@ class Val:
         return VEC_TYPES[self.type][1] if self.is_vector() else 1
 
 
-def _struct_flattenable(v: Val) -> bool:
-    """True when a struct Val contains no array fields (recursively) —
-    i.e. it round-trips through _val_to_tree / _tree_to_val."""
-    for f in v.data.values():
-        if f.type.startswith("array"):
-            return False
-        if f.type.startswith("struct:") and not _struct_flattenable(f):
-            return False
-    return True
-
-
 def is_static(x: Any) -> bool:
     return isinstance(x, (int, float, bool))
 
@@ -361,6 +350,12 @@ class Interp:
                 for ftype, fname in self.shader.structs[type_name]
             }
             return Val(f"struct:{type_name}", fields)
+        if type_name.endswith("]") and "[" in type_name:
+            # Array return types: "float[4]" etc.
+            elem, n = type_name[:-1].split("[")
+            return Val(
+                f"array:{elem}", [self._zero_of(elem, line)] * int(n)
+            )
         raise GlslError(f"cannot default-initialize type '{type_name}'", line)
 
     def _write_masked(self, old: Any, new: Any) -> Any:
@@ -490,15 +485,6 @@ class Interp:
                     m if boxes[1] is None else jnp.logical_or(boxes[1], m)
                 )
                 if value is not None:
-                    if value.type.startswith("array") or (
-                        value.type.startswith("struct:")
-                        and not _struct_flattenable(value)
-                    ):
-                        raise GlslError(
-                            "array-valued return from a data-dependent "
-                            "loop is not supported",
-                            s.line,
-                        )
                     old = boxes[2]
                     # Broadcast every plane to (h, w): lanes outside `m`
                     # carry a dummy that _returned gates out.
@@ -736,17 +722,20 @@ class Interp:
 
         The body may GATHER freely — imageLoad/texture/texelFetch with
         loop-carried coordinates (texture-sampling raymarch, iterative
-        warps) and calls to pure-compute user functions (SDF maps) all
-        lower into the while body.  Direct ``imageStore`` calls are
-        allowed too: each stored image's planes ride the loop carry, so
+        warps) — and call user functions, which may themselves store
+        images, run atomics, and write globals (discovered transitively
+        by _callee_effect_summary).  ``imageStore`` (direct or in a
+        callee): each stored image's planes ride the loop carry, so
         per-round writes (identity or scatter, both masked to active
         lanes) accumulate exactly as sequential rounds would — and loads
         of the same image inside the loop observe the carried contents.
-        Direct ``atomicAdd`` likewise: the target SSBO buffers / shared
-        arrays ride the carry, per-round scatter-adds masked to active
-        lanes.  Still banned: writes hidden inside called functions
-        (state the carry cannot see) and ``barrier`` (divergent barriers
-        are UB in GLSL).
+        ``atomicAdd`` likewise: the target SSBO buffers / shared arrays
+        ride the carry, per-round scatter-adds masked to active lanes.
+        Globals written by callees (or the body) ride the carry via a
+        per-round swap of the globals-dict entry, so callee writes and
+        direct body reads observe the same carried value.  The one
+        remaining ban is ``barrier`` (divergent barriers are UB in
+        GLSL).
 
         A loop INSIDE non-uniform control flow (a per-pixel `if`, or
         after a lane-masked `return`) folds the enclosing lane mask into
@@ -764,17 +753,17 @@ class Interp:
             effect_stmts.append(ast.ExprStmt(update_expr, line))
         if not self._scan_body_allowed(effect_stmts, allow_break=True):
             raise GlslError(
-                "functions called from data-dependent loop bodies must "
-                "not write images, globals, or shared memory, and the "
-                "body must not call barrier() (direct imageStore / "
-                "atomicAdd in the body are fine)",
+                "data-dependent loop bodies (and the functions they call) "
+                "must not call barrier() — a barrier under divergent "
+                "per-pixel control flow is UB in GLSL",
                 line,
             )
         stored_imgs = self._stored_images(effect_stmts, line)
-        # atomicAdd in the body: the SSBO buffers / shared arrays ride
-        # the carry exactly like stored images, so per-round scatter-adds
-        # accumulate as sequential rounds would (and reads in the loop
-        # condition observe the carried contents).
+        # atomicAdd in the body (direct or inside a called function): the
+        # SSBO buffers / shared arrays ride the carry exactly like stored
+        # images, so per-round scatter-adds accumulate as sequential
+        # rounds would (and reads in the loop condition observe the
+        # carried contents).
         has_atomic = self._body_has_atomic(effect_stmts)
         buf_keys = list(self.buffers) if has_atomic else []
         shm_keys = list(self.shared_state) if has_atomic else []
@@ -783,13 +772,39 @@ class Interp:
             n for n in assigned
             if n not in declared and loop_scope.lookup(n) is not None
         ]
+
+        # Globals written inside called functions resolve through the
+        # globals dict, not the loop's lexical scope chain — carry them by
+        # swapping the dict entry per round (exactly like stored images),
+        # so callee writes and direct body reads/writes observe the same
+        # carried value.  Directly-written globals move to the same
+        # mechanism for consistency.
+        def _is_scope_local(n):
+            s = loop_scope
+            while s is not None:
+                if n in s.vars:
+                    return True
+                s = s.parent
+            return False
+
+        glob_carried = [
+            n for n in self._callee_global_writes(effect_stmts)
+            if n in self.globals and not _is_scope_local(n)
+        ]
+        for n in carried:
+            if (
+                not _is_scope_local(n)
+                and n in self.globals
+                and n not in glob_carried
+            ):
+                glob_carried.append(n)
+        carried = [n for n in carried if n not in glob_carried]
         protos = {n: loop_scope.lookup(n) for n in carried}
+        gprotos = {n: self.globals[n] for n in glob_carried}
         if any(
-            p.type == "void" or p.type.startswith("array")
-            for p in protos.values()
+            p.type == "void"
+            for p in list(protos.values()) + list(gprotos.values())
         ):
-            # Arrays carry lists of Vals that _val_to_tree cannot flatten
-            # (the fori lowering rejects them the same way).
             raise GlslError("unsupported loop-carried variable type", line)
 
         hw = (self.h, self.w)
@@ -836,9 +851,15 @@ class Interp:
                 self.buffers[k] = carry["_buf:" + k]
             for k in shm_keys:
                 self.shared_state[k] = carry["_shm:" + k]
+            prev_globals = {n: self.globals[n] for n in glob_carried}
+            for n in glob_carried:
+                self.globals[n] = self._tree_to_val(
+                    carry["_g:" + n], gprotos[n]
+                )
             new_imgs = {}
             new_bufs = {}
             new_shm = {}
+            new_globs = {}
             self._vec_loop_stack.append((act, boxes))
             try:
                 for st in body:
@@ -868,6 +889,8 @@ class Interp:
                     new_bufs[k] = self.buffers[k]
                 for k in shm_keys:
                     new_shm[k] = self.shared_state[k]
+                for n in glob_carried:
+                    new_globs[n] = self.globals[n]
             finally:
                 self._vec_loop_stack.pop()
                 self.mask = prev
@@ -882,6 +905,8 @@ class Interp:
                     self.buffers[k] = pv
                 for k, pv in prev_shm.items():
                     self.shared_state[k] = pv
+                for n, pv in prev_globals.items():
+                    self.globals[n] = pv
             out = {n: self._val_to_tree(inner.lookup(n)) for n in carried}
             for nm in stored_imgs:
                 out["_img:" + nm] = new_imgs[nm]
@@ -889,6 +914,8 @@ class Interp:
                 out["_buf:" + k] = new_bufs[k]
             for k in shm_keys:
                 out["_shm:" + k] = new_shm[k]
+            for n in glob_carried:
+                out["_g:" + n] = self._val_to_tree(new_globs[n])
             active = jnp.logical_and(carry["_active"], cond_plane(cnext))
             for b in boxes[:2]:
                 if b is not None:
@@ -943,6 +970,8 @@ class Interp:
             init["_buf:" + k] = jnp.asarray(self.buffers[k])
         for k in shm_keys:
             init["_shm:" + k] = jnp.asarray(self.shared_state[k])
+        for n in glob_carried:
+            init["_g:" + n] = self._val_to_tree(gprotos[n])
         init["_active"] = (
             jnp.ones(hw, bool) if at_least_once else cond_plane(cond0)
         )
@@ -986,6 +1015,8 @@ class Interp:
         final = jax.lax.while_loop(cond_fn, body_fn, init)
         for n in carried:
             loop_scope.assign(n, self._tree_to_val(final[n], protos[n]))
+        for n in glob_carried:
+            self.globals[n] = self._tree_to_val(final["_g:" + n], gprotos[n])
         for nm in stored_imgs:
             self.stores[nm] = list(final["_img:" + nm])
         for k in buf_keys:
@@ -1124,8 +1155,10 @@ class Interp:
                         ok = False
                         return
             if isinstance(node, ast.Index):
-                # Only SSBO-member reads handle traced indices; local array
-                # or vector indexing needs a static loop variable.
+                # Only SSBO-member reads handle traced indices; local
+                # array or vector indexing needs a static index — a
+                # LITERAL one stays static under the while trace (the
+                # loop variable is a tracer), so `acc[0]` is fine.
                 base = node.expr
                 is_ssbo = isinstance(base, ast.Ident) and (
                     base.name in self.ssbo_members
@@ -1134,7 +1167,7 @@ class Interp:
                     and isinstance(base.expr, ast.Ident)
                     and base.expr.name in self.ssbo_instances
                 )
-                if not is_ssbo:
+                if not is_ssbo and not isinstance(node.index, ast.Num):
                     ok = False
                     return
             for field in node.__dataclass_fields__:
@@ -1143,9 +1176,109 @@ class Interp:
         walk(body)
         return ok
 
+    def _callee_effect_summary(
+        self, name: str, _seen: Optional[set] = None
+    ) -> tuple:
+        """(stored_image_names, has_atomic, written_global_names) of a user
+        function, transitively through nested calls — what the vectorized
+        loop lowering must thread through its carry when the loop body
+        calls this function.  Flow-insensitive like _loop_callable (a Decl
+        anywhere in the body shadows for the whole body); cached per
+        function name (the shader AST is immutable)."""
+        cache = getattr(self, "_callee_fx_cache", None)
+        if cache is None:
+            cache = self._callee_fx_cache = {}
+        if name in cache:
+            return cache[name]
+        fn = self.shader.functions.get(name)
+        if fn is None:
+            return ([], False, [])
+        seen = _seen if _seen is not None else set()
+        if name in seen:
+            return ([], False, [])  # recursion: _loop_callable rejects it
+        seen.add(name)
+        local = {p.name for p in fn.params}
+        imgs: list = []
+        globs: list = []
+        atomic = [False]
+
+        def root_ident(t):
+            while isinstance(t, (ast.Member, ast.Index)):
+                t = t.expr
+            return t.name if isinstance(t, ast.Ident) else None
+
+        def walk(node):
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, ast.Decl):
+                local.add(node.name)
+            if isinstance(node, ast.Call):
+                if node.name == "imageStore" and node.args:
+                    nm = self._get_image(
+                        node.args[0], getattr(node, "line", fn.line)
+                    )
+                    if nm not in imgs:
+                        imgs.append(nm)
+                elif node.name == "atomicAdd":
+                    atomic[0] = True
+                elif node.name in self.shader.functions:
+                    ci, ca, cg = self._callee_effect_summary(node.name, seen)
+                    for nm in ci:
+                        if nm not in imgs:
+                            imgs.append(nm)
+                    atomic[0] = atomic[0] or ca
+                    for g in cg:
+                        if g not in local and g not in globs:
+                            globs.append(g)
+            if isinstance(node, ast.Assign):
+                n = root_ident(node.target)
+                if n is not None and n not in local and n not in globs:
+                    globs.append(n)
+            if isinstance(node, ast.Unary) and node.op in (
+                "++pre", "--pre", "++post", "--post"
+            ):
+                n = root_ident(node.expr)
+                if n is not None and n not in local and n not in globs:
+                    globs.append(n)
+            for field in node.__dataclass_fields__:
+                walk(getattr(node, field))
+
+        walk(fn.body)
+        res = (imgs, atomic[0], globs)
+        if _seen is None:
+            cache[name] = res
+        return res
+
+    def _callee_global_writes(self, stmts) -> list:
+        """Global names written (transitively) by user functions called
+        from ``stmts`` — carried through the vectorized loop via the
+        globals-dict swap (see _exec_loop_vectorized)."""
+        names: list = []
+
+        def walk(node):
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, ast.Call) and node.name in self.shader.functions:
+                for g in self._callee_effect_summary(node.name)[2]:
+                    if g not in names:
+                        names.append(g)
+            for f in node.__dataclass_fields__:
+                walk(getattr(node, f))
+
+        walk(stmts)
+        return names
+
     def _body_has_atomic(self, stmts) -> bool:
-        """True when a loop body calls atomicAdd directly (callees with
-        atomics are rejected by _loop_callable)."""
+        """True when a loop body calls atomicAdd, directly or inside a
+        called user function (transitively)."""
         found = False
 
         def walk(node):
@@ -1161,6 +1294,13 @@ class Interp:
             if isinstance(node, ast.Call) and node.name == "atomicAdd":
                 found = True
                 return
+            if (
+                isinstance(node, ast.Call)
+                and node.name in self.shader.functions
+                and self._callee_effect_summary(node.name)[1]
+            ):
+                found = True
+                return
             for f in node.__dataclass_fields__:
                 walk(getattr(node, f))
 
@@ -1168,8 +1308,9 @@ class Interp:
         return found
 
     def _stored_images(self, stmts, line: int) -> list:
-        """Image names a loop body stores to (carried through the
-        vectorized while_loop; see the image-carry block above)."""
+        """Image names a loop body stores to, directly or inside called
+        user functions (carried through the vectorized while_loop; see
+        the image-carry block above)."""
         names: list = []
 
         def walk(node):
@@ -1189,6 +1330,10 @@ class Interp:
                 )
                 if nm not in names:
                     names.append(nm)
+            if isinstance(node, ast.Call) and node.name in self.shader.functions:
+                for nm in self._callee_effect_summary(node.name)[0]:
+                    if nm not in names:
+                        names.append(nm)
             for f in node.__dataclass_fields__:
                 walk(getattr(node, f))
 
@@ -1197,9 +1342,13 @@ class Interp:
 
     def _loop_callable(self, name: str, _seen: Optional[set] = None) -> bool:
         """True when a user function may be called inside a vectorized
-        loop body: pure compute plus gathers — no imageStore/atomics, no
-        writes to globals or shared memory (state the loop carry cannot
-        see), nested calls recursively qualifying, no recursion.  Static
+        loop body.  Callees may do anything the loop body itself may do —
+        gathers, ``imageStore``, ``atomicAdd``, writes to globals (the
+        stored images / SSBO buffers / written globals are discovered
+        transitively by _callee_effect_summary and threaded through the
+        loop carry) — but not ``barrier`` (divergent barriers are UB in
+        GLSL), recursion, or shared-array access outside atomics (shared
+        planes live in interpreter state the carry cannot see).  Static
         nested loops are fine (they unroll during the body trace); a
         nested data-dependent loop raises at trace time and the caller
         falls back to the unrolled path."""
@@ -1210,13 +1359,7 @@ class Interp:
         fn = self.shader.functions.get(name)
         if fn is None:
             return False
-        local = {p.name for p in fn.params}
         ok = True
-
-        def root_ident(t):
-            while isinstance(t, (ast.Member, ast.Index)):
-                t = t.expr
-            return t.name if isinstance(t, ast.Ident) else None
 
         def walk(node):
             nonlocal ok
@@ -1228,27 +1371,13 @@ class Interp:
                 return
             if not hasattr(node, "__dataclass_fields__"):
                 return
-            if isinstance(node, ast.Decl):
-                local.add(node.name)
             if isinstance(node, ast.Call):
-                if node.name in ("imageStore", "atomicAdd", "barrier"):
+                if node.name == "barrier":
                     ok = False
                     return
                 if node.name in self.shader.functions and not self._loop_callable(
                     node.name, seen
                 ):
-                    ok = False
-                    return
-            if isinstance(node, ast.Assign):
-                n = root_ident(node.target)
-                if n is not None and n not in local:
-                    ok = False  # global write: invisible to the loop carry
-                    return
-            if isinstance(node, ast.Unary) and node.op in (
-                "++pre", "--pre", "++post", "--post"
-            ):
-                n = root_ident(node.expr)
-                if n is not None and n not in local:
                     ok = False
                     return
             if isinstance(node, ast.Index):
@@ -1326,6 +1455,14 @@ class Interp:
                     for k, f in new.data.items()
                 },
             )
+        if new.type.startswith("array:"):
+            return Val(
+                new.type,
+                [
+                    self._blend_val(m, n, o)
+                    for n, o in zip(new.data, old.data)
+                ],
+            )
         return Val(new.type, jnp.where(m, new.data, old.data))
 
     def _broadcast_val(self, v: Val) -> Val:
@@ -1342,6 +1479,8 @@ class Interp:
             )
         if v.type.startswith("struct:"):
             return {k: self._val_to_tree(f) for k, f in v.data.items()}
+        if v.type.startswith("array:"):
+            return tuple(self._val_to_tree(e) for e in v.data)
         return self._as_array(v.data, v.type)
 
     def _tree_to_val(self, tree, proto: Val) -> Val:
@@ -1353,6 +1492,11 @@ class Interp:
             return Val(
                 proto.type,
                 {k: self._tree_to_val(tree[k], f) for k, f in proto.data.items()},
+            )
+        if proto.type.startswith("array:"):
+            return Val(
+                proto.type,
+                [self._tree_to_val(t, p) for t, p in zip(tree, proto.data)],
             )
         return Val(proto.type, tree)
 
@@ -2139,6 +2283,14 @@ class Interp:
     def convert(self, v: Val, to_type: str, line: int) -> Val:
         if v.type == to_type:
             return v
+        if to_type.endswith("]") and "[" in to_type:
+            # Array-typed conversion target ("float[4]": a function's
+            # array return type).  GLSL arrays convert only to the exact
+            # same element type and size.
+            elem, n = to_type[:-1].split("[")
+            if v.type == f"array:{elem}" and len(v.data) == int(n):
+                return v
+            raise GlslError(f"cannot convert {v.type} to {to_type}", line)
         if to_type in self.shader.structs:
             if v.type == f"struct:{to_type}":
                 return v

@@ -119,12 +119,33 @@ class Parser:
             type_tok = self.expect_ident()
             if type_tok.text not in TYPE_NAMES and type_tok.text not in self.structs:
                 raise GlslError(f"unknown type '{type_tok.text}'", type_tok.line)
+            # Array return type: `float[4] f(...)`.
+            ret_array = None
+            if self.at("["):
+                self.next()
+                size_tok = self.next()
+                try:
+                    ret_array = int(size_tok.text)
+                except ValueError:
+                    raise GlslError(
+                        "array return size must be a literal", size_tok.line
+                    )
+                self.expect("]")
             name_tok = self.expect_ident()
             if self.at("(") and not is_const:
+                rt = (
+                    type_tok.text if ret_array is None
+                    else f"{type_tok.text}[{ret_array}]"
+                )
                 functions[name_tok.text] = self.parse_function(
-                    type_tok.text, name_tok.text
+                    rt, name_tok.text
                 )
             else:
+                if ret_array is not None:
+                    raise GlslError(
+                        "array-typed globals use `T name[N]` syntax",
+                        name_tok.line,
+                    )
                 decl = self.finish_var_decl(type_tok.text, name_tok.text, is_const)
                 globals_.append(decl)
         if "main" not in functions:

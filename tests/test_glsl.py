@@ -1951,25 +1951,186 @@ class TestDataDependentLoops:
             want = np.where(want < 1.0, want + np.float32(0.25), want)
         np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
 
-    def test_atomic_in_callee_inside_loop_rejected(self):
-        # A CALLED function touching the SSBO from a loop body is state
-        # the carry cannot see — still rejected.
-        with pytest.raises(GlslError, match="called from data-dependent"):
+    def test_atomic_in_callee_inside_loop(self):
+        # A CALLED function touching the SSBO from a loop body: the
+        # callee's atomics are discovered transitively and the buffers
+        # ride the loop carry, same as a direct atomicAdd.
+        out, img = run_shader(
+            """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            while (v < 1.0) {
+                bump();
+                v += 0.25;
+            }
+            imageStore(output_image, pos, vec4(v));
+            """,
+            extra_decls=(
+                "layout(std430, binding = 2) buffer Stats "
+                "{ float count[4]; } stats;\n"
+                "void bump() { atomicAdd(stats.count[0], 1.0); }\n"
+            ),
+        )
+        a = np.asarray(img, np.float32)[0]
+        want = a.copy()
+        while (want < 1.0).any():
+            want = np.where(want < 1.0, want + np.float32(0.25), want)
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_imagestore_in_callee_inside_loop(self):
+        # A called function storing to a global image from a loop body:
+        # the stored planes ride the carry exactly as a direct store.
+        out, img = run_shader(
+            """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            int n = 0;
+            while (v < 1.0 && n < 8) {
+                put(pos, v);
+                v = v * 1.5 + 0.1;
+                n++;
+            }
+            """,
+            extra_decls=(
+                "void put(ivec2 p, float x) {\n"
+                "    imageStore(output_image, p, vec4(x, float(p.x), 0.0, 1.0));\n"
+                "}\n"
+            ),
+        )
+        # Oracle: last value stored before the loop exits, per pixel.
+        a = np.asarray(img, np.float64)[0]
+        h, w = a.shape
+        v = a.copy()
+        n = np.zeros_like(v)
+        last = np.full_like(v, np.nan)
+        act = np.ones_like(v, bool)
+        for _ in range(8):
+            live = act & (v < 1.0) & (n < 8)
+            last = np.where(live, v, last)
+            v = np.where(live, v * 1.5 + 0.1, v)
+            n = np.where(live, n + 1, n)
+            act = live
+        got = np.asarray(out)
+        stored = ~np.isnan(last)
+        np.testing.assert_allclose(
+            got[0][stored], last[stored].astype(np.float32), atol=1e-6
+        )
+        xs = np.broadcast_to(np.arange(w, dtype=np.float32), (h, w))
+        np.testing.assert_allclose(got[1][stored], xs[stored], atol=1e-6)
+        # Never-stored pixels keep the image's prior contents (zeros).
+        np.testing.assert_allclose(got[0][~stored], 0.0, atol=0)
+
+    def test_global_write_in_callee_inside_loop(self):
+        # A called function writing a file-scope global from a loop body:
+        # the global rides the carry via the globals-dict swap, so the
+        # post-loop read observes the per-lane accumulated value.
+        out, img = run_shader(
+            """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            g_acc = 0.0;
+            while (v < 1.0) {
+                accumulate(v);
+                v += 0.25;
+            }
+            imageStore(output_image, pos, vec4(v, g_acc, 0.0, 1.0));
+            """,
+            extra_decls=(
+                "float g_acc;\n"
+                "void accumulate(float x) { g_acc += x; }\n"
+            ),
+        )
+        a = np.asarray(img, np.float64)[0]
+        v = a.copy()
+        acc = np.zeros_like(v)
+        while (v < 1.0).any():
+            live = v < 1.0
+            acc = np.where(live, acc + v, acc)
+            v = np.where(live, v + 0.25, v)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-6)
+        np.testing.assert_allclose(got[1], acc.astype(np.float32), atol=1e-5)
+
+    def test_array_return_from_loop_in_function(self):
+        # Array-valued `return` out of a data-dependent loop: the
+        # element-wise blend recursion extends to arrays, so the pair
+        # (escape value, step count) rides the while carry out.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float r[2] = march(c.r);
+            imageStore(output_image, pos, vec4(r[0], r[1], 0.0, 1.0));
+        """, extra_decls="""
+            float[2] march(float x) {
+                float v = x;
+                int n = 0;
+                while (n < 50) {
+                    if (v >= 1.0) { return float[](v, float(n)); }
+                    v = v * 1.5 + 0.05;
+                    n++;
+                }
+                return float[](-1.0, -1.0);
+            }
+        """)
+        a = np.asarray(img, np.float64)
+        v = a[0].copy()
+        n = np.zeros_like(v)
+        r0 = np.full_like(v, np.nan)
+        r1 = np.full_like(v, np.nan)
+        act = np.ones_like(v, bool)
+        for _ in range(50):
+            hit = act & (v >= 1.0)
+            r0 = np.where(hit, v, r0)
+            r1 = np.where(hit, n, r1)
+            act = act & ~hit
+            v = np.where(act, v * 1.5 + 0.05, v)
+            n = np.where(act, n + 1, n)
+        r0 = np.where(np.isnan(r0), -1.0, r0)
+        r1 = np.where(np.isnan(r1), -1.0, r1)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], r0.astype(np.float32), atol=1e-5)
+        np.testing.assert_allclose(got[1], r1.astype(np.float32), atol=1e-6)
+
+    def test_array_carried_through_loop(self):
+        # A whole-array local reassigned each round rides the carry via
+        # the array tree flattening.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            float acc[2] = float[](0.0, 1.0);
+            while (v < 1.0) {
+                acc = float[](acc[0] + v, acc[1] * 0.5);
+                v += 0.25;
+            }
+            imageStore(output_image, pos, vec4(v, acc[0], acc[1], 1.0));
+        """)
+        a = np.asarray(img, np.float64)[0]
+        v = a.copy()
+        a0 = np.zeros_like(v)
+        a1 = np.ones_like(v)
+        while (v < 1.0).any():
+            live = v < 1.0
+            a0 = np.where(live, a0 + v, a0)
+            a1 = np.where(live, a1 * 0.5, a1)
+            v = np.where(live, v + 0.25, v)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-6)
+        np.testing.assert_allclose(got[1], a0.astype(np.float32), atol=1e-5)
+        np.testing.assert_allclose(got[2], a1.astype(np.float32), atol=1e-6)
+
+    def test_barrier_in_loop_rejected(self):
+        # Divergent barriers are UB in GLSL — the one remaining rejection.
+        with pytest.raises(GlslError, match="barrier"):
             run_shader(
                 """
                 ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
                 float v = imageLoad(input_image, pos).r;
                 while (v < 1.0) {
-                    bump();
+                    barrier();
                     v += 0.25;
                 }
                 imageStore(output_image, pos, vec4(v));
-                """,
-                extra_decls=(
-                    "layout(std430, binding = 2) buffer Stats "
-                    "{ float count[4]; } stats;\n"
-                    "void bump() { atomicAdd(stats.count[0], 1.0); }\n"
-                ),
+                """
             )
 
     def test_iterative_warp(self):
