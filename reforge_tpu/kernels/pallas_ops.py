@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 from typing import Any
 
 import jax
@@ -237,7 +238,11 @@ def _blocked_rows(taps: int, sub: int = 8) -> int:
     return _round_up(sub + taps - 1, 8)
 
 
-N_ACC_STRIPES = 8  # independent accumulator chains per conv (see below)
+# Independent accumulator chains per conv (see below).  8 measured best
+# for the flagship's 25-tap convs (sweep: beats 4/12/16/25); env-tunable
+# for on-chip A/Bs of small-tap convs, where the 7-add merge tree is a
+# larger fraction of the pass (r1: 3 taps vs 7 merge adds).
+N_ACC_STRIPES = int(_os.environ.get("REFORGE_ACC_STRIPES", "8"))
 
 
 def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
@@ -1149,10 +1154,20 @@ def _graph_strip_kernel(
     # fp32 regardless of the image format).  The upcast happens ONCE
     # into an f32 staging buffer: per-tap-slice converts (and bf16's
     # packed-sublane shuffles) cost far more than one strip copy.
+    # REFORGE_BF16_BLOCK_UPCAST=1 tries the middle ground instead: no
+    # staging buffer, upcast at BLOCK granularity in the tap schedule
+    # (each block is read once per pass and shared across taps/convs, so
+    # the convert count matches the staging copy's read side while the
+    # whole-strip write+read roundtrip disappears).
+    xf32 = None
     if maybe_xf32:
         xf32 = maybe_xf32[0]
         xf32[:, :] = scratch[slot].astype(jnp.float32)
         src = lambda r, blk, c, L: xf32[r : r + blk, c : c + L]
+    elif scratch.dtype != jnp.float32:
+        src = lambda r, blk, c, L: scratch[
+            slot, r : r + blk, c : c + L
+        ].astype(jnp.float32)
     else:
         src = lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L]
 
@@ -1196,10 +1211,12 @@ def _graph_strip_kernel(
     # The strip's center block, for pointwise consumption of the input
     # (bf16 -> f32 upcast is exact, so the staged copy IS the stored
     # value).
-    if maybe_xf32:
+    if xf32 is not None:
         xin = xf32[rh_max : rh_max + tile_h, w_base : w_base + out_w]
     else:
         xin = scratch[slot, rh_max : rh_max + tile_h, w_base : w_base + out_w]
+        if scratch.dtype != jnp.float32:
+            xin = xin.astype(jnp.float32)
     if n_aux:
         aux_blocks = [aux_ref[k] for k in range(n_aux)]
         out = epilogue(
@@ -1333,7 +1350,9 @@ def graph_strip_fused(
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
             [pltpu.VMEM((strip_rows, w_total), jnp.float32)]
-            if x.dtype != jnp.float32 else []
+            if x.dtype != jnp.float32
+            and _os.environ.get("REFORGE_BF16_BLOCK_UPCAST") != "1"
+            else []
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,

@@ -288,6 +288,33 @@ def test_graph_strip_raw_padding_matches():
         np.testing.assert_allclose(got, padded, atol=1e-6, err_msg=mode)
 
 
+def test_graph_strip_bf16_block_upcast_matches(monkeypatch):
+    """REFORGE_BF16_BLOCK_UPCAST=1 (no f32 staging buffer; upcast at tap-
+    block granularity) must be bit-identical to the staged path — the
+    bf16->f32 upcast is exact, so only the schedule differs."""
+    from reforge_tpu.kernels.ops import gaussian_weights
+
+    h, w = 64, 256
+    x = jnp.asarray(
+        np.random.default_rng(5).random((4, h, w)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    wh = gaussian_weights(2.0)
+    ww = gaussian_weights(1.5)
+
+    def epilogue(ci, row0, t, xin, blurs):
+        # Real programs end with the storage-dtype store; mirror it.
+        return (blurs[0] * 0.5 + xin * 0.5).astype(jnp.bfloat16)
+
+    staged = np.asarray(pallas_ops.graph_strip_fused(
+        x, 0.0, [(wh, ww)], epilogue, mode="edge", tile_h=32,
+        interpret=True), np.float32)
+    monkeypatch.setenv("REFORGE_BF16_BLOCK_UPCAST", "1")
+    blockwise = np.asarray(pallas_ops.graph_strip_fused(
+        x, 0.0, [(wh, ww)], epilogue, mode="edge", tile_h=32,
+        interpret=True), np.float32)
+    np.testing.assert_array_equal(staged, blockwise)
+
+
 def test_sep_conv_fused_raw_padding_matches():
     """Standalone fused conv's in-kernel padding == jnp path."""
     h, w = 64, 256
