@@ -106,7 +106,8 @@ def bench_program_sequenced(
     out = None
     for i in range(warmup_chunks):
         out = program.render_sequence(file_input, jnp.float32(float(i)), dt, chunk)
-    float(reduce(out))
+    if out is not None:
+        float(reduce(out))
     start = _time.perf_counter()
     for t0 in t0s:
         out = program.render_sequence(file_input, t0, dt, chunk)
