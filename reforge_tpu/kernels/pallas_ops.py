@@ -2351,6 +2351,12 @@ def mc_strip_tile_h(
     physical VMEM)."""
     if w % 128 != 0 or rh_in % 8 != 0 or ew_in % 8 != 0:
         return None
+    override = _os.environ.get("REFORGE_MC_TILE_H")
+    if override:
+        # On-chip tile sweeps (benchmarks/mc_profile.py): bypass the VMEM
+        # model, keep the hard geometry gates.
+        t = int(override)
+        return t if h % t == 0 and t >= rh_in and h // t >= 2 else None
     w_base, w_total = mc_strip_geometry(h, w, rh_in, ew_in)
 
     def fits(tile_h: int) -> bool:
