@@ -751,11 +751,17 @@ class Interp:
         effect_stmts = list(body)
         if update_expr is not None:
             effect_stmts.append(ast.ExprStmt(update_expr, line))
+        if cond_expr is not None:
+            # The condition re-evaluates inside every round: its calls'
+            # side effects (a probe() bumping a global, an atomic) must
+            # be vetted and threaded through the carry like the body's.
+            effect_stmts.append(ast.ExprStmt(cond_expr, line))
         if not self._scan_body_allowed(effect_stmts, allow_break=True):
+            why = self._scan_reject_reason or "an unsupported construct"
             raise GlslError(
-                "data-dependent loop bodies (and the functions they call) "
-                "must not call barrier() — a barrier under divergent "
-                "per-pixel control flow is UB in GLSL",
+                f"data-dependent loop uses {why}, which the vectorized "
+                "while_loop lowering cannot carry (see docs/glsl.md "
+                '"Data-dependent loops")',
                 line,
             )
         stored_imgs = self._stored_images(effect_stmts, line)
@@ -1097,11 +1103,27 @@ class Interp:
         executes the body under a lane mask with a proper carry — pure
         GATHERS (imageLoad/texture/texelFetch: the raymarch and
         iterative-warp idioms) plus calls to qualifying user functions
-        (see _loop_callable); return is never allowed."""
+        (see _loop_callable); return is never allowed.
+
+        On rejection, ``self._scan_reject_reason`` names the offending
+        construct so the caller's diagnostic states the real cause."""
         ok = True
+        self._scan_reject_reason = None
+
+        def reject(why):
+            nonlocal ok
+            ok = False
+            if self._scan_reject_reason is None:
+                self._scan_reject_reason = why
+
+        def shared_root(t):
+            while isinstance(t, (ast.Member, ast.Index)):
+                t = t.expr
+            return (
+                isinstance(t, ast.Ident) and t.name in self.shared_members
+            )
 
         def walk(node):
-            nonlocal ok
             if not ok:
                 return
             if isinstance(node, (list, tuple)):
@@ -1119,27 +1141,32 @@ class Interp:
                 return
             if isinstance(node, (ast.Break, ast.Continue, ast.Return, ast.For,
                                  ast.While, ast.DoWhile, ast.Switch)):
-                ok = False
+                reject(
+                    "a nested loop or switch statement"
+                    if isinstance(node, (ast.For, ast.While, ast.DoWhile,
+                                         ast.Switch))
+                    else "break/continue/return here"
+                )
                 return
             if isinstance(node, ast.Discard) and not allow_break:
                 # The fori lowering has no discard carry; the vectorized
                 # while path (allow_break=True) threads it through the
                 # loop carry.
-                ok = False
+                reject("discard")
                 return
             if isinstance(node, ast.Call):
                 if node.name == "atomicAdd" and not allow_break:
-                    ok = False  # fori path: no buffer carry
+                    reject("atomicAdd")  # fori path: no buffer carry
                     return
                 if node.name == "barrier" and allow_break:
                     # A barrier under divergent per-pixel control flow is
                     # UB in GLSL; the vectorized lowering has no shared-
                     # resync point inside the while body either.
-                    ok = False
+                    reject("barrier() (UB under divergent control flow)")
                     return
                 if node.name == "imageStore":
                     if not allow_break:
-                        ok = False  # fori path: no image carry
+                        reject("imageStore")  # fori path: no image carry
                         return
                     # Vectorized while path: the written planes ride the
                     # loop carry (see the image-carry block in the while
@@ -1148,12 +1175,24 @@ class Interp:
                     "imageLoad", "texture", "textureLod", "texelFetch",
                 ):
                     if not allow_break:
-                        ok = False  # fori path: loads need static offsets
+                        reject(f"{node.name} with a loop-dependent offset")
                         return
                 elif node.name in self.shader.functions:
                     if not (allow_break and self._loop_callable(node.name)):
-                        ok = False
+                        reject(
+                            f"the call to {node.name}() (callees must not "
+                            "use barrier(), plain shared-memory writes, or "
+                            "recursion)"
+                        )
                         return
+            if isinstance(node, ast.Assign) and shared_root(node.target):
+                reject("a non-atomic shared-memory write")
+                return
+            if isinstance(node, ast.Unary) and node.op in (
+                "++pre", "--pre", "++post", "--post"
+            ) and shared_root(node.expr):
+                reject("a non-atomic shared-memory write")
+                return
             if isinstance(node, ast.Index):
                 # Only SSBO-member reads handle traced indices; local
                 # array or vector indexing needs a static index — a
@@ -1168,7 +1207,7 @@ class Interp:
                     and base.expr.name in self.ssbo_instances
                 )
                 if not is_ssbo and not isinstance(node.index, ast.Num):
-                    ok = False
+                    reject("a non-literal local array/vector index")
                     return
             for field in node.__dataclass_fields__:
                 walk(getattr(node, field))
@@ -1193,6 +1232,8 @@ class Interp:
         fn = self.shader.functions.get(name)
         if fn is None:
             return ([], False, [])
+        # _seen is the active RECURSION PATH (not a visited set): a
+        # diamond call graph (f->g->u, f->h->u) must traverse u twice.
         seen = _seen if _seen is not None else set()
         if name in seen:
             return ([], False, [])  # recursion: _loop_callable rejects it
@@ -1206,6 +1247,10 @@ class Interp:
             while isinstance(t, (ast.Member, ast.Index)):
                 t = t.expr
             return t.name if isinstance(t, ast.Ident) else None
+
+        def note_glob(n):
+            if n is not None and n not in local and n not in globs:
+                globs.append(n)
 
         def walk(node):
             if isinstance(node, (list, tuple)):
@@ -1232,24 +1277,26 @@ class Interp:
                             imgs.append(nm)
                     atomic[0] = atomic[0] or ca
                     for g in cg:
-                        if g not in local and g not in globs:
-                            globs.append(g)
+                        note_glob(g)
+                    # A global bound to an out/inout parameter is written
+                    # by the copy-back at THIS call site.
+                    callee = self.shader.functions[node.name]
+                    for p, a in zip(callee.params, node.args):
+                        if p.qualifier in ("out", "inout"):
+                            note_glob(root_ident(a))
             if isinstance(node, ast.Assign):
-                n = root_ident(node.target)
-                if n is not None and n not in local and n not in globs:
-                    globs.append(n)
+                note_glob(root_ident(node.target))
             if isinstance(node, ast.Unary) and node.op in (
                 "++pre", "--pre", "++post", "--post"
             ):
-                n = root_ident(node.expr)
-                if n is not None and n not in local and n not in globs:
-                    globs.append(n)
+                note_glob(root_ident(node.expr))
             for field in node.__dataclass_fields__:
                 walk(getattr(node, field))
 
         walk(fn.body)
+        seen.discard(name)
         res = (imgs, atomic[0], globs)
-        if _seen is None:
+        if not seen:
             cache[name] = res
         return res
 
@@ -1347,19 +1394,29 @@ class Interp:
         stored images / SSBO buffers / written globals are discovered
         transitively by _callee_effect_summary and threaded through the
         loop carry) — but not ``barrier`` (divergent barriers are UB in
-        GLSL), recursion, or shared-array access outside atomics (shared
-        planes live in interpreter state the carry cannot see).  Static
-        nested loops are fine (they unroll during the body trace); a
-        nested data-dependent loop raises at trace time and the caller
-        falls back to the unrolled path."""
+        GLSL), recursion, or non-atomic writes to shared arrays (the
+        carry threads shared state only for atomics).  Static nested
+        loops are fine (they unroll during the body trace); a nested
+        data-dependent loop raises at trace time and the caller falls
+        back to the unrolled path."""
+        # _seen is the active recursion path; a diamond call graph
+        # (f->g->u, f->h->u) must qualify u on both paths.
         seen = _seen if _seen is not None else set()
         if name in seen:
             return False
         seen.add(name)
         fn = self.shader.functions.get(name)
         if fn is None:
+            seen.discard(name)
             return False
         ok = True
+
+        def shared_root(t):
+            while isinstance(t, (ast.Member, ast.Index)):
+                t = t.expr
+            return (
+                isinstance(t, ast.Ident) and t.name in self.shared_members
+            )
 
         def walk(node):
             nonlocal ok
@@ -1380,15 +1437,19 @@ class Interp:
                 ):
                     ok = False
                     return
-            if isinstance(node, ast.Index):
-                base = node.expr
-                if isinstance(base, ast.Ident) and base.name in self.shared_members:
-                    ok = False  # shared planes live in interpreter state
-                    return
+            if isinstance(node, ast.Assign) and shared_root(node.target):
+                ok = False  # non-atomic shared write: carry cannot see it
+                return
+            if isinstance(node, ast.Unary) and node.op in (
+                "++pre", "--pre", "++post", "--post"
+            ) and shared_root(node.expr):
+                ok = False
+                return
             for field in node.__dataclass_fields__:
                 walk(getattr(node, field))
 
         walk(fn.body)
+        seen.discard(name)
         return ok
 
     def _collect_assigned(self, body: list) -> tuple[list[str], set[str]]:
@@ -1456,6 +1517,11 @@ class Interp:
                 },
             )
         if new.type.startswith("array:"):
+            if len(new.data) != len(old.data):
+                raise GlslError(
+                    f"array size mismatch in per-lane merge: "
+                    f"{len(new.data)} vs {len(old.data)} elements"
+                )
             return Val(
                 new.type,
                 [
@@ -1494,6 +1560,11 @@ class Interp:
                 {k: self._tree_to_val(tree[k], f) for k, f in proto.data.items()},
             )
         if proto.type.startswith("array:"):
+            if len(tree) != len(proto.data):
+                raise GlslError(
+                    f"array size mismatch: {len(tree)} vs "
+                    f"{len(proto.data)} elements"
+                )
             return Val(
                 proto.type,
                 [self._tree_to_val(t, p) for t, p in zip(tree, proto.data)],

@@ -2118,6 +2118,114 @@ class TestDataDependentLoops:
         np.testing.assert_allclose(got[1], a0.astype(np.float32), atol=1e-5)
         np.testing.assert_allclose(got[2], a1.astype(np.float32), atol=1e-6)
 
+    def test_diamond_call_graph_in_loop(self):
+        # f -> g -> u and f -> h -> u (the classic SDF pattern: two
+        # distance functions sharing a helper) must qualify — the
+        # recursion check tracks the call PATH, not visited functions.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            int n = 0;
+            while (v < 1.0 && n < 30) {
+                v = f(v);
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+        """, extra_decls="""
+            float u(float x) { return x * 0.5; }
+            float g(float x) { return u(x) + 0.3; }
+            float h(float x) { return u(x) + 0.1; }
+            float f(float x) { return g(x) + h(x); }
+        """)
+        a = np.asarray(img, np.float64)[0]
+        v = a.copy()
+        n = np.zeros_like(v)
+        for _ in range(30):
+            live = (v < 1.0) & (n < 30)
+            v = np.where(live, (v * 0.5 + 0.3) + (v * 0.5 + 0.1), v)
+            n = np.where(live, n + 1, n)
+        np.testing.assert_allclose(
+            np.asarray(out)[0], v.astype(np.float32), atol=1e-5
+        )
+
+    def test_inout_global_through_nested_call_in_loop(self):
+        # A global written via an inout parameter of a NESTED call must
+        # be discovered and carried (the copy-back at the call site is
+        # the write).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            g_acc = 0.0;
+            while (v < 1.0) {
+                acc2(v);
+                v += 0.25;
+            }
+            imageStore(output_image, pos, vec4(v, g_acc, 0.0, 1.0));
+        """, extra_decls="""
+            float g_acc;
+            void addto(inout float dst, float x) { dst += x; }
+            void acc2(float x) { addto(g_acc, x); }
+        """)
+        a = np.asarray(img, np.float64)[0]
+        v = a.copy()
+        acc = np.zeros_like(v)
+        while (v < 1.0).any():
+            live = v < 1.0
+            acc = np.where(live, acc + v, acc)
+            v = np.where(live, v + 0.25, v)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[1], acc.astype(np.float32), atol=1e-5)
+
+    def test_condition_callee_side_effect_in_loop(self):
+        # The loop CONDITION re-evaluates each round; a probe() that
+        # bumps a global must ride the carry like body effects.  GLSL
+        # evaluates the condition once more on the failing check, so the
+        # count is iterations + 1 for lanes that entered at least once
+        # (and exactly 1 for lanes that never entered).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            g_n = 0.0;
+            while (probe(v) < 1.0) {
+                v += 0.25;
+            }
+            imageStore(output_image, pos, vec4(v, g_n, 0.0, 1.0));
+        """, extra_decls="""
+            float g_n;
+            float probe(float x) { g_n += 1.0; return x; }
+        """)
+        a = np.asarray(img, np.float64)[0]
+        v = a.copy()
+        iters = np.zeros_like(v)
+        while (v < 1.0).any():
+            live = v < 1.0
+            v = np.where(live, v + 0.25, v)
+            iters = np.where(live, iters + 1, iters)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], v.astype(np.float32), atol=1e-6)
+        np.testing.assert_allclose(
+            got[1], (iters + 1.0).astype(np.float32), atol=1e-6
+        )
+
+    def test_array_size_mismatch_between_returns_rejected(self):
+        with pytest.raises(GlslError, match="array size|cannot convert"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                float r[2] = bad(imageLoad(input_image, pos).r);
+                imageStore(output_image, pos, vec4(r[0], r[1], 0.0, 1.0));
+            """, extra_decls="""
+                float[2] bad(float x) {
+                    float v = x;
+                    int n = 0;
+                    while (n < 10) {
+                        if (v >= 1.0) { return float[](v, 1.0, 2.0); }
+                        v = v * 1.5 + 0.1;
+                        n++;
+                    }
+                    return float[](v, 0.0);
+                }
+            """)
+
     def test_barrier_in_loop_rejected(self):
         # Divergent barriers are UB in GLSL — the one remaining rejection.
         with pytest.raises(GlslError, match="barrier"):
