@@ -118,6 +118,44 @@ def main() -> int:
             ci, r0_ref[0, 0] + i * tile_h, t_ref[0, 0], xin, blurs
         )
 
+    def kernel_dma_only(x_hbm, t_ref, r0_ref, o_ref, scratch, tmps_t, blur_b,
+                        sems, *maybe_xf32, weights, tile_h, out_w, n_tiles,
+                        strip_rows, rh_max, rw_max, epilogue, raw=False,
+                        in_h=0, in_w=0, pad_edge_mode=True, w_base=None,
+                        n_aux=0):
+        """Pure structural floor: strip DMA + halo fills + grid + one
+        center-block copy to the output — zero taps, zero epilogue.
+        The delta vs the HBM one-read+one-write bound is the cost of the
+        strip-grid schedule itself.  Timing-only."""
+        ci = pl.program_id(0)
+        i = pl.program_id(1)
+        if w_base is None:
+            w_base = rw_max
+        dma_do = _strip_dma_fn(ci, x_hbm, scratch, sems, raw=raw,
+                               tile_h=tile_h, strip_rows=strip_rows,
+                               rh_max=rh_max, n_tiles=n_tiles, in_h=in_h,
+                               in_w=in_w, w_base=w_base)
+        slot = jax.lax.rem(i, 2)
+        other = 1 - slot
+
+        @pl.when(i == 0)
+        def _():
+            dma_do(i, slot, "start")
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            dma_do(i + 1, other, "start")
+
+        dma_do(i, slot, "wait")
+        if raw:
+            _strip_fill_halos(i, slot, scratch, tile_h=tile_h,
+                              strip_rows=strip_rows, rh_max=rh_max,
+                              n_tiles=n_tiles, in_w=in_w, w_base=w_base,
+                              edge=pad_edge_mode)
+        o_ref[0, :, :] = scratch[
+            slot, rh_max : rh_max + tile_h, w_base : w_base + out_w
+        ]
+
     img = make_test_image(H, W)
 
     def bench(name, plans_v, epi, tile_h, kern=None):
@@ -145,11 +183,16 @@ def main() -> int:
             pallas_ops._graph_strip_kernel = ORIG
 
     dirac = (1.0,)
+    r1 = (0.25, 0.5, 0.25)
     bench("base (real)", plans, real_epi, 120)
     bench("skipW (no W taps/stores)", plans, real_epi, 120, kernel_skip_w)
     bench("W=dirac (stores, 2 W taps)", [(wh, dirac) for wh, _ in plans],
           real_epi, 120)
     bench("skipW + epi=add", plans, id_epi, 120, kernel_skip_w)
+    bench("r1 plans + epi=add", [(r1, r1)] * len(plans), id_epi, 120)
+    bench("ONE r1 + epi=add", [(r1, r1)], id_epi, 120)
+    bench("floor (DMA+grid, no taps)", [(r1, r1)], id_epi, 120,
+          kernel_dma_only)
     for th in (int(v) for v in args.tiles.split(",") if v):
         bench("base (real)", plans, real_epi, th)
     return 0
