@@ -218,3 +218,178 @@ def test_random_graph_gspmd_sharded(seed):
     sharded = shard_program(prog, mesh)
     got = np.asarray(sharded(sharded.shard_input(img), 0.25), np.float32)
     np.testing.assert_allclose(got, fused, atol=1e-4, err_msg=cfg_text)
+
+
+# ---- data-dependent loop differential fuzz -------------------------------
+#
+# The vectorized while_loop lowering (glsl/interp.py::_exec_loop_vectorized)
+# threads locals, globals (incl. callee writes), arrays, images, and valued
+# returns through the carry.  Each seed generates a random shader from a
+# small template grammar together with a NumPy lane-mask oracle of the SAME
+# program, and the two must agree — the differential sweep for the carry
+# machinery's many interacting paths.
+
+def _loop_case(seed):
+    rng = np.random.default_rng(9000 + seed)
+    p = {
+        "A": round(float(rng.uniform(1.05, 1.6)), 3),
+        "B": round(float(rng.uniform(0.02, 0.3)), 3),
+        "LIM": round(float(rng.uniform(0.8, 1.5)), 3),
+        "MAXN": int(rng.integers(4, 28)),
+        "C": round(float(rng.uniform(0.1, 1.0)), 3),
+        "D": round(float(rng.uniform(0.5, 0.99)), 3),
+        "X": round(float(rng.uniform(1.0, 1.8)), 3),
+        "callee_g": bool(rng.integers(0, 2)),
+        "use_acc": bool(rng.integers(0, 2)),
+        "use_break": bool(rng.integers(0, 2)),
+        "use_store": bool(rng.integers(0, 2)),
+        "loop_in_fn": bool(rng.integers(0, 2)),
+    }
+    return p
+
+
+def _loop_shader_src(p):
+    g_stmt = "addg(v);" if p["callee_g"] else f"g_t += v * {p['C']};"
+    decls = "float g_t;\n"
+    if p["callee_g"]:
+        decls += f"void addg(float x) {{ g_t += x * {p['C']}; }}\n"
+    if p["loop_in_fn"]:
+        body = f"""
+{decls}
+float[2] run(float v0) {{
+    float v = v0;
+    int n = 0;
+    while (v < {p['LIM']} && n < {p['MAXN']}) {{
+        {g_stmt}
+        if (v > {p['X']}) {{ return float[](v * 2.0, float(n)); }}
+        v = v * {p['A']} + {p['B']};
+        n++;
+    }}
+    return float[](v, float(n));
+}}
+void main() {{
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    g_t = 0.0;
+    float r[2] = run(c.r);
+    imageStore(output_image, pos, vec4(r[0], r[1], g_t, 1.0));
+}}
+"""
+        return body
+    acc_decl = "float acc[2] = float[](0.0, 1.0);" if p["use_acc"] else ""
+    acc_stmt = (
+        f"acc = float[](acc[0] + v, acc[1] * {p['D']});"
+        if p["use_acc"] else ""
+    )
+    brk = f"if (v > {p['X']}) {{ break; }}" if p["use_break"] else ""
+    acc0 = "acc[0]" if p["use_acc"] else "0.0"
+    store = (
+        f"imageStore(output_image, pos, vec4(v, g_t, {acc0}, float(n)));"
+        if p["use_store"] else ""
+    )
+    final = (
+        "" if p["use_store"]
+        else f"imageStore(output_image, pos, vec4(v, g_t, {acc0}, float(n)));"
+    )
+    return f"""
+{decls}
+void main() {{
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    imageStore(output_image, pos, c);
+    float v = c.r;
+    int n = 0;
+    g_t = 0.0;
+    {acc_decl}
+    while (v < {p['LIM']} && n < {p['MAXN']}) {{
+        {g_stmt}
+        {acc_stmt}
+        {brk}
+        {store}
+        v = v * {p['A']} + {p['B']};
+        n++;
+    }}
+    {final}
+}}
+"""
+
+
+def _loop_oracle(p, base):
+    f32 = np.float32
+    A, B, C, D = f32(p["A"]), f32(p["B"]), f32(p["C"]), f32(p["D"])
+    LIM, X = f32(p["LIM"]), f32(p["X"])
+    v = base[0].astype(f32).copy()
+    n = np.zeros_like(v)
+    g = np.zeros_like(v)
+    if p["loop_in_fn"]:
+        ret0 = np.full_like(v, np.nan)
+        ret1 = np.full_like(v, np.nan)
+        active = np.ones(v.shape, bool)
+        for _ in range(p["MAXN"] + 2):
+            m = active & (v < LIM) & (n < p["MAXN"])
+            if not m.any():
+                break
+            g = np.where(m, g + v * C, g)
+            hit = m & (v > X)
+            ret0 = np.where(hit, v * f32(2.0), ret0)
+            ret1 = np.where(hit, n, ret1)
+            m2 = m & ~hit
+            v = np.where(m2, v * A + B, v)
+            n = np.where(m2, n + 1, n)
+            active = m2
+        nr = np.isnan(ret0)
+        ret0 = np.where(nr, v, ret0)
+        ret1 = np.where(nr, n, ret1)
+        return np.stack([ret0, ret1, g, np.ones_like(v)])
+    acc0 = np.zeros_like(v)
+    acc1 = np.ones_like(v)
+    out = base.astype(f32).copy()
+    active = np.ones(v.shape, bool)
+    for _ in range(p["MAXN"] + 2):
+        m = active & (v < LIM) & (n < p["MAXN"])
+        if not m.any():
+            break
+        g = np.where(m, g + v * C, g)
+        if p["use_acc"]:
+            acc0 = np.where(m, acc0 + v, acc0)
+            acc1 = np.where(m, acc1 * D, acc1)
+        m2 = m & ~(m & (v > X)) if p["use_break"] else m
+        if p["use_store"]:
+            a0 = acc0 if p["use_acc"] else np.zeros_like(v)
+            for ch, val in zip(range(4), (v, g, a0, n)):
+                out[ch] = np.where(m2, val, out[ch])
+        v = np.where(m2, v * A + B, v)
+        n = np.where(m2, n + 1, n)
+        active = m2
+    if not p["use_store"]:
+        a0 = acc0 if p["use_acc"] else np.zeros_like(v)
+        out = np.stack([v, g, a0, n])
+    return out
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_loop_shader_differential_fuzz(seed, tmp_path):
+    from reforge_tpu.glsl import translate_shader
+    from reforge_tpu.kernels.base import KernelContext
+
+    p = _loop_case(seed)
+    header = (
+        "#version 450\n"
+        "layout(local_size_x = 16, local_size_y = 16) in;\n"
+        "layout(binding = 0, rgba32f) uniform readonly image2D input_image;\n"
+        "layout(binding = 1, rgba32f) uniform writeonly image2D output_image;\n"
+    )
+    src = header + _loop_shader_src(p)
+    spec = translate_shader(src, f"loopfuzz{seed}")
+    h, w = 10, 12
+    rng = np.random.default_rng(100 + seed)
+    base = rng.random((4, h, w)).astype(np.float32)
+    img = jnp.asarray(base)
+    ctx = KernelContext(width=w, height=h, time=0.0)
+    got = np.asarray(
+        spec(ctx, {"input_image": img}, spec.resolve_params({}))[
+            "output_image"
+        ]
+    )
+    want = _loop_oracle(p, base)
+    np.testing.assert_allclose(got, want, atol=3e-5, err_msg=str(p))
