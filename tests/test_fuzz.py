@@ -244,7 +244,10 @@ def _loop_case(seed):
         "use_break": bool(rng.integers(0, 2)),
         "use_store": bool(rng.integers(0, 2)),
         "loop_in_fn": bool(rng.integers(0, 2)),
+        "use_scatter": bool(rng.integers(0, 2)),
     }
+    if p["use_scatter"]:
+        p["use_store"] = True  # a final whole-image store would mask it
     return p
 
 
@@ -283,6 +286,11 @@ void main() {{
     )
     brk = f"if (v > {p['X']}) {{ break; }}" if p["use_break"] else ""
     acc0 = "acc[0]" if p["use_acc"] else "0.0"
+    scat = (
+        "imageStore(output_image, pos + ivec2(1, 0), "
+        "vec4(v, g_t, 0.0, 2.0));"
+        if p["use_scatter"] else ""
+    )
     store = (
         f"imageStore(output_image, pos, vec4(v, g_t, {acc0}, float(n)));"
         if p["use_store"] else ""
@@ -305,6 +313,7 @@ void main() {{
         {g_stmt}
         {acc_stmt}
         {brk}
+        {scat}
         {store}
         v = v * {p['A']} + {p['B']};
         n++;
@@ -354,6 +363,16 @@ def _loop_oracle(p, base):
             acc0 = np.where(m, acc0 + v, acc0)
             acc1 = np.where(m, acc1 * D, acc1)
         m2 = m & ~(m & (v > X)) if p["use_break"] else m
+        if p.get("use_scatter"):
+            # Each active lane writes its right neighbor (OOB dropped),
+            # BEFORE the own-pos store in program order.
+            for ch, val in zip(
+                range(4),
+                (v, g, np.zeros_like(v), np.full_like(v, 2.0)),
+            ):
+                out[ch][:, 1:] = np.where(
+                    m2[:, :-1], val[:, :-1], out[ch][:, 1:]
+                )
         if p["use_store"]:
             a0 = acc0 if p["use_acc"] else np.zeros_like(v)
             for ch, val in zip(range(4), (v, g, a0, n)):
