@@ -1178,13 +1178,26 @@ class Interp:
                         reject(f"{node.name} with a loop-dependent offset")
                         return
                 elif node.name in self.shader.functions:
-                    if not (allow_break and self._loop_callable(node.name)):
-                        reject(
-                            f"the call to {node.name}() (callees must not "
-                            "use barrier(), plain shared-memory writes, or "
-                            "recursion)"
+                    if allow_break:
+                        if not self._loop_callable(node.name):
+                            reject(
+                                f"the call to {node.name}() (callees must "
+                                "not use barrier(), plain shared-memory "
+                                "writes, or recursion)"
+                            )
+                            return
+                    else:
+                        # fori path: no carry for callee side effects —
+                        # pure-compute callees only.
+                        imgs, atomic, globs = self._callee_effect_summary(
+                            node.name
                         )
-                        return
+                        if (
+                            imgs or atomic or globs
+                            or not self._loop_callable(node.name)
+                        ):
+                            reject(f"the call to {node.name}()")
+                            return
             if isinstance(node, ast.Assign) and shared_root(node.target):
                 reject("a non-atomic shared-memory write")
                 return

@@ -954,6 +954,53 @@ class TestForiLoopLowering:
             np.asarray(lowered), np.asarray(unrolled), atol=1e-6
         )
 
+    def test_pure_callee_in_long_loop_lowers(self, monkeypatch):
+        # A pure-compute helper call no longer forces unrolling: the fori
+        # lowering admits callees whose effect summary is empty.
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float acc = 0.0;
+            for (int i = 0; i < 24; i++) {
+                acc += warp(c.r + float(i) * 0.1);
+            }
+            imageStore(output_image, pos, vec4(acc * 0.01, c.gba));
+        """
+        decls = "float warp(float x) { return sin(x) * 0.9 + 0.05; }\n"
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.random((4, 8, 8), dtype=np.float32))
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "0")
+        unrolled, _ = run_shader(body, img=img, h=8, w=8, extra_decls=decls)
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "8")
+        calls = self._spy(monkeypatch)
+        lowered, _ = run_shader(body, img=img, h=8, w=8, extra_decls=decls)
+        assert any(calls), "loop with pure callee was not lowered"
+        np.testing.assert_allclose(
+            np.asarray(lowered), np.asarray(unrolled), atol=1e-6
+        )
+
+    def test_side_effect_callee_in_long_loop_falls_back(self, monkeypatch):
+        # A callee with effects (global write) has no fori carry: the
+        # lowering must decline (unrolled execution stays correct).
+        body = """
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            g_s = 0.0;
+            for (int i = 0; i < 24; i++) {
+                bump(c.r);
+            }
+            imageStore(output_image, pos, vec4(g_s * 0.01, c.gba));
+        """
+        decls = "float g_s;\nvoid bump(float x) { g_s += x; }\n"
+        rng = np.random.default_rng(10)
+        img = jnp.asarray(rng.random((4, 8, 8), dtype=np.float32))
+        monkeypatch.setenv("REFORGE_SCAN_THRESHOLD", "8")
+        calls = self._spy(monkeypatch)
+        out, _ = run_shader(body, img=img, h=8, w=8, extra_decls=decls)
+        assert calls and not any(calls), "effectful callee must not lower"
+        want = np.asarray(img)[0] * 24 * 0.01
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-5)
+
     def test_image_store_in_loop_falls_back(self, monkeypatch):
         body = """
             ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
