@@ -134,10 +134,8 @@ _BUILTINS = {
 class ScalarRef:
     """Execute a compute shader per pixel in sequential GLSL semantics."""
 
-    def __init__(self, src, images, params=None, time=0.0):
-        self.shader = parse_shader_source(src)
-        if self.shader.stage != "compute":
-            raise RefUnsupported("fragment stage")
+    def __init__(self, src, images, params=None, time=0.0, stage="compute"):
+        self.shader = parse_shader_source(src, stage)
         if self.shader.ssbos or self.shader.shared:
             raise RefUnsupported("ssbo/shared")
         self.params = dict(params or {})
@@ -157,6 +155,11 @@ class ScalarRef:
                 z = np.zeros((4, self.h, self.w))
                 z[3] = 1.0
                 self.images[img.name] = z
+        if self.shader.stage == "fragment":
+            for nm in ["output_image"] + list(self.shader.frag_outputs[1:]):
+                declared.add(nm)
+                if nm not in self.images:
+                    self.images[nm] = np.zeros((4, self.h, self.w))
         for name in images:
             assert name in declared, name
         # Written and read image sets (AST pre-scan): read-after-write of
@@ -245,6 +248,15 @@ class ScalarRef:
         lsx, lsy, _ = self.shader.local_size
         g["gl_LocalInvocationID"] = [x % lsx, y % lsy, 0]
         g["gl_WorkGroupID"] = [x // lsx, y // lsy, 0]
+        if self.shader.stage == "fragment":
+            g["gl_FragCoord"] = [x + 0.5, y + 0.5, 0.0, 1.0]
+            for vtype, vname in self.shader.frag_inputs:
+                if vtype == "vec2":
+                    g[vname] = [(x + 0.5) / self.w, (y + 0.5) / self.h]
+                else:
+                    g[vname] = self._zero(vtype)
+            for vname in self.shader.frag_outputs:
+                g[vname] = [0.0, 0.0, 0.0, 0.0]
         for ubo in self.shader.ubos:
             if ubo.instance_name:
                 raise RefUnsupported("ubo instance blocks")
@@ -269,6 +281,17 @@ class ScalarRef:
             self.call_fn(self.shader.functions["main"], [], [g])
         except _Return:
             pass
+        if self.shader.stage == "fragment":
+            # The first frag output IS the node's output_image (the
+            # engine's vkutils.rs:175-177 exemption analog); journal it
+            # after all program writes (clock 'z' sorts last).
+            names = ["output_image"] + list(self.shader.frag_outputs[1:])
+            for img_name, vname in zip(names, self.shader.frag_outputs):
+                val = g[vname]
+                self._journal.append((
+                    (("z", 0),), img_name, x, y,
+                    [float(val[c]) for c in range(4)],
+                ))
 
     def call_fn(self, fn, args, outer_scopes):
         scope = dict()

@@ -56,6 +56,28 @@ def test_shipped_shader_matches_scalar_ref(stem):
     np.testing.assert_allclose(got, want, atol=3e-4, err_msg=stem)
 
 
+def test_fragment_shader_matches_scalar_ref():
+    # crt.frag: fragment stage — uv varying, gl_FragCoord, sampler.
+    path = os.path.join(SHADER_DIR, "crt.frag")
+    with open(path) as f:
+        src = f.read()
+    spec = translate_shader(src, "crt", stage="fragment")
+    h, w = 10, 12
+    rng = np.random.default_rng(5)
+    base = rng.random((4, h, w)).astype(np.float32)
+    params = spec.resolve_params({})
+    ctx = KernelContext(width=w, height=h, time=0.0)
+    got = np.asarray(
+        spec(ctx, {"input_image": jnp.asarray(base)}, params)["output_image"],
+        np.float64,
+    )
+    ref = ScalarRef(
+        src, {"input_image": base}, params=params, stage="fragment"
+    )
+    want = ref.run()["output_image"]
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_loop_fuzz_matches_scalar_ref(seed):
     # Reuse the loop-grammar generator: the scalar reference is a second,
