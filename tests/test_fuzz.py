@@ -412,3 +412,141 @@ def test_loop_shader_differential_fuzz(seed, tmp_path):
     )
     want = _loop_oracle(p, base)
     np.testing.assert_allclose(got, want, atol=3e-5, err_msg=str(p))
+
+
+# ---- general shader differential fuzz (oracle: tests/scalar_ref.py) ------
+#
+# Random straight-line + branching shaders over a small grammar: swizzle
+# reads/writes, compound assignment, nested per-pixel if/else, static
+# loops, user functions with out-params, ternaries.  The sequential
+# scalar reference executes the same AST per pixel, so no per-template
+# hand-written oracle is needed — anything the grammar emits is checked.
+
+def _expr(rng, depth, vars_f, vars_v3):
+    """A random float-typed GLSL expression string."""
+    if depth <= 0 or rng.random() < 0.3:
+        leaf = rng.integers(0, 4)
+        if leaf == 0 and vars_f:
+            return str(rng.choice(vars_f))
+        if leaf == 1 and vars_v3:
+            v = rng.choice(vars_v3)
+            return f"{v}.{rng.choice(list('xyz'))}"
+        if leaf == 2:
+            return f"c.{rng.choice(list('rgb'))}"
+        return f"{rng.uniform(-1.5, 1.5):.3f}"
+    kind = rng.integers(0, 6)
+    a = _expr(rng, depth - 1, vars_f, vars_v3)
+    b = _expr(rng, depth - 1, vars_f, vars_v3)
+    if kind == 0:
+        return f"({a} {rng.choice(['+', '-', '*'])} {b})"
+    if kind == 1:
+        return f"min({a}, {b})" if rng.random() < 0.5 else f"max({a}, {b})"
+    if kind == 2:
+        t = _expr(rng, 0, vars_f, vars_v3)
+        return f"mix({a}, {b}, clamp({t}, 0.0, 1.0))"
+    if kind == 3:
+        return f"sqrt(abs({a}))"
+    if kind == 4:
+        return f"({a} > {b} ? {a} : {b})"
+    return f"clamp({a}, -4.0, 4.0)"
+
+
+def _stmt(rng, depth, vars_f, vars_v3, lines):
+    k = rng.integers(0, 7)
+    if k == 0 or not vars_f:
+        nm = f"f{len(vars_f)}"
+        lines.append(f"float {nm} = {_expr(rng, 2, vars_f, vars_v3)};")
+        vars_f.append(nm)
+    elif k == 1:
+        nm = f"v{len(vars_v3)}"
+        es = [_expr(rng, 1, vars_f, vars_v3) for _ in range(3)]
+        lines.append(f"vec3 {nm} = vec3({es[0]}, {es[1]}, {es[2]});")
+        vars_v3.append(nm)
+    elif k == 2:
+        v = rng.choice(vars_f)
+        op = rng.choice(["=", "+=", "*=", "-="])
+        lines.append(f"{v} {op} {_expr(rng, 2, vars_f, vars_v3)};")
+    elif k == 3 and vars_v3:
+        v = rng.choice(vars_v3)
+        sw = rng.choice(["x", "y", "xz", "yx"])
+        if len(sw) == 1:
+            lines.append(f"{v}.{sw} = {_expr(rng, 1, vars_f, vars_v3)};")
+        else:
+            a = _expr(rng, 1, vars_f, vars_v3)
+            b = _expr(rng, 1, vars_f, vars_v3)
+            lines.append(f"{v}.{sw} = vec2({a}, {b});")
+    elif k == 4 and depth > 0:
+        cond = f"{_expr(rng, 1, vars_f, vars_v3)} > {rng.uniform(-0.5, 0.8):.3f}"
+        then, other = [], []
+        # Block scope: declarations inside a branch must not escape.
+        tf, tv = list(vars_f), list(vars_v3)
+        for _ in range(int(rng.integers(1, 3))):
+            _stmt(rng, depth - 1, tf, tv, then)
+        ef, ev = list(vars_f), list(vars_v3)
+        for _ in range(int(rng.integers(0, 2))):
+            _stmt(rng, depth - 1, ef, ev, other)
+        body = "\n".join(then)
+        lines.append(f"if ({cond}) {{\n{body}\n}}" + (
+            f" else {{\n" + "\n".join(other) + "\n}" if other else ""
+        ))
+    elif k == 5:
+        v = rng.choice(vars_f)
+        n = int(rng.integers(2, 5))
+        e = _expr(rng, 1, vars_f, vars_v3)
+        lines.append(
+            f"for (int i = 0; i < {n}; i++) {{ "
+            f"{v} = {v} * 0.7 + {e} * 0.1; }}"
+        )
+    else:
+        v = rng.choice(vars_f)
+        lines.append(f"{v} = helper({_expr(rng, 1, vars_f, vars_v3)}, {v});")
+
+
+def _gen_expr_shader(seed):
+    rng = np.random.default_rng(7700 + seed)
+    vars_f, vars_v3, lines = [], [], []
+    lines.append("float f0 = c.r * 2.0 - 0.5;")
+    vars_f.append("f0")
+    for _ in range(int(rng.integers(5, 11))):
+        _stmt(rng, 2, vars_f, vars_v3, lines)
+    r = _expr(rng, 2, vars_f, vars_v3)
+    gch = _expr(rng, 2, vars_f, vars_v3)
+    bch = f"{rng.choice(vars_v3)}.y" if vars_v3 else "c.b"
+    body = "\n    ".join(lines)
+    return f"""#version 450
+layout(local_size_x = 16, local_size_y = 16) in;
+layout(binding = 0, rgba32f) uniform readonly image2D input_image;
+layout(binding = 1, rgba32f) uniform writeonly image2D output_image;
+float helper(float x, inout float acc) {{
+    acc = acc * 0.9 + x * 0.1;
+    if (x > 0.5) {{ return x * 0.5; }}
+    return x + 0.125;
+}}
+void main() {{
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    {body}
+    imageStore(output_image, pos, vec4({r}, {gch}, {bch}, 1.0));
+}}
+"""
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_expr_shader_differential_fuzz(seed):
+    from reforge_tpu.glsl import translate_shader
+    from reforge_tpu.kernels.base import KernelContext
+
+    from scalar_ref import ScalarRef
+
+    src = _gen_expr_shader(seed)
+    spec = translate_shader(src, f"exprfuzz{seed}")
+    h, w = 9, 11
+    rng = np.random.default_rng(300 + seed)
+    base = rng.random((4, h, w)).astype(np.float32)
+    ctx = KernelContext(width=w, height=h, time=0.0)
+    got = np.asarray(
+        spec(ctx, {"input_image": jnp.asarray(base)},
+             spec.resolve_params({}))["output_image"]
+    )
+    want = ScalarRef(src, {"input_image": base}).run()["output_image"]
+    np.testing.assert_allclose(got, want, atol=5e-4, err_msg=src)
