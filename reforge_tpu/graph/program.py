@@ -697,6 +697,7 @@ class GraphProgram:
             file_input, t, plan["stages"], n_bufs,
             plan["rh_in"], plan["ew_in"], tile_h,
             row0_base=row0_base, store1=plan["store1"],
+            store1_id=(self.fmt == "rgba32f"),
         )
 
     def _bundle_groups(self, layer) -> tuple[list, list]:

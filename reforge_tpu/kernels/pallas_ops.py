@@ -2143,7 +2143,7 @@ def _graph_strip_kernel_mc(
     *maybe_xf32,
     stages: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_in: int, w_base: int, in_h: int, in_w: int, store1,
-    pad_edge_mode: bool = True,
+    pad_edge_mode: bool = True, store1_id: bool = False,
 ):
     """Execute the staged plan on one channel-full strip (see module note
     above).  ``bufs`` is the (n_bufs, 4, strip_rows, w_total) intermediate
@@ -2201,19 +2201,12 @@ def _graph_strip_kernel_mc(
             return scratch[slot, :, rs, cs]
         return bufs[buf_idx, :, rs, cs]
 
-    def store_block(stage, value):
-        """Write a stage's block, then overwrite out-of-image rows/cols
-        with edge replicas (per-node jnp.pad parity; rows first over the
-        valid cols, then cols over all rows so corners = edge(edge))."""
-        eh, ew = stage.eh, stage.ew
+    def fill_block_edges(b, eh, ew):
+        """Overwrite a pool block's out-of-image rows/cols with edge
+        replicas (per-node jnp.pad parity; rows first over the valid
+        cols, then cols over all rows so corners = edge(edge))."""
         rows = tile_h + 2 * eh
-        cols = out_w + 2 * ew
-        if stage.out_buf == -1:
-            o_ref[:, :, :] = value.astype(o_ref.dtype)
-            return
-        b = stage.out_buf
         r0, c0 = rh_in - eh, w_base - ew
-        bufs[b, :, r0 : r0 + rows, c0 : c0 + cols] = value
         if eh > 0:
             @pl.when(i == 0)
             def _():
@@ -2242,6 +2235,19 @@ def _graph_strip_kernel_mc(
             bufs[b, :, r0 : r0 + rows, hi : hi + ew] = jnp.broadcast_to(
                 bufs[b, :, r0 : r0 + rows, hi - 1 : hi], (4, rows, ew)
             )
+
+    def store_block(stage, value):
+        """Write a stage's block to its target, then edge-fill."""
+        eh, ew = stage.eh, stage.ew
+        rows = tile_h + 2 * eh
+        cols = out_w + 2 * ew
+        if stage.out_buf == -1:
+            o_ref[:, :, :] = value.astype(o_ref.dtype)
+            return
+        b = stage.out_buf
+        r0, c0 = rh_in - eh, w_base - ew
+        bufs[b, :, r0 : r0 + rows, c0 : c0 + cols] = value
+        fill_block_edges(b, eh, ew)
 
     t_s = t_ref[0, 0]
     row0_strip = r0_ref[0, 0] + i * tile_h  # global row of output row 0
@@ -2277,13 +2283,25 @@ def _graph_strip_kernel_mc(
             out_cols = out_w + 2 * ew
             off_h = rh_in - eh - stage.rh8
             woff = w_base - ew - stage.rw8
+            # When the W pass targets a pool block and no inter-node
+            # quantization applies (rgba32f), its transposed block stores
+            # go STRAIGHT into the pool — the standalone kernel's
+            # schedule.  The tmp round trip (W stores tmp, re-reads it,
+            # copies into the pool via store_block) costs one extra full
+            # write+read of every conv block per strip.
+            direct_buf = None
+            if store1_id:
+                if stage.epilogue is not None:
+                    direct_buf = stage.blur_buf
+                elif stage.out_buf >= 0:
+                    direct_buf = stage.out_buf
             blur_parts = []
             for c in range(4):
                 # H pass stores accumulator blocks TRANSPOSED straight
                 # into the (w_total, rows) buffer the W pass reads; the
-                # W pass stores transposed back into natural orientation
-                # (reusing ``tmp``).  Block-granular transposes inside
-                # the tap stores skip both bulk `.T` roundtrips.
+                # W pass stores transposed back into natural orientation.
+                # Block-granular transposes inside the tap stores skip
+                # both bulk `.T` roundtrips.
                 _blocked_taps(
                     lambda r, blk, cc, L, _c=c: src(
                         _c, slice(off_h + r, off_h + r + blk),
@@ -2296,6 +2314,23 @@ def _graph_strip_kernel_mc(
                     tmp.shape[1],
                     [stage.wh],
                 )
+                if direct_buf is not None:
+                    r0, c0 = rh_in - eh, w_base - ew
+                    _blocked_taps(
+                        lambda r, blk, cc, L: tmp_t[
+                            woff + r : woff + r + blk, cc : cc + L
+                        ],
+                        lambda ki, r, n, cc, L, acc, _c=c: bufs.__setitem__(
+                            (direct_buf, _c,
+                             slice(r0 + cc, r0 + cc + L),
+                             slice(c0 + r, c0 + r + n)),
+                            acc.T,
+                        ),
+                        out_cols,
+                        out_rows,
+                        [stage.ww],
+                    )
+                    continue
                 _blocked_taps(
                     lambda r, blk, cc, L: tmp_t[
                         woff + r : woff + r + blk, cc : cc + L
@@ -2315,7 +2350,10 @@ def _graph_strip_kernel_mc(
                          rh_in - eh : rh_in - eh + out_rows,
                          w_base - ew : w_base - ew + out_cols] = blur_c
             if stage.epilogue is None:
-                store_block(stage, jnp.stack(blur_parts))
+                if direct_buf is not None:
+                    fill_block_edges(stage.out_buf, eh, ew)
+                else:
+                    store_block(stage, jnp.stack(blur_parts))
             else:
                 blur = bufs[stage.blur_buf, :,
                             rh_in - eh : rh_in - eh + out_rows,
@@ -2390,6 +2428,7 @@ def graph_strip_fused_mc(
     mode: str = "edge",
     row0_base=None,
     store1=None,
+    store1_id: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Execute a staged multi-channel graph plan as ONE fused kernel.
@@ -2414,6 +2453,9 @@ def graph_strip_fused_mc(
                 return v.astype(jnp.bfloat16).astype(jnp.float32)
         else:
             store1 = lambda v: v
+            store1_id = True
+    if _os.environ.get("REFORGE_MC_DIRECT_STORE") == "0":
+        store1_id = False  # A/B: force the tmp-roundtrip W-pass schedule
 
     t_arr = jnp.reshape(jnp.asarray(t, jnp.float32), (1, 1))
     r0_arr = jnp.reshape(
@@ -2440,6 +2482,7 @@ def graph_strip_fused_mc(
             in_w=w,
             store1=store1,
             pad_edge_mode=(mode == "edge"),
+            store1_id=store1_id,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
         grid=(n_tiles,),

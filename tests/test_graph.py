@@ -442,6 +442,38 @@ class TestConvBundling:
         assert got is not None, name
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
 
+    def test_mc_direct_store_bit_equal(self, monkeypatch):
+        """The conv W-pass's direct-to-pool transposed stores (rgba32f)
+        are a pure schedule change: bit-identical to the tmp-roundtrip
+        path (REFORGE_MC_DIRECT_STORE=0)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = self.MC_CASES["conv_of_conv"]
+        graph = build_graph(parse(src, expects_input=True))
+        prog = GraphProgram(graph, 128, 48)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        rng = np.random.default_rng(13)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        direct = np.asarray(prog._strip_fused_forward(img, t))
+        monkeypatch.setenv("REFORGE_MC_DIRECT_STORE", "0")
+        roundtrip = np.asarray(prog._strip_fused_forward(img, t))
+        np.testing.assert_array_equal(direct, roundtrip)
+
     def test_mc_strip_fused_lane_aligned_extents(self, monkeypatch):
         """MC_EW_ALIGN=128 (lane-aligned pool blocks — the wide-frame
         experiment knob) must produce identical results: wider halo
