@@ -415,7 +415,8 @@ class ScalarRef:
                 for values, body in s.cases:
                     if not taking:
                         if values is None or any(
-                            int(self.eval(v, scopes)) == int(sel)
+                            v is None  # `default`
+                            or int(self.eval(v, scopes)) == int(sel)
                             for v in values
                         ):
                             taking = True

@@ -94,3 +94,41 @@ def test_loop_fuzz_matches_scalar_ref(seed):
     src = header + _loop_shader_src(p)
     got, want = _run_both(src, f"sref{seed}", seed=100 + seed, time=0.0)
     np.testing.assert_allclose(got, want, atol=3e-4, err_msg=str(p))
+
+
+def test_switch_dowhile_matrix_matches_scalar_ref():
+    # Constructs the grammar fuzzers don't emit: switch with fallthrough
+    # on a per-pixel selector, do-while, mat2 algebra, ternaries.
+    src = """#version 450
+layout(local_size_x = 16, local_size_y = 16) in;
+layout(binding = 0, rgba32f) uniform readonly image2D input_image;
+layout(binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    int sel = int(c.r * 3.9);
+    float acc = 0.0;
+    switch (sel) {
+        case 0:
+            acc += 0.1;
+        case 1:
+            acc += 0.2;
+            break;
+        case 2:
+            acc = 0.9;
+            break;
+        default:
+            acc = -0.5;
+    }
+    float v = c.g;
+    do {
+        v = v * 0.8 + 0.05;
+    } while (v > 0.3);
+    mat2 rot = mat2(0.8, 0.6, -0.6, 0.8);
+    vec2 p = rot * vec2(c.b - 0.5, c.a - 0.5);
+    float m = p.x > p.y ? p.x : p.y;
+    imageStore(output_image, pos, vec4(acc, v, m, 1.0));
+}
+"""
+    got, want = _run_both(src, "swdm", seed=21)
+    np.testing.assert_allclose(got, want, atol=3e-5)
