@@ -452,7 +452,7 @@ def _expr(rng, depth, vars_f, vars_v3):
 
 
 def _stmt(rng, depth, vars_f, vars_v3, lines):
-    k = rng.integers(0, 7)
+    k = rng.integers(0, 9)
     if k == 0 or not vars_f:
         nm = f"f{len(vars_f)}"
         lines.append(f"float {nm} = {_expr(rng, 2, vars_f, vars_v3)};")
@@ -497,9 +497,34 @@ def _stmt(rng, depth, vars_f, vars_v3, lines):
             f"for (int i = 0; i < {n}; i++) {{ "
             f"{v} = {v} * 0.7 + {e} * 0.1; }}"
         )
-    else:
+    elif k == 6:
         v = rng.choice(vars_f)
         lines.append(f"{v} = helper({_expr(rng, 1, vars_f, vars_v3)}, {v});")
+    elif k == 7:
+        # switch on a small per-pixel selector, with one fallthrough.
+        v = rng.choice(vars_f)
+        sel = _expr(rng, 1, vars_f, vars_v3)
+        e1 = _expr(rng, 1, vars_f, vars_v3)
+        e2 = _expr(rng, 1, vars_f, vars_v3)
+        lines.append(
+            f"switch (int(clamp({sel}, 0.0, 1.0) * 2.9)) {{\n"
+            f"case 0: {v} += {e1};\n"
+            f"case 1: {v} *= 0.75; break;\n"
+            f"default: {v} = {e2};\n}}"
+        )
+    else:
+        # mat2 rotation applied to a fresh vec2.
+        nm = f"f{len(vars_f)}"
+        a = _expr(rng, 1, vars_f, vars_v3)
+        b = _expr(rng, 1, vars_f, vars_v3)
+        ang = rng.uniform(0.1, 1.4)
+        ca, sa = f"{np.cos(ang):.4f}", f"{np.sin(ang):.4f}"
+        lines.append(
+            f"vec2 p{len(vars_f)} = mat2({ca}, {sa}, -{sa}, {ca}) "
+            f"* vec2({a}, {b});"
+        )
+        lines.append(f"float {nm} = p{len(vars_f)}.x + p{len(vars_f)}.y * 0.5;")
+        vars_f.append(nm)
 
 
 def _gen_expr_shader(seed):
