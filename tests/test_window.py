@@ -95,3 +95,48 @@ class TestCliLiveLoopWindowed:
         rc = main(["-i", inp, "--preview", "window", "--frames", "3"])
         assert rc == 0
         assert not pygame.display.get_init()  # loop closed the window
+
+
+class TestKittyPreview:
+    def test_show_emits_kitty_protocol(self, capsys):
+        from reforge_tpu.window import KittyPreview
+
+        kp = KittyPreview(max_cols_px=64)
+        assert kp.target_px() == 64
+        kp.show(frame(h=8, w=10))
+        out = capsys.readouterr().out
+        # APC introducer with transmit+display, zlib payload, final chunk.
+        assert "\x1b_Ga=T,f=32,s=10,v=8,o=z" in out
+        assert out.rstrip().endswith("\x1b\\")
+        # Second frame overdraws in place (cursor home).
+        kp.show(frame(h=8, w=10))
+        assert "\x1b[H" in capsys.readouterr().out
+
+    def test_oversized_frame_strided_fallback(self, capsys):
+        from reforge_tpu.window import KittyPreview
+
+        kp = KittyPreview(max_cols_px=16)
+        kp.show(frame(h=12, w=40))  # direct caller, wider than max
+        out = capsys.readouterr().out
+        # 40 -> ceil(40/16)=3 stride -> 14 cols
+        assert "s=14" in out
+
+
+class TestCliProfileFlag:
+    def test_profile_writes_trace(self, tmp_path):
+        from reforge_tpu.cli import main
+        from reforge_tpu.io import encode
+
+        rgba = frame(h=16, w=20, seed=4)
+        rgba[..., 3] = 255
+        inp = str(tmp_path / "in.png")
+        outp = str(tmp_path / "out.png")
+        encode(inp, rgba)
+        tdir = tmp_path / "trace"
+        rc = main(["-i", inp, "-o", outp, "--profile", str(tdir)])
+        assert rc == 0
+        import glob
+
+        assert glob.glob(str(tdir / "**" / "*.json.gz"), recursive=True) or \
+            glob.glob(str(tdir / "**" / "*.xplane.pb"), recursive=True), \
+            "no profiler artifact written"
