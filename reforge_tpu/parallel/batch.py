@@ -60,11 +60,16 @@ class BatchProgram:
         if mesh is not None:
             from jax import shard_map
 
+            # check_vma=False: pallas_call out_shapes carry no varying-
+            # mesh-axes annotation, so the vma checker would reject the
+            # (legal) per-device Pallas kernels inside the shard_map body
+            # (same as parallel/halo.py).
             fwd = shard_map(
                 _local,
                 mesh=mesh,
                 in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
                 out_specs=P(BATCH_AXIS),
+                check_vma=False,
             )
             batched = NamedSharding(mesh, P(BATCH_AXIS, None, None, None))
             tsharded = NamedSharding(mesh, P(BATCH_AXIS))
