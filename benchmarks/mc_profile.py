@@ -45,6 +45,31 @@ GRAPHS = {
     ),
     # stencil-only (mc wins at 4K already: the control case).
     "sobel": "input -> edge -> output\nedge: sobel {{}}\n",
+    # conv writes a pool block with eh=ew=0 (pointwise consumer):
+    # isolates conv-stores-pool + point-reads-pool against tonemap-blur's
+    # conv-reads-pool and chain3's extent-carrying conv block.
+    "blur-tonemap": (
+        "input -> gs -> tone -> output\n"
+        "gs: gaussian {{ sigma: {sigma} }}\ntone: tonemap {{}}\n"
+    ),
+    # conv -> stencil, no pointwise tail: chain3 minus the tonemap stage.
+    "chain2": (
+        "input -> gs -> edge -> output\n"
+        "gs: gaussian {{ sigma: {sigma} }}\nedge: sobel {{}}\n"
+    ),
+    # stencil -> pointwise (no conv at all): is the stencil stage cheap
+    # when its input is the strip rather than a pool block?
+    "sobel-tonemap": (
+        "input -> edge -> tone -> output\n"
+        "edge: sobel {{}}\ntone: tonemap {{}}\n"
+    ),
+    # point -> conv -> point: the conv both READS and WRITES pool blocks
+    # with zero extents (vs tonemap-blur where it writes o_ref directly).
+    "tm-blur-tm": (
+        "input -> tone -> gs -> tone2 -> output\n"
+        "tone: tonemap {{}}\ngs: gaussian {{ sigma: {sigma} }}\n"
+        "tone2: tonemap {{}}\n"
+    ),
 }
 
 
@@ -100,6 +125,14 @@ def main() -> int:
             plan = prog._strip_plan
             if plan is None or plan[0] != "mc":
                 print(f"# mc plan NOT eligible (got {plan and plan[0]}); "
+                      "skipping variant", file=sys.stderr)
+                continue
+        elif variant == "single":
+            # the single-tier megakernel (input-fed convs + pointwise tail):
+            # the optimized baseline the mc conv stage should match.
+            plan = prog._strip_plan
+            if plan is None or plan[0] != "single":
+                print(f"# single plan NOT eligible (got {plan and plan[0]}); "
                       "skipping variant", file=sys.stderr)
                 continue
         else:
