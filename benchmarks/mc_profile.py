@@ -127,6 +127,20 @@ def main() -> int:
                 print(f"# mc plan NOT eligible (got {plan and plan[0]}); "
                       "skipping variant", file=sys.stderr)
                 continue
+            # The forward silently falls back to per-node when the runtime
+            # tile gate says no (e.g. a REFORGE_MC_TILE_H override that
+            # doesn't divide the height) — measuring THAT as "mc" poisons
+            # sweeps, so check the gate here and skip loudly instead.
+            from reforge_tpu.kernels import pallas_ops as _po
+
+            mcp = plan[1]
+            if _po.mc_strip_tile_h(
+                h, w, mcp["rh_in"], mcp["ew_in"], max(mcp["n_bufs"], 1)
+            ) is None:
+                print("# mc tile gate rejects this height/override; "
+                      "skipping variant (would fall back to per-node)",
+                      file=sys.stderr)
+                continue
         elif variant == "single":
             # the single-tier megakernel (input-fed convs + pointwise tail):
             # the optimized baseline the mc conv stage should match.

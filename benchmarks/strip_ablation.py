@@ -43,7 +43,9 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--size", default="3840x2160")
-    ap.add_argument("--tiles", default="72,80,108")
+    # tiles must divide the frame height AND be sublane (8) multiples —
+    # 108 is not (Mosaic rejects the 108-row output block); 40/72/80 are.
+    ap.add_argument("--tiles", default="40,72,80")
     args = ap.parse_args()
     W, H = (int(v) for v in args.size.split("x"))
     N = args.frames

@@ -53,7 +53,9 @@ _NODE_FN_CACHE_MAX = 512
 # Column-extent alignment for the mc strip plan.  8 = sublane minimum
 # (narrowest blocks); 128 = every intermediate-pool block read/write is
 # lane-aligned at the cost of up to 120 extra halo columns per side.
-MC_EW_ALIGN = 8
+import os as _os  # noqa: E402
+
+MC_EW_ALIGN = int(_os.environ.get("REFORGE_MC_EW_ALIGN", "8"))
 
 
 def _as_f32_scalar(v):
@@ -213,7 +215,11 @@ class GraphProgram:
         Either way the graph executes as ONE Pallas kernel: intermediates
         never touch HBM — the TPU-native answer to the reference's
         one-dispatch-per-node command buffer (command.rs:166-242)."""
-        single = self._plan_strip_single()
+        single = None
+        if not _os.environ.get("REFORGE_FORCE_MC"):
+            # benchmarking knob: route single-tier-eligible graphs through
+            # the mc planner to A/B the two conv stages on the same graph
+            single = self._plan_strip_single()
         if single is not None:
             return ("single",) + single
         mc = self._plan_strip_mc()
