@@ -445,7 +445,6 @@ class GraphProgram:
         # ---- stages + buffer pool (linear-scan reuse) ----------------------
         stage_specs: list = []  # (McStage fields prepared below)
         reads_of: list = []
-        any_epilogue = False
         pre_res_of: dict[int, str] = {}
         for si, (kind, node, extra) in enumerate(nodes):
             out_res = node.outputs[0][0]
@@ -488,9 +487,18 @@ class GraphProgram:
                          fn=make_point_fn(node, ew[out_res]))
                 )
                 reads_of.append(list(in_res))
-            if kind == "conv" and not node.spec.conv_epilogue_identity:
-                any_epilogue = True
 
+        # Cross-strip carry (pallas_ops.McStage.carry): a carried conv's
+        # overlap rows persist from strip i-1 into strip i, so its pool
+        # slot can NEVER be shared with another resource (linear-scan
+        # reuse would let a later stage clobber the carried rows before
+        # the next strip's carry copy reads them).  Identity convs carry
+        # their out_res; epilogue convs carry a private blur slot.
+        carried_out: set = set()
+        for ss in stage_specs:
+            if (ss["kind"] == "conv" and eh[ss["out"]] > 0
+                    and ss["node"].spec.conv_epilogue_identity):
+                carried_out.add(ss["out"])
         last_use: dict[str, int] = {}
         for si, reads in enumerate(reads_of):
             for res in reads:
@@ -503,22 +511,33 @@ class GraphProgram:
             if out_res == FINAL_OUTPUT:
                 buf_of[out_res] = -1
             elif out_res not in buf_of:
-                if free:
+                if out_res in carried_out:
+                    buf_of[out_res] = n_pool  # dedicated, never reused
+                    n_pool += 1
+                elif free:
                     buf_of[out_res] = free.pop()
                 else:
                     buf_of[out_res] = n_pool
                     n_pool += 1
             for res in reads_of[si]:
-                if last_use.get(res) == si and buf_of.get(res, -2) >= 0:
+                if (last_use.get(res) == si and buf_of.get(res, -2) >= 0
+                        and res not in carried_out):
                     free.append(buf_of[res])
-        blur_slot = -3
-        if any_epilogue:
-            blur_slot = n_pool
-            n_pool += 1
+        blur_slot = -3  # shared by non-carried epilogue convs
+        blur_of: dict[int, int] = {}  # stage idx -> private blur slot
+        for si, ss in enumerate(stage_specs):
+            if (ss["kind"] == "conv"
+                    and not ss["node"].spec.conv_epilogue_identity):
+                if eh[ss["out"]] > 0:
+                    blur_of[si] = n_pool
+                    n_pool += 1
+                elif blur_slot == -3:
+                    blur_slot = n_pool
+                    n_pool += 1
 
         # ---- assemble McStages --------------------------------------------
         stages: list = []
-        for ss in stage_specs:
+        for si, ss in enumerate(stage_specs):
             out_res = ss["out"]
             s_eh, s_ew = eh[out_res], ew[out_res]
             out_buf = buf_of[out_res]
@@ -540,7 +559,8 @@ class GraphProgram:
                         in_bufs=in_bufs, wh=whp, ww=wwp, rh8=rh8, rw8=rw8,
                         epilogue=None if identity else make_epilogue(node, s_ew),
                         x_buf=(buf_of[ss["x_res"]] if ss["x_res"] else -3),
-                        blur_buf=(-3 if identity else blur_slot),
+                        blur_buf=(-3 if identity else blur_of.get(si, blur_slot)),
+                        carry=s_eh > 0,
                     )
                 )
             elif ss["kind"] == "stencil":
@@ -559,9 +579,13 @@ class GraphProgram:
                 )
         if buf_of.get(FINAL_OUTPUT) != -1:
             return None  # final output not produced by a staged node
+        eh_max = max(
+            [st.eh for st in stages if st.kind == "conv"], default=0
+        )
         return {
             "stages": stages,
             "n_bufs": n_pool,
+            "eh_max": eh_max,
             "rh_in": rh_in,
             "ew_in": ew_in,
             "input_halo": input_halo,
@@ -696,6 +720,7 @@ class GraphProgram:
         tile_h = pallas_ops.mc_strip_tile_h(
             in_h, self.width, plan["rh_in"], plan["ew_in"], n_bufs,
             itemsize=file_input.dtype.itemsize,
+            min_tile=2 * plan.get("eh_max", 0),
         )
         if tile_h is None:
             return None

@@ -2036,6 +2036,13 @@ class McStage:
     epilogue: Any = None
     x_buf: int = -3                # epilogue's x source (-3 = unused)
     blur_buf: int = -3             # scratch pool slot when epilogue != None
+    # Cross-strip sliding-window carry: when True the planner gave this
+    # conv's result buffer (out_buf, or blur_buf under an epilogue) a
+    # DEDICATED pool slot, so its 2*eh overlap rows persist from strip
+    # i-1 and each strip computes only tile_h fresh rows instead of
+    # tile_h + 2*eh (per-node execution never recomputes halo rows —
+    # this is the mc analog).  Requires tile_h >= 2*eh at runtime.
+    carry: bool = False
     # stencil fields
     r: int = 0
 
@@ -2144,6 +2151,7 @@ def _graph_strip_kernel_mc(
     stages: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_in: int, w_base: int, in_h: int, in_w: int, store1,
     pad_edge_mode: bool = True, store1_id: bool = False,
+    direct_store: bool = True, carry_enabled: bool = True,
 ):
     """Execute the staged plan on one channel-full strip (see module note
     above).  ``bufs`` is the (n_bufs, 4, strip_rows, w_total) intermediate
@@ -2283,78 +2291,114 @@ def _graph_strip_kernel_mc(
             out_cols = out_w + 2 * ew
             off_h = rh_in - eh - stage.rh8
             woff = w_base - ew - stage.rw8
-            # When the W pass targets a pool block and no inter-node
-            # quantization applies (rgba32f), its transposed block stores
-            # go STRAIGHT into the pool — the standalone kernel's
-            # schedule.  The tmp round trip (W stores tmp, re-reads it,
-            # copies into the pool via store_block) costs one extra full
-            # write+read of every conv block per strip.
-            direct_buf = None
-            if store1_id:
-                if stage.epilogue is not None:
-                    direct_buf = stage.blur_buf
-                elif stage.out_buf >= 0:
-                    direct_buf = stage.out_buf
-            blur_parts = []
-            for c in range(4):
-                # H pass stores accumulator blocks TRANSPOSED straight
-                # into the (w_total, rows) buffer the W pass reads; the
-                # W pass stores transposed back into natural orientation.
-                # Block-granular transposes inside the tap stores skip
-                # both bulk `.T` roundtrips.
-                _blocked_taps(
-                    lambda r, blk, cc, L, _c=c: src(
-                        _c, slice(off_h + r, off_h + r + blk),
-                        slice(cc, cc + L)
-                    ),
-                    lambda ki, r, n, cc, L, acc: tmp_t.__setitem__(
-                        (slice(cc, cc + L), slice(r, r + n)), acc.T
-                    ),
-                    out_rows,
-                    tmp.shape[1],
-                    [stage.wh],
-                )
-                if direct_buf is not None:
-                    r0, c0 = rh_in - eh, w_base - ew
+            # The W pass's transposed block stores go STRAIGHT into the
+            # destination (pool block or the output block) — the
+            # standalone kernel's schedule.  The tmp round trip (W stores
+            # tmp, re-reads it, copies out via store_block) costs one
+            # extra full write+read of every conv block per strip.
+            # Inter-node quantization (store1) is elementwise, so it
+            # applies per accumulator block before the store; an
+            # epilogue's blur block stays raw f32 (node-internal).
+            # REFORGE_MC_DIRECT_STORE=0 reverts to the tmp schedule.
+            is_blur = stage.epilogue is not None
+            tgt_buf = stage.blur_buf if is_blur else stage.out_buf
+            raw = is_blur or store1_id  # no store1 on the result blocks
+
+            def w_store_direct(c, r_dst, _tgt=tgt_buf, _raw=raw):
+                c0 = w_base - ew
+                if _tgt == -1:  # the kernel output block (eh == ew == 0)
+                    def st(ki, r, n, cc, L, acc, _c=c, _r0=r_dst - rh_in):
+                        v = acc if _raw else store1(acc)
+                        o_ref[_c, _r0 + cc : _r0 + cc + L, r : r + n] = (
+                            v.astype(o_ref.dtype).T
+                        )
+                else:
+                    def st(ki, r, n, cc, L, acc, _c=c, _r0=r_dst):
+                        v = acc if _raw else store1(acc)
+                        bufs[_tgt, _c, _r0 + cc : _r0 + cc + L,
+                             c0 + r : c0 + r + n] = v.T
+                return st
+
+            def conv_rows(n_rows, r_src, r_dst):
+                """Both separable passes for ``n_rows`` block rows whose
+                first row sits at strip-frame row ``r_dst`` (H-pass
+                source rows start at ``r_src``); results go straight to
+                ``tgt_buf`` (or via tmp when direct stores are off)."""
+                for c in range(4):
+                    # H pass stores accumulator blocks TRANSPOSED
+                    # straight into the (w_total, rows) buffer the W
+                    # pass reads; the W pass stores transposed back into
+                    # natural orientation.  Block-granular transposes
+                    # inside the tap stores skip both bulk `.T`
+                    # roundtrips.
+                    _blocked_taps(
+                        lambda r, blk, cc, L, _c=c: src(
+                            _c, slice(r_src + r, r_src + r + blk),
+                            slice(cc, cc + L)
+                        ),
+                        lambda ki, r, n, cc, L, acc: tmp_t.__setitem__(
+                            (slice(cc, cc + L), slice(r, r + n)), acc.T
+                        ),
+                        n_rows,
+                        tmp.shape[1],
+                        [stage.wh],
+                    )
+                    if direct_store:
+                        _blocked_taps(
+                            lambda r, blk, cc, L: tmp_t[
+                                woff + r : woff + r + blk, cc : cc + L
+                            ],
+                            w_store_direct(c, r_dst),
+                            out_cols,
+                            n_rows,
+                            [stage.ww],
+                        )
+                        continue
                     _blocked_taps(
                         lambda r, blk, cc, L: tmp_t[
                             woff + r : woff + r + blk, cc : cc + L
                         ],
-                        lambda ki, r, n, cc, L, acc, _c=c: bufs.__setitem__(
-                            (direct_buf, _c,
-                             slice(r0 + cc, r0 + cc + L),
-                             slice(c0 + r, c0 + r + n)),
-                            acc.T,
+                        lambda ki, r, n, cc, L, acc: tmp.__setitem__(
+                            (slice(cc, cc + L), slice(r, r + n)), acc.T
                         ),
                         out_cols,
-                        out_rows,
+                        n_rows,
                         [stage.ww],
                     )
-                    continue
-                _blocked_taps(
-                    lambda r, blk, cc, L: tmp_t[
-                        woff + r : woff + r + blk, cc : cc + L
-                    ],
-                    lambda ki, r, n, cc, L, acc: tmp.__setitem__(
-                        (slice(cc, cc + L), slice(r, r + n)), acc.T
-                    ),
-                    out_cols,
-                    out_rows,
-                    [stage.ww],
-                )
-                blur_c = tmp[0:out_rows, 0:out_cols]
-                if stage.epilogue is None:
-                    blur_parts.append(store1(blur_c))
-                else:
-                    bufs[stage.blur_buf, c,
-                         rh_in - eh : rh_in - eh + out_rows,
-                         w_base - ew : w_base - ew + out_cols] = blur_c
-            if stage.epilogue is None:
-                if direct_buf is not None:
-                    fill_block_edges(stage.out_buf, eh, ew)
-                else:
-                    store_block(stage, jnp.stack(blur_parts))
+                    blk_v = tmp[0:n_rows, 0:out_cols]
+                    v = blk_v if raw else store1(blk_v)
+                    if tgt_buf == -1:
+                        o_ref[c, r_dst - rh_in : r_dst - rh_in + n_rows,
+                              :] = v.astype(o_ref.dtype)
+                    else:
+                        bufs[tgt_buf, c, r_dst : r_dst + n_rows,
+                             w_base - ew : w_base - ew + out_cols] = v
+
+            if (carry_enabled and stage.carry and eh > 0
+                    and 2 * eh <= tile_h and tgt_buf >= 0):
+                # Sliding window: the 2*eh overlap rows computed by strip
+                # i-1 (bottom of its block) become strip i's top halo —
+                # only tile_h rows are computed fresh.  Carried rows are
+                # bit-identical to a recompute (_blocked_taps' per-row
+                # arithmetic does not depend on the block's row offset).
+                @pl.when(i > 0)
+                def _():
+                    bufs[tgt_buf, :, rh_in - eh : rh_in + eh, :] = bufs[
+                        tgt_buf, :,
+                        rh_in + tile_h - eh : rh_in + tile_h + eh, :,
+                    ]
+
+                conv_rows(tile_h, off_h + 2 * eh, rh_in + eh)
+
+                @pl.when(i == 0)
+                def _():
+                    # Bootstrap the first strip's top 2*eh rows (there is
+                    # no previous strip to carry from).
+                    conv_rows(2 * eh, off_h, rh_in - eh)
             else:
+                conv_rows(out_rows, off_h, rh_in - eh)
+
+            if is_blur:
                 blur = bufs[stage.blur_buf, :,
                             rh_in - eh : rh_in - eh + out_rows,
                             w_base - ew : w_base - ew + out_cols]
@@ -2363,6 +2407,8 @@ def _graph_strip_kernel_mc(
                     if stage.x_buf != -3 else None
                 )
                 store_block(stage, stage.epilogue(row0, t_s, x_block, blur))
+            elif tgt_buf >= 0:
+                fill_block_edges(tgt_buf, eh, ew)
 
 
 def mc_strip_geometry(h: int, w: int, rh_in: int, ew_in: int):
@@ -2374,7 +2420,7 @@ def mc_strip_geometry(h: int, w: int, rh_in: int, ew_in: int):
 
 def mc_strip_tile_h(
     h: int, w: int, rh_in: int, ew_in: int, n_bufs: int,
-    itemsize: int = 4,
+    itemsize: int = 4, min_tile: int = 0,
 ) -> int | None:
     """Pick tile_h for the mc megakernel, or None when the geometry or
     VMEM model says no.
@@ -2410,7 +2456,8 @@ def mc_strip_tile_h(
 
     best = None
     for tile_h in range(8, min(h // 2, 256) + 1, 8):
-        if h % tile_h or tile_h < rh_in or not fits(tile_h):
+        if (h % tile_h or tile_h < rh_in or tile_h < min_tile
+                or not fits(tile_h)):
             continue
         if best is None or tile_h > best:
             best = tile_h
@@ -2454,8 +2501,10 @@ def graph_strip_fused_mc(
         else:
             store1 = lambda v: v
             store1_id = True
-    if _os.environ.get("REFORGE_MC_DIRECT_STORE") == "0":
-        store1_id = False  # A/B: force the tmp-roundtrip W-pass schedule
+    # A/B knobs: force the tmp-roundtrip W-pass schedule / full halo
+    # recompute per strip
+    direct_store = _os.environ.get("REFORGE_MC_DIRECT_STORE") != "0"
+    carry_enabled = _os.environ.get("REFORGE_MC_CARRY") != "0"
 
     t_arr = jnp.reshape(jnp.asarray(t, jnp.float32), (1, 1))
     r0_arr = jnp.reshape(
@@ -2483,6 +2532,8 @@ def graph_strip_fused_mc(
             store1=store1,
             pad_edge_mode=(mode == "edge"),
             store1_id=store1_id,
+            direct_store=direct_store,
+            carry_enabled=carry_enabled,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
         grid=(n_tiles,),

@@ -474,6 +474,80 @@ class TestConvBundling:
         roundtrip = np.asarray(prog._strip_fused_forward(img, t))
         np.testing.assert_array_equal(direct, roundtrip)
 
+    def test_mc_carry_bit_equal(self, monkeypatch):
+        """The cross-strip sliding-window carry (a conv stage's overlap
+        rows persist from strip i-1 instead of being recomputed) is a
+        pure schedule change: bit-identical to full halo recompute
+        (REFORGE_MC_CARRY=0), across enough strips to chain carries."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = self.MC_CASES["conv_of_conv"]
+        graph = build_graph(parse(src, expects_input=True))
+        prog = GraphProgram(graph, 128, 96)  # 4+ strips at tile 16-24
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        assert any(
+            st.kind == "conv" and st.carry
+            for st in prog._strip_plan[1]["stages"]
+        )
+        rng = np.random.default_rng(29)
+        img = jnp.asarray(rng.random((4, 96, 128), dtype=np.float32))
+        t = jnp.float32(0.1)
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        carried = np.asarray(prog._strip_fused_forward(img, t))
+        monkeypatch.setenv("REFORGE_MC_CARRY", "0")
+        recomputed = np.asarray(prog._strip_fused_forward(img, t))
+        np.testing.assert_array_equal(carried, recomputed)
+
+    def test_mc_direct_store_bit_equal_quantized(self, monkeypatch):
+        """Direct W-pass stores under quantized storage (store1 applied
+        per accumulator block — elementwise, so order-free) match the
+        tmp-roundtrip schedule bit-for-bit for rgba8 and rgba16f."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = self.MC_CASES["conv_of_conv"]
+        rng = np.random.default_rng(31)
+        img32 = rng.random((4, 48, 128), dtype=np.float32)
+        t = jnp.float32(0.2)
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        for fmt in ("rgba8", "rgba16f"):
+            graph = build_graph(parse(src, expects_input=True))
+            prog = GraphProgram(graph, 128, 48, fmt)
+            assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+            x = jnp.asarray(img32).astype(prog.storage_dtype)
+            monkeypatch.setenv("REFORGE_MC_DIRECT_STORE", "1")
+            direct = np.asarray(prog._strip_fused_forward(x, t), np.float32)
+            monkeypatch.setenv("REFORGE_MC_DIRECT_STORE", "0")
+            roundtrip = np.asarray(
+                prog._strip_fused_forward(x, t), np.float32
+            )
+            np.testing.assert_array_equal(direct, roundtrip, err_msg=fmt)
+
     def test_mc_strip_fused_lane_aligned_extents(self, monkeypatch):
         """MC_EW_ALIGN=128 (lane-aligned pool blocks — the wide-frame
         experiment knob) must produce identical results: wider halo
