@@ -2271,17 +2271,31 @@ def _graph_strip_kernel_mc(
             cols = out_w + 2 * stage.ew
             base_r = rh_in - stage.eh - stage.r
             base_c = w_base - stage.ew - stage.r
+            span_c = cols + 2 * stage.r
+
+            # Factored tap loads: a naive tap(dy, dx) re-loads the full
+            # (4, rows, cols) window per tap — (2r+1)^2 block loads, each
+            # paying sublane AND lane misalignment.  Instead each dy row
+            # plane is loaded ONCE (full tap width), and the dx taps are
+            # lane slices of that value: (2r+1) loads + cheap value
+            # slices.  Values are identical (same elements, same math).
+            plane_cache: dict = {}
 
             def tap(dy, dx, _src=src, _rows=rows, _cols=cols,
-                    _br=base_r, _bc=base_c):
-                rd = src_ref(_src)
-                return jnp.stack(
-                    [
-                        rd(c, slice(_br + dy, _br + dy + _rows),
-                           slice(_bc + dx, _bc + dx + _cols))
-                        for c in range(4)
-                    ]
-                )
+                    _br=base_r, _bc=base_c, _span=span_c,
+                    _cache=plane_cache):
+                plane = _cache.get(dy)
+                if plane is None:
+                    rd = src_ref(_src)
+                    plane = jnp.stack(
+                        [
+                            rd(c, slice(_br + dy, _br + dy + _rows),
+                               slice(_bc, _bc + _span))
+                            for c in range(4)
+                        ]
+                    )
+                    _cache[dy] = plane
+                return plane[:, :, dx : dx + _cols]
 
             store_block(stage, stage.fn(row0, t_s, tap, rows, cols))
         else:  # conv
