@@ -21,18 +21,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, reps=3):
+def timeit(fn, *args, reps=3, chain=4):
+    """Best-of-reps; each rep chains ``chain`` async dispatches and
+    forces completion with a 4-byte device reduction fetch (tunnel
+    devices: block_until_ready returns early, and each blocking fetch
+    is a full RTT — amortize it)."""
     import jax
+    import jax.numpy as jnp
 
+    reduce = jax.jit(lambda o: jnp.sum(o[-1]) if o.ndim == 4 else jnp.sum(o))
     out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
+    float(reduce(out))  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        for _i in range(chain):
+            out = fn(*args)
+        float(reduce(out))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / chain
 
 
 def main() -> int:
@@ -96,10 +103,13 @@ def main() -> int:
         res["map_ms_per_frame"] = round(dt / B * 1000, 3)
 
     if "shardmap" in variants:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         bp = BatchProgram(prog, make_batch_mesh(min(B, len(jax.devices()))))
         sb = bp.shard_input(batch)
+        st = jax.device_put(times, NamedSharding(bp.mesh, P("batch")))
         with prof("shardmap"):
-            dt = timeit(bp, sb, times)
+            dt = timeit(bp._fn, sb, st)
         res["shardmap_ms_per_frame"] = round(dt / B * 1000, 3)
 
     if "scan" in variants:

@@ -227,9 +227,18 @@ class GraphProgram:
             return ("mc", mc)
         return None
 
-    def _conv_plan_for(self, node):
+    def _conv_plan_for(self, node, max_taps: int | None = None):
         """(wh, ww) numpy tap vectors when this node is strip-fusable as a
-        separable conv with these params, else None."""
+        separable conv with these params, else None.
+
+        ``max_taps`` defaults to ops.X3_MIN_TAPS: beyond it the per-node
+        standalone MXU x3 conv beats VPU taps, so per-node execution wins
+        unless the CALLER can run the conv on the MXU in-kernel — the
+        single-tier planner raises the cap when graph_strip_fused's x3
+        stage is available (f32, lane-multiple width), which keeps heavy
+        convs (sigma >~ 4.3) inside the megakernel instead of dropping
+        the WHOLE graph to per-node HBM round trips (measured 4K
+        gaussian-sigma8 + tonemap: fused-x3 ~1.1 ms vs per-node 3.0)."""
         from ..kernels import ops as _ops
 
         spec = node.spec
@@ -243,11 +252,20 @@ class GraphProgram:
         if plan is None:
             return None
         taps = len(plan[0]) + len(plan[1])
-        if not (4 <= taps < _ops.X3_MIN_TAPS):
+        if not (4 <= taps < (max_taps or _ops.X3_MIN_TAPS)):
             return None
         return plan
 
     def _plan_strip_single(self):
+        import jax.numpy as _jnp
+
+        # Heavy convs stay fusable when the in-kernel MXU x3 stage can
+        # take them (see _conv_plan_for); the W band needs rw <= 128.
+        max_taps = (
+            200
+            if self.width % 128 == 0 and self.storage_dtype == _jnp.float32
+            else None
+        )
         conv_items: list = []
         pointwise: list = []
         for layer in self.graph.layers:
@@ -260,7 +278,7 @@ class GraphProgram:
                     and node.inputs
                     and node.inputs[0][0] == FILE_INPUT
                 ):
-                    plan = self._conv_plan_for(node)
+                    plan = self._conv_plan_for(node, max_taps)
                     if plan is not None:
                         conv_items.append((node, plan))
                         continue
@@ -653,9 +671,15 @@ class GraphProgram:
                 aux = self._coord_plane_stack
                 plane_idx = {id(node): k for k, node in enumerate(plane_nodes)}
         radii = [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans]
+        x3_min = int(_os.environ.get("REFORGE_STRIP_X3_MIN_TAPS", "64"))
+        n_x3 = (
+            sum(1 for wh, ww in plans if len(wh) + len(ww) >= x3_min)
+            if x3_min > 0 and self.storage_dtype == jnp.float32 else 0
+        )
         tile_h = pallas_ops.multi_tile_h(
             self.width, radii, len(plans), h=in_h,
             n_aux=0 if aux is None else int(aux.shape[0]),
+            n_x3=n_x3,
         )
         if tile_h is None and aux is not None:
             # The coord planes pushed the VMEM model over budget: drop the
@@ -663,7 +687,7 @@ class GraphProgram:
             # the whole megakernel.
             aux, plane_idx = None, {}
             tile_h = pallas_ops.multi_tile_h(
-                self.width, radii, len(plans), h=in_h
+                self.width, radii, len(plans), h=in_h, n_x3=n_x3
             )
         if tile_h is None:
             return None

@@ -553,6 +553,24 @@ def _split3_np(m: np.ndarray) -> np.ndarray:
 _X3_PAIRS = ((0, 0), (0, 1), (1, 0), (0, 2), (1, 1), (2, 0))
 
 
+def _band_matrices_w3_shift(wp: np.ndarray, rw_pad: int,
+                            shift: int = 128) -> np.ndarray:
+    """Three (128, 128) W-band matrices for a 3-tile window whose source
+    origin sits ``shift`` columns left of the output tile's first column.
+
+    Output col q of a tile (strip col ``origin + shift + q``) taps source
+    window col s with lead-padded tap index k = s - shift - q + rw_pad:
+    C_t[p, q] = wp[128 t + p - shift - q + rw_pad].  Used by the strip
+    megakernels, whose data origin (w_base, or a block's w_base - ew) is
+    already lane-aligned — no repadding of the input, unlike the
+    standalone kernel's 64-lane 2-tile layout."""
+    t_p = np.arange(384).reshape(3, 128, 1)
+    q = np.arange(128).reshape(1, 1, 128)
+    k = t_p - shift - q + rw_pad
+    valid = (k >= 0) & (k < len(wp))
+    return np.where(valid, np.asarray(wp, np.float32)[np.clip(k, 0, len(wp) - 1)], 0.0).astype(np.float32)
+
+
 def _band_matrices_w2(weights: np.ndarray) -> np.ndarray:
     """Two (128, 128) matrices for the 2-tile W pass (radius <= 64).
 
@@ -1099,7 +1117,7 @@ def _graph_strip_kernel(
     weights: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_max: int, rw_max: int, epilogue, raw: bool = False,
     in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
-    w_base: int | None = None, n_aux: int = 0,
+    w_base: int | None = None, n_aux: int = 0, x3_idx: tuple = (),
 ):
     """The WHOLE graph in one streaming pass: shared-load convs + a traced
     channel-local epilogue that evaluates every remaining (pointwise) node
@@ -1117,7 +1135,14 @@ def _graph_strip_kernel(
     of being rebuilt on the VPU per channel per frame."""
     if n_aux:
         aux_ref, *refs = refs
-    o_ref, scratch, tmps_t, blur_b, sems, *maybe_xf32 = refs
+    a3_ref = c3_ref = None
+    if x3_idx:
+        a3_ref, c3_ref, *refs = refs
+    o_ref, scratch, tmps_t, blur_b, sems, *rest = refs
+    if x3_idx:
+        xs_s, tmpf_s, ts_s = rest[-3:]
+        rest = rest[:-3]
+    maybe_xf32 = rest
     ci = pl.program_id(0)
     i = pl.program_id(1)
     if w_base is None:
@@ -1171,21 +1196,76 @@ def _graph_strip_kernel(
     else:
         src = lambda r, blk, c, L: scratch[slot, r : r + blk, c : c + L]
 
-    # Shared-load H pass for all convs at once, each accumulator block
-    # stored TRANSPOSED straight into its conv's (w_total, tile_h)
-    # buffer: the W pass needs the transposed orientation anyway, and
-    # transposing at block granularity skips the full-buffer roundtrip
-    # (untransposed write + read + bulk `.T` copy) the old tmp/tmp_t
-    # pair paid per conv per strip.
-    _blocked_taps(
-        src,
-        lambda ki, r, n, c, L, acc: tmps_t.__setitem__(
-            (ki, slice(c, c + L), slice(r, r + n)), acc.T
-        ),
-        tile_h,
-        tmps_t.shape[1],
-        [wh for wh, _ in weights],
-    )
+    # Heavy convs (x3_idx) run both passes as banded MXU matmuls on
+    # bf16x3 splits — f32-exact (see _sep_fused_kernel_mxu_x3), and
+    # sigma-independent where the VPU pays ~13 us per tap.  The strip is
+    # already in VMEM, so unlike the standalone x3 kernel there is no
+    # repad/DMA fixed cost; the split of the strip is shared across all
+    # heavy convs.  The MXU contracts while the VPU runs the remaining
+    # taps/epilogue — different units.
+    if x3_idx:
+        sv = xf32[:, :] if xf32 is not None else scratch[slot]
+        if sv.dtype != jnp.float32:
+            sv = sv.astype(jnp.float32)
+        b0 = sv.astype(jnp.bfloat16)
+        xs_s[0, 0 : strip_rows, :] = b0
+        sv = sv - b0.astype(jnp.float32)
+        b1 = sv.astype(jnp.bfloat16)
+        xs_s[1, 0 : strip_rows, :] = b1
+        xs_s[2, 0 : strip_rows, :] = (
+            sv - b1.astype(jnp.float32)
+        ).astype(jnp.bfloat16)
+        n_wtiles = out_w // 128
+        for m, k in enumerate(x3_idx):
+            # Slice the splits to the real strip rows: the buffer's
+            # bf16 sublane-alignment pad rows are never written
+            # (arbitrary VMEM bits — 0 * NaN would poison the dot).
+            tmpf_s[:, :] = jnp.dot(
+                a3_ref[m, 0], xs_s[0, 0:strip_rows, :],
+                preferred_element_type=jnp.float32,
+            )
+            for a, b in _X3_PAIRS[1:]:
+                tmpf_s[:, :] += jnp.dot(
+                    a3_ref[m, a], xs_s[b, 0:strip_rows, :],
+                    preferred_element_type=jnp.float32,
+                )
+            tv = tmpf_s[:, :]
+            b0 = tv.astype(jnp.bfloat16)
+            ts_s[0, 0 : tile_h, :] = b0
+            tv = tv - b0.astype(jnp.float32)
+            b1 = tv.astype(jnp.bfloat16)
+            ts_s[1, 0 : tile_h, :] = b1
+            ts_s[2, 0 : tile_h, :] = (
+                tv - b1.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+            for j in range(n_wtiles):
+                acc = None
+                for a, b in _X3_PAIRS:
+                    d = jnp.dot(
+                        ts_s[a, 0 : tile_h, 128 * j : 128 * j + 384],
+                        c3_ref[m, b],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = d if acc is None else acc + d
+                blur_b[k, :, 128 * j : 128 * (j + 1)] = acc
+
+    # Shared-load H pass for the remaining (VPU) convs at once, each
+    # accumulator block stored TRANSPOSED straight into its conv's
+    # (w_total, tile_h) buffer: the W pass needs the transposed
+    # orientation anyway, and transposing at block granularity skips the
+    # full-buffer roundtrip (untransposed write + read + bulk `.T` copy)
+    # the old tmp/tmp_t pair paid per conv per strip.
+    vpu_ks = [k for k in range(len(weights)) if k not in x3_idx]
+    if vpu_ks:
+        _blocked_taps(
+            src,
+            lambda ki, r, n, c, L, acc: tmps_t.__setitem__(
+                (vpu_ks[ki], slice(c, c + L), slice(r, r + n)), acc.T
+            ),
+            tile_h,
+            tmps_t.shape[1],
+            [weights[k][0] for k in vpu_ks],
+        )
 
     # W pass per conv, accumulator blocks again stored transposed — back
     # into natural orientation — so the epilogue reads each blur as a
@@ -1193,8 +1273,7 @@ def _graph_strip_kernel(
     # the strip; the taps are padded to rw_max, so the source rows
     # (transposed columns) start w_base-rw_max past the output row.
     woff = w_base - rw_max
-    blurs = []
-    for k, (_, ww) in enumerate(weights):
+    for k in vpu_ks:
         _blocked_taps(
             lambda r, blk, c, L, k=k: tmps_t[
                 k, r + woff : r + woff + blk, c : c + L
@@ -1204,9 +1283,9 @@ def _graph_strip_kernel(
             ),
             out_w,
             tile_h,
-            [ww],
+            [weights[k][1]],
         )
-        blurs.append(blur_b[k])
+    blurs = [blur_b[k] for k in range(len(weights))]
 
     # The strip's center block, for pointwise consumption of the input
     # (bf16 -> f32 upcast is exact, so the staged copy IS the stored
@@ -1299,6 +1378,77 @@ def graph_strip_fused(
     r0_arr = jnp.reshape(
         jnp.asarray(0 if row0_base is None else row0_base, jnp.int32), (1, 1)
     )
+    # Heavy convs run both passes as banded MXU matmuls on bf16x3 splits
+    # (f32-exact; see _sep_fused_kernel_mxu_x3): per-tap VPU cost is
+    # ~13 us x taps while the MXU band is sigma-independent, and the
+    # strip is shared with the VPU convs, so the x3 stage pays extra
+    # strip reads for its splits and a 3-tile W band — measured v5e 4K:
+    # sigma-4 (50 taps) LOSES in-kernel (flagship 2.09 vs 1.67 ms), so
+    # the default threshold is 64 (measured crossover): below it VPU
+    # taps win in-kernel, above it the MXU band wins everywhere.  What
+    # the in-kernel stage buys is keeping heavy convs FUSED: without it
+    # a sigma-8 node dropped the whole graph to per-node execution
+    # (gaussian-s8+tonemap 4K: fused-x3 ~1.1 ms vs per-node 3.0).
+    x3_min = int(_os.environ.get("REFORGE_STRIP_X3_MIN_TAPS", "64"))
+    x3_idx: tuple = ()
+    if (raw and x.dtype == jnp.float32 and w % 128 == 0
+            and RW <= 128 and x3_min > 0):
+        x3_idx = tuple(
+            k for k in range(n)
+            if len(whs[k]) + len(wws[k]) >= x3_min and rws[k] <= 128
+        )
+    n_x3 = len(x3_idx)
+    x3_args = ()
+    x3_specs = []
+    x3_scratch = []
+    if n_x3:
+        sr16 = _round_up(strip_rows, 16)
+        a3 = jnp.asarray(
+            np.stack(
+                [
+                    _split3_np(
+                        _band_matrix_h(
+                            np.asarray(weights[k][0], np.float32),
+                            tile_h, strip_rows,
+                        )
+                    )
+                    for k in x3_idx
+                ]
+            )
+        )
+        c3 = jnp.asarray(
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            np.concatenate(
+                                [
+                                    _split3_np(m)[b]
+                                    for m in _band_matrices_w3_shift(
+                                        np.asarray(weights[k][1], np.float32),
+                                        RW, shift=w_base,
+                                    )
+                                ],
+                                axis=0,
+                            )
+                            for b in range(3)
+                        ]
+                    )
+                    for k in x3_idx
+                ]
+            )
+        )
+        x3_args = (a3, c3)
+        const_spec = lambda shape: pl.BlockSpec(
+            shape, lambda ci, i, _nd=len(shape): (0,) * _nd,
+            memory_space=pltpu.VMEM,
+        )
+        x3_specs = [const_spec(tuple(a3.shape)), const_spec(tuple(c3.shape))]
+        x3_scratch = [
+            pltpu.VMEM((3, sr16, w_total), jnp.bfloat16),
+            pltpu.VMEM((tile_h, w_total), jnp.float32),
+            pltpu.VMEM((3, _round_up(tile_h, 16), w_total), jnp.bfloat16),
+        ]
     n_aux = 0
     aux_args = ()
     aux_specs = []
@@ -1333,6 +1483,7 @@ def graph_strip_fused(
             pad_edge_mode=(pad_mode == "edge"),
             w_base=w_base,
             n_aux=n_aux,
+            x3_idx=x3_idx,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),
@@ -1340,7 +1491,7 @@ def graph_strip_fused(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ] + aux_specs,
+        ] + aux_specs + x3_specs,
         out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -1353,17 +1504,17 @@ def graph_strip_fused(
             if x.dtype != jnp.float32
             and _os.environ.get("REFORGE_BF16_BLOCK_UPCAST") != "1"
             else []
-        ),
+        ) + x3_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, t_arr, r0_arr, *aux_args)
+    )(xp, t_arr, r0_arr, *aux_args, *x3_args)
     return out[:, :h, :]
 
 
 def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None,
-                 n_aux: int = 0) -> int | None:
+                 n_aux: int = 0, n_x3: int = 0) -> int | None:
     """VMEM model for sep_conv_fused_multi: double-buffered strips + n
     H-pass tmps + transpose/accumulator buffers + n double-buffered
     output blocks, against a 30 MB budget — deliberate headroom under
@@ -1376,6 +1527,11 @@ def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None,
     flagship (XLA fuses the slice away either way) but it keeps the
     kernel's output buffer exactly frame-sized, which matters when the
     consumer can't absorb the slice (e.g. donated buffers)."""
+    override = _os.environ.get("REFORGE_STRIP_TILE_H")
+    if override:
+        # On-chip tile sweeps: bypass the VMEM model, keep divisibility.
+        t = int(override)
+        return t if (h is None or h % t == 0) else None
     RH = max(rh for rh, _ in rhs_rws)
     RW = max(rw for _, rw in rhs_rws)
     w_total = _round_up(w + 2 * RW, 128)
@@ -1390,7 +1546,21 @@ def multi_tile_h(w: int, rhs_rws: list, n: int, h: int | None = None,
             + 2 * tile_h * w * 4          # epilogue temporaries
             + 2 * n_aux * tile_h * w * 4  # double-buffered coord planes
         )
-        return use < 30 * 1024 * 1024
+        if n_x3:
+            # MXU x3 conv buffers: shared strip splits + tmp + tmp
+            # splits + per-conv band constants (graph_strip_fused).
+            sr16 = _round_up(strip_rows, 16)
+            use += (
+                3 * sr16 * w_total * 2
+                + tile_h * w_total * 4
+                + 3 * _round_up(tile_h, 16) * w_total * 2
+                + n_x3 * (3 * tile_h * sr16 + 3 * 384 * 128) * 2
+            )
+        # The x3 buffers push past the conservative 30 MB line; the
+        # wrapper's Mosaic scoped limit is 64 MB (v5e: 128 MB physical),
+        # so allow 40 MB rather than shrinking the tile (tile 120 -> 80
+        # measured -0.12 ms on the 4K flagship).
+        return use < (40 if n_x3 else 30) * 1024 * 1024
 
     if h is not None and w % 128 == 0:
         for tile_h in range(128, 40, -8):

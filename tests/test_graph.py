@@ -266,6 +266,54 @@ class TestConvBundling:
         got = np.asarray(prog2._forward(img, jnp.float32(0.0)))  # bundled
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_strip_fused_x3_heavy_conv(self, monkeypatch):
+        """Heavy convs (combined taps >= ops.X3_MIN_TAPS) still plan as a
+        single-tier megakernel at lane-multiple f32 widths — the in-kernel
+        MXU x3 stage takes them — and match per-node execution.  Before
+        the x3 stage, one sigma-8 node dropped the WHOLE graph to
+        per-node HBM round trips (measured 4K: 3.0 -> ~1.1 ms)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = (
+            "input -> gs -> tone -> output\n"
+            "gs: gaussian { sigma: 8.0 }\n"
+            "tone: tonemap { exposure: 1.1 }"
+        )
+        graph = build_graph(parse(src, expects_input=True))
+        prog = GraphProgram(graph, 128, 96)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "single"
+        # narrow widths (no lane multiple): heavy conv stays per-node
+        prog_narrow = GraphProgram(
+            build_graph(parse(src, expects_input=True)), 72, 48
+        )
+        assert prog_narrow._strip_plan is None
+
+        rng = np.random.default_rng(17)
+        img = jnp.asarray(rng.random((4, 96, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        want = np.asarray(prog._forward(img, t))  # per-node (CPU: no pallas)
+
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(pallas_ops, "TRANSPOSE_MIN_WIDTH", 1)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused",
+            functools.partial(pallas_ops.graph_strip_fused, interpret=True),
+        )
+        got = prog._strip_fused_forward(img, t)
+        assert got is not None
+        # x3 runs bf16x3-split MXU dots: f32-exact to ~1 ulp of the
+        # VPU tap chain (measured 3.6e-7 max on the real chip at 4K).
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
+
     def test_strip_fused_matches_per_node(self, monkeypatch):
         """Whole-graph strip megakernel == per-node execution, bitwise-ish."""
         import functools
