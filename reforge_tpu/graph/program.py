@@ -354,18 +354,6 @@ class GraphProgram:
                 return None
         if n_heavy == 0:
             return None  # pointwise-only: plain XLA fusion is already one pass
-        if (
-            any(kind == "conv" for kind, _, _ in nodes)
-            and self.width >= _ops.MC_CONV_MAX_WIDTH
-        ):
-            # Measured on the v5e (tunnel-safe sequenced method): the mc
-            # conv stage loses to per-node execution at 4K — per-node runs
-            # the standalone raw-DMA conv kernel there (blur->sobel->
-            # tonemap 4K: mc 1.65 ms vs per-node 1.13; tonemap->blur 4K:
-            # 1.42 vs 1.37) while mc wins every 1080p case (1.56-1.87x)
-            # and stencil-only 4K (1.59x).  Gate conv-bearing mc plans at
-            # wide frames until the mc conv stage closes the gap.
-            return None
 
         # ---- extent halos (reverse topo; lifts exact, extents 8-aligned) --
         need_h: dict[str, int] = {}
@@ -389,6 +377,24 @@ class GraphProgram:
             for res, _ in node.inputs:
                 need_h[res] = max(need_h.get(res, 0), oh + lift_h)
                 need_w[res] = max(need_w.get(res, 0), ow + lift_w)
+        if self.width >= _ops.MC_CONV_MAX_WIDTH and any(
+            kind == "conv"
+            and (eh[node.outputs[0][0]] > 0 or ew[node.outputs[0][0]] > 0)
+            for kind, node, _ in nodes
+        ):
+            # Shape-aware gate, re-measured round 4 (v5e, 4K, sequenced):
+            # mc plans whose conv stages all have ZERO extent halos win at
+            # any width (tonemap->blur->tonemap 1.68x, sobel->tonemap
+            # 1.57x, tonemap->blur 0.95x) — the conv is "terminal", so the
+            # kernel does no redundant halo-row work and per-node's extra
+            # HBM round trips dominate.  EXTENT-CARRYING convs (a conv
+            # feeding another conv/stencil: chain3 0.78x s2 / 0.56x s4,
+            # blur2 0.42x) structurally lose at wide frames: per-node
+            # standalone convs overlap their HBM traffic with tap compute
+            # (and ride the MXU x3 kernel at >=56 taps), while the mc
+            # kernel serializes everything on the VPU.  Gate only those.
+            return None
+
         rh_in = _r8(need_h.get(_FI, 0))
         ew_in = _rw(need_w.get(_FI, 0))
         input_halo = max(need_h.get(_FI, 0), 1)  # exact rows for halo sharding

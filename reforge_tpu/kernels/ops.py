@@ -97,9 +97,10 @@ def _use_pallas() -> bool:
 # at 4K (BENCH.md).
 X3_MIN_TAPS = 56
 
-# Frame width at which conv-bearing multi-channel strip plans stop paying
-# vs per-node execution (whose convs run the standalone raw-DMA kernel);
-# measured on v5e (graph/program.py::_plan_strip_mc).
+# Frame width at which EXTENT-CARRYING conv stages (a conv whose output
+# feeds another conv/stencil with a halo) stop paying inside the mc
+# megakernel vs per-node execution; zero-extent convs fuse at any width.
+# Measured on v5e (graph/program.py::_plan_strip_mc gate comment).
 MC_CONV_MAX_WIDTH = 2560
 
 
