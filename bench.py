@@ -45,12 +45,22 @@ def main() -> int:
     # would see.
     result = bench_program_sequenced(program, img, frames=frames)
     per_dispatch = bench_program(program, img, frames=min(frames, 60))
+    # The fast mode: rgba16f storage runs the heavy convs as
+    # single-product bf16 MXU band matmuls (half-float render-target
+    # idiom; reference format flag main.rs:34-41).
+    from reforge_tpu.graph.program import GraphProgram
+
+    prog16 = GraphProgram(program.graph, width, height, "rgba16f")
+    img16 = img.astype(prog16.storage_dtype)
+    result16 = bench_program_sequenced(prog16, img16, frames=frames)
     compile_and_run = time.perf_counter() - t0
 
     print(
         f"# backend={jax.default_backend()} devices={len(jax.devices())} "
         f"4K 5-node graph: {result['fps']:.2f} fps "
-        f"({result['ms_per_frame']:.2f} ms/frame) sequenced; "
+        f"({result['ms_per_frame']:.2f} ms/frame) sequenced rgba32f; "
+        f"{result16['fps']:.2f} fps ({result16['ms_per_frame']:.2f} "
+        f"ms/frame) rgba16f fast mode; "
         f"{per_dispatch['fps']:.2f} fps ({per_dispatch['ms_per_frame']:.2f} "
         f"ms/frame) per-dispatch, total {compile_and_run:.1f}s incl. "
         f"warmup/compile",
@@ -63,6 +73,7 @@ def main() -> int:
                 "value": round(result["fps"], 2),
                 "unit": "fps",
                 "vs_baseline": round(result["fps"] / BASELINE_FPS_4K, 3),
+                "rgba16f_fast_mode_fps": round(result16["fps"], 2),
             }
         )
     )

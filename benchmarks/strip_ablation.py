@@ -80,7 +80,7 @@ def main() -> int:
                      sems, *maybe_xf32, weights, tile_h, out_w, n_tiles,
                      strip_rows, rh_max, rw_max, epilogue, raw=False,
                      in_h=0, in_w=0, pad_edge_mode=True, w_base=None,
-                     n_aux=0):
+                     n_aux=0, x3_idx=()):
         """The shipped kernel minus the entire W pass (and its transposed
         stores): the H results stand in for the blurs.  Timing-only."""
         ci = pl.program_id(0)
@@ -124,7 +124,7 @@ def main() -> int:
                         sems, *maybe_xf32, weights, tile_h, out_w, n_tiles,
                         strip_rows, rh_max, rw_max, epilogue, raw=False,
                         in_h=0, in_w=0, pad_edge_mode=True, w_base=None,
-                        n_aux=0):
+                        n_aux=0, x3_idx=()):
         """Pure structural floor: strip DMA + halo fills + grid + one
         center-block copy to the output — zero taps, zero epilogue.
         The delta vs the HBM one-read+one-write bound is the cost of the
@@ -163,11 +163,22 @@ def main() -> int:
     def bench(name, plans_v, epi, tile_h, kern=None):
         pallas_ops._graph_strip_kernel = kern or ORIG
         try:
-            def one(xc):
+            def one(xc, t):
                 return pallas_ops.graph_strip_fused(
-                    xc, jnp.float32(0.3), plans_v, epi, tile_h=tile_h
+                    xc, t, plans_v, epi, tile_h=tile_h
                 )
-            f = jax.jit(lambda x0: lax.fori_loop(0, N, lambda i, c: one(c), x0))
+
+            # Same-input scan with varying t — the render_sequence
+            # structure.  A chained fori (output feeds input) serializes
+            # frame boundaries on the output buffer (read-after-write:
+            # no cross-frame DMA overlap) and measured ~+0.6 ms/frame at
+            # 4K vs production.
+            def seq(x0):
+                def step(c, k):
+                    return one(x0, 0.3 + 0.001 * k.astype(jnp.float32)), None
+                return lax.scan(step, x0, jnp.arange(N))[0]
+
+            f = jax.jit(seq)
             red = jax.jit(jnp.sum)
             t0 = time.perf_counter()
             out = f(img)
@@ -197,6 +208,8 @@ def main() -> int:
           kernel_dma_only)
     for th in (int(v) for v in args.tiles.split(",") if v):
         bench("base (real)", plans, real_epi, th)
+        bench("floor (DMA+grid, no taps)", [(r1, r1)], id_epi, th,
+              kernel_dma_only)
     return 0
 
 

@@ -259,13 +259,10 @@ class GraphProgram:
     def _plan_strip_single(self):
         import jax.numpy as _jnp
 
-        # Heavy convs stay fusable when the in-kernel MXU x3 stage can
-        # take them (see _conv_plan_for); the W band needs rw <= 128.
-        max_taps = (
-            200
-            if self.width % 128 == 0 and self.storage_dtype == _jnp.float32
-            else None
-        )
+        # Heavy convs stay fusable when the in-kernel MXU band stage can
+        # take them (see _conv_plan_for: f32 via bf16x3 splits, bf16
+        # storage via single-product dots); the W band needs rw <= 128.
+        max_taps = 200 if self.width % 128 == 0 else None
         conv_items: list = []
         pointwise: list = []
         for layer in self.graph.layers:
@@ -677,10 +674,16 @@ class GraphProgram:
                 aux = self._coord_plane_stack
                 plane_idx = {id(node): k for k, node in enumerate(plane_nodes)}
         radii = [((len(wh) - 1) // 2, (len(ww) - 1) // 2) for wh, ww in plans]
-        x3_min = int(_os.environ.get("REFORGE_STRIP_X3_MIN_TAPS", "64"))
+        if self.storage_dtype == jnp.bfloat16:
+            # single-product bf16 MXU band convs (no splits): low bar
+            x3_min = int(
+                _os.environ.get("REFORGE_STRIP_MXU_BF16_MIN_TAPS", "24")
+            )
+        else:
+            x3_min = int(_os.environ.get("REFORGE_STRIP_X3_MIN_TAPS", "64"))
         n_x3 = (
             sum(1 for wh, ww in plans if len(wh) + len(ww) >= x3_min)
-            if x3_min > 0 and self.storage_dtype == jnp.float32 else 0
+            if x3_min > 0 and self.storage_dtype != jnp.float64 else 0
         )
         tile_h = pallas_ops.multi_tile_h(
             self.width, radii, len(plans), h=in_h,

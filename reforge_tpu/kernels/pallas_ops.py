@@ -1118,6 +1118,7 @@ def _graph_strip_kernel(
     rh_max: int, rw_max: int, epilogue, raw: bool = False,
     in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
     w_base: int | None = None, n_aux: int = 0, x3_idx: tuple = (),
+    x3_terms: int = 3,
 ):
     """The WHOLE graph in one streaming pass: shared-load convs + a traced
     channel-local epilogue that evaluates every remaining (pointwise) node
@@ -1139,9 +1140,13 @@ def _graph_strip_kernel(
     if x3_idx:
         a3_ref, c3_ref, *refs = refs
     o_ref, scratch, tmps_t, blur_b, sems, *rest = refs
-    if x3_idx:
+    xs_s = None
+    if x3_idx and x3_terms == 3:
         xs_s, tmpf_s, ts_s = rest[-3:]
         rest = rest[:-3]
+    elif x3_idx:
+        tmpf_s, ts_s = rest[-2:]
+        rest = rest[:-2]
     maybe_xf32 = rest
     ci = pl.program_id(0)
     i = pl.program_id(1)
@@ -1204,43 +1209,50 @@ def _graph_strip_kernel(
     # heavy convs.  The MXU contracts while the VPU runs the remaining
     # taps/epilogue — different units.
     if x3_idx:
-        sv = xf32[:, :] if xf32 is not None else scratch[slot]
-        if sv.dtype != jnp.float32:
-            sv = sv.astype(jnp.float32)
-        b0 = sv.astype(jnp.bfloat16)
-        xs_s[0, 0 : strip_rows, :] = b0
-        sv = sv - b0.astype(jnp.float32)
-        b1 = sv.astype(jnp.bfloat16)
-        xs_s[1, 0 : strip_rows, :] = b1
-        xs_s[2, 0 : strip_rows, :] = (
-            sv - b1.astype(jnp.float32)
-        ).astype(jnp.bfloat16)
+        pairs = _X3_PAIRS if x3_terms == 3 else ((0, 0),)
+        if x3_terms == 3:
+            sv = xf32[:, :] if xf32 is not None else scratch[slot]
+            if sv.dtype != jnp.float32:
+                sv = sv.astype(jnp.float32)
+            b0 = sv.astype(jnp.bfloat16)
+            xs_s[0, 0 : strip_rows, :] = b0
+            sv = sv - b0.astype(jnp.float32)
+            b1 = sv.astype(jnp.bfloat16)
+            xs_s[1, 0 : strip_rows, :] = b1
+            xs_s[2, 0 : strip_rows, :] = (
+                sv - b1.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+            # Slice the splits to the real strip rows below: the
+            # buffer's bf16 sublane-alignment pad rows are never written
+            # (arbitrary VMEM bits — 0 * NaN would poison the dot).
+            xsrc = lambda b: xs_s[b, 0:strip_rows, :]
+        else:
+            # bf16 storage: the strip IS the single term — no splits.
+            xsrc = lambda b: scratch[slot]
         n_wtiles = out_w // 128
         for m, k in enumerate(x3_idx):
-            # Slice the splits to the real strip rows: the buffer's
-            # bf16 sublane-alignment pad rows are never written
-            # (arbitrary VMEM bits — 0 * NaN would poison the dot).
             tmpf_s[:, :] = jnp.dot(
-                a3_ref[m, 0], xs_s[0, 0:strip_rows, :],
+                a3_ref[m, 0], xsrc(0),
                 preferred_element_type=jnp.float32,
             )
-            for a, b in _X3_PAIRS[1:]:
+            for a, b in pairs[1:]:
                 tmpf_s[:, :] += jnp.dot(
-                    a3_ref[m, a], xs_s[b, 0:strip_rows, :],
+                    a3_ref[m, a], xsrc(b),
                     preferred_element_type=jnp.float32,
                 )
             tv = tmpf_s[:, :]
             b0 = tv.astype(jnp.bfloat16)
             ts_s[0, 0 : tile_h, :] = b0
-            tv = tv - b0.astype(jnp.float32)
-            b1 = tv.astype(jnp.bfloat16)
-            ts_s[1, 0 : tile_h, :] = b1
-            ts_s[2, 0 : tile_h, :] = (
-                tv - b1.astype(jnp.float32)
-            ).astype(jnp.bfloat16)
+            if x3_terms == 3:
+                tv = tv - b0.astype(jnp.float32)
+                b1 = tv.astype(jnp.bfloat16)
+                ts_s[1, 0 : tile_h, :] = b1
+                ts_s[2, 0 : tile_h, :] = (
+                    tv - b1.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
             for j in range(n_wtiles):
                 acc = None
-                for a, b in _X3_PAIRS:
+                for a, b in pairs:
                     d = jnp.dot(
                         ts_s[a, 0 : tile_h, 128 * j : 128 * j + 384],
                         c3_ref[m, b],
@@ -1390,9 +1402,19 @@ def graph_strip_fused(
     # a sigma-8 node dropped the whole graph to per-node execution
     # (gaussian-s8+tonemap 4K: fused-x3 ~1.1 ms vs per-node 3.0).
     x3_min = int(_os.environ.get("REFORGE_STRIP_X3_MIN_TAPS", "64"))
+    # bf16 storage (rgba16f): the strip is ALREADY bf16, so MXU band
+    # convs need no splits at all — single-product dots on the raw
+    # strip, matching the per-node prefer_mxu semantics (bf16 operand
+    # rounding is below storage precision).  1/6 the MXU work of the
+    # f32-exact x3 path and zero split passes, so the crossover vs VPU
+    # taps drops far lower.
+    x3_terms = 3
+    if x.dtype == jnp.bfloat16:
+        x3_terms = 1
+        x3_min = int(_os.environ.get("REFORGE_STRIP_MXU_BF16_MIN_TAPS", "24"))
     x3_idx: tuple = ()
-    if (raw and x.dtype == jnp.float32 and w % 128 == 0
-            and RW <= 128 and x3_min > 0):
+    if (raw and w % 128 == 0 and RW <= 128 and x3_min > 0
+            and x.dtype in (jnp.float32, jnp.bfloat16)):
         x3_idx = tuple(
             k for k in range(n)
             if len(whs[k]) + len(wws[k]) >= x3_min and rws[k] <= 128
@@ -1402,11 +1424,19 @@ def graph_strip_fused(
     x3_specs = []
     x3_scratch = []
     if n_x3:
+        import ml_dtypes
+
         sr16 = _round_up(strip_rows, 16)
+
+        def h_terms(mat):
+            if x3_terms == 3:
+                return _split3_np(mat)
+            return np.asarray(mat, ml_dtypes.bfloat16)[None]
+
         a3 = jnp.asarray(
             np.stack(
                 [
-                    _split3_np(
+                    h_terms(
                         _band_matrix_h(
                             np.asarray(weights[k][0], np.float32),
                             tile_h, strip_rows,
@@ -1423,7 +1453,7 @@ def graph_strip_fused(
                         [
                             np.concatenate(
                                 [
-                                    _split3_np(m)[b]
+                                    h_terms(m)[b]
                                     for m in _band_matrices_w3_shift(
                                         np.asarray(weights[k][1], np.float32),
                                         RW, shift=w_base,
@@ -1431,7 +1461,7 @@ def graph_strip_fused(
                                 ],
                                 axis=0,
                             )
-                            for b in range(3)
+                            for b in range(x3_terms)
                         ]
                     )
                     for k in x3_idx
@@ -1444,10 +1474,14 @@ def graph_strip_fused(
             memory_space=pltpu.VMEM,
         )
         x3_specs = [const_spec(tuple(a3.shape)), const_spec(tuple(c3.shape))]
-        x3_scratch = [
-            pltpu.VMEM((3, sr16, w_total), jnp.bfloat16),
+        x3_scratch = (
+            [pltpu.VMEM((3, sr16, w_total), jnp.bfloat16)]
+            if x3_terms == 3 else []
+        ) + [
             pltpu.VMEM((tile_h, w_total), jnp.float32),
-            pltpu.VMEM((3, _round_up(tile_h, 16), w_total), jnp.bfloat16),
+            pltpu.VMEM(
+                (x3_terms, _round_up(tile_h, 16), w_total), jnp.bfloat16
+            ),
         ]
     n_aux = 0
     aux_args = ()
@@ -1484,6 +1518,7 @@ def graph_strip_fused(
             w_base=w_base,
             n_aux=n_aux,
             x3_idx=x3_idx,
+            x3_terms=x3_terms,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),

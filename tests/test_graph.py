@@ -314,6 +314,21 @@ class TestConvBundling:
         # VPU tap chain (measured 3.6e-7 max on the real chip at 4K).
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
 
+        # rgba16f storage: heavy convs run single-product bf16 MXU band
+        # dots (the per-node prefer_mxu semantics — operand rounding is
+        # below storage precision); bound vs the CPU per-node reference
+        # (f32 compute + bf16 node boundaries) at bf16 precision.
+        graphb = build_graph(parse(src, expects_input=True))
+        progb = GraphProgram(graphb, 128, 96, "rgba16f")
+        assert progb._strip_plan is not None
+        assert progb._strip_plan[0] == "single"
+        xb = img.astype(progb.storage_dtype)
+        wantb = np.asarray(progb._forward(xb, t), np.float32)
+        gotb = progb._strip_fused_forward(xb, t)
+        assert gotb is not None
+        db = np.abs(np.asarray(gotb, np.float32) - wantb)
+        assert db.max() <= 2e-2, db.max()
+
     def test_strip_fused_matches_per_node(self, monkeypatch):
         """Whole-graph strip megakernel == per-node execution, bitwise-ish."""
         import functools
