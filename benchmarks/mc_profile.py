@@ -73,7 +73,7 @@ GRAPHS = {
 }
 
 
-def build(graph_src, w, h, force_mc):
+def build(graph_src, w, h, force_mc, fmt="rgba32f"):
     from reforge_tpu.config import parse
     from reforge_tpu.graph import build_graph, make_program
     from reforge_tpu.kernels import ops as _ops
@@ -83,7 +83,7 @@ def build(graph_src, w, h, force_mc):
         _ops.MC_CONV_MAX_WIDTH = 1 << 30
     try:
         cfg = parse(graph_src, expects_input=True)
-        prog = make_program(build_graph(cfg), w, h)
+        prog = make_program(build_graph(cfg), w, h, fmt)
     finally:
         _ops.MC_CONV_MAX_WIDTH = old_gate
     return prog
@@ -99,6 +99,8 @@ def main() -> int:
     ap.add_argument("--profile", default=None,
                     help="directory for jax.profiler traces (one per variant)")
     ap.add_argument("--variants", default="mc,pernode")
+    ap.add_argument("--format", default="rgba32f",
+                    choices=["rgba32f", "rgba8", "rgba16f"])
     ap.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args()
 
@@ -120,7 +122,7 @@ def main() -> int:
 
     results = {}
     for variant in args.variants.split(","):
-        prog = build(src, w, h, force_mc=(variant == "mc"))
+        prog = build(src, w, h, force_mc=(variant == "mc"), fmt=args.format)
         if variant == "mc":
             plan = prog._strip_plan
             if plan is None or plan[0] != "mc":
