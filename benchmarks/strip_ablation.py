@@ -80,7 +80,7 @@ def main() -> int:
                      sems, *maybe_xf32, weights, tile_h, out_w, n_tiles,
                      strip_rows, rh_max, rw_max, epilogue, raw=False,
                      in_h=0, in_w=0, pad_edge_mode=True, w_base=None,
-                     n_aux=0, x3_idx=()):
+                     n_aux=0, x3_idx=(), x3_terms=3):
         """The shipped kernel minus the entire W pass (and its transposed
         stores): the H results stand in for the blurs.  Timing-only."""
         ci = pl.program_id(0)
@@ -124,7 +124,7 @@ def main() -> int:
                         sems, *maybe_xf32, weights, tile_h, out_w, n_tiles,
                         strip_rows, rh_max, rw_max, epilogue, raw=False,
                         in_h=0, in_w=0, pad_edge_mode=True, w_base=None,
-                        n_aux=0, x3_idx=()):
+                        n_aux=0, x3_idx=(), x3_terms=3):
         """Pure structural floor: strip DMA + halo fills + grid + one
         center-block copy to the output — zero taps, zero epilogue.
         The delta vs the HBM one-read+one-write bound is the cost of the
@@ -160,8 +160,29 @@ def main() -> int:
 
     img = make_test_image(H, W)
 
-    def bench(name, plans_v, epi, tile_h, kern=None):
+    # DMA/halo isolation: run the SHIPPED kernel with the strip DMA
+    # and/or the halo synthesis replaced by no-ops (compute reads
+    # whatever VMEM holds — timing-only garbage).  base - noDMA is the
+    # EXPOSED DMA cost under full tap load: ~0 means the double-buffer
+    # hides it; large means the waits serialize against compute.
+    ORIG_DMA = pallas_ops._strip_dma_fn
+    ORIG_HALO = pallas_ops._strip_fill_halos
+
+    def _noop_dma(*a, **k):
+        return lambda step, slot, what: None
+
+    def _noop_halo(*a, **k):
+        return None
+
+    def bench(name, plans_v, epi, tile_h, kern=None, no_dma=False,
+              no_halo=False, out_const=False):
         pallas_ops._graph_strip_kernel = kern or ORIG
+        if no_dma:
+            pallas_ops._strip_dma_fn = _noop_dma
+        if no_halo:
+            pallas_ops._strip_fill_halos = _noop_halo
+        if out_const:
+            os.environ["REFORGE_STRIP_OUT_CONST"] = "1"
         try:
             def one(xc, t):
                 return pallas_ops.graph_strip_fused(
@@ -194,10 +215,21 @@ def main() -> int:
             return ms
         finally:
             pallas_ops._graph_strip_kernel = ORIG
+            pallas_ops._strip_dma_fn = ORIG_DMA
+            pallas_ops._strip_fill_halos = ORIG_HALO
+            os.environ.pop("REFORGE_STRIP_OUT_CONST", None)
 
     dirac = (1.0,)
     r1 = (0.25, 0.5, 0.25)
     bench("base (real)", plans, real_epi, 120)
+    bench("base, out=const (timing-only)", plans, real_epi, 120,
+          out_const=True)
+    bench("base, DMA=noop (timing-only)", plans, real_epi, 120, no_dma=True)
+    bench("base, halo=noop", plans, real_epi, 120, no_halo=True)
+    bench("base, DMA+halo=noop", plans, real_epi, 120, no_dma=True,
+          no_halo=True)
+    bench("base, out=const + DMA+halo=noop", plans, real_epi, 120,
+          no_dma=True, no_halo=True, out_const=True)
     bench("skipW (no W taps/stores)", plans, real_epi, 120, kernel_skip_w)
     bench("W=dirac (stores, 2 W taps)", [(wh, dirac) for wh, _ in plans],
           real_epi, 120)

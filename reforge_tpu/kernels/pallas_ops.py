@@ -275,6 +275,16 @@ def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
     via ``_blocked_rows`` (sub-invariant since n == 0 mod 8); ragged
     tails use the exact minimal extent instead."""
     taps = max(len(w) for w in weights_list)
+    # Schedule A/B knobs (read at trace time so in-process sweeps work):
+    #   REFORGE_TAP_SUB     block row count (plane slices amortize over it)
+    #   REFORGE_TAP_PAIR=1  pair equal-weight symmetric taps:
+    #                       (s_k + s_m) * w instead of two mul+adds
+    #   REFORGE_TAP_NOMUL=1 TIMING-ONLY: drop the tap multiplies, to
+    #                       discriminate whether Mosaic fuses mul+add
+    sub = int(_os.environ.get("REFORGE_TAP_SUB", str(sub)))
+    pair_sym = _os.environ.get("REFORGE_TAP_PAIR") == "1"
+    no_mul = _os.environ.get("REFORGE_TAP_NOMUL") == "1"
+    n_stripes = int(_os.environ.get("REFORGE_ACC_STRIPES", str(N_ACC_STRIPES)))
     for c in range(0, n_cols, lanes):
         cl = min(lanes, n_cols - c)
         r = 0
@@ -294,17 +304,40 @@ def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
                 if qmax > 0:
                     planes[p] = cat[p : p + n + 8 * (qmax - 1)]
             slices: dict = {}
+
+            def tap_slice(k):
+                s = slices.get(k)
+                if s is None:
+                    s = planes[k % 8][8 * (k // 8) : 8 * (k // 8) + n]
+                    slices[k] = s
+                return s
+
             for ki, w in enumerate(weights_list):
-                parts = [None] * N_ACC_STRIPES
+                partner = {}
+                if pair_sym:
+                    # Walk the NONZERO span inward (tap vectors are
+                    # lead-padded with zeros, so raw indices don't align
+                    # symmetric weights).
+                    nz = [k for k in range(len(w)) if w[k] != 0.0]
+                    lo, hi = 0, len(nz) - 1
+                    while lo < hi:
+                        if w[nz[lo]] == w[nz[hi]]:
+                            partner[nz[lo]] = nz[hi]
+                            partner[nz[hi]] = nz[lo]
+                        lo += 1
+                        hi -= 1
+                parts = [None] * n_stripes
+                done = set()
                 for k in range(len(w)):
-                    if w[k] == 0.0:
+                    if w[k] == 0.0 or k in done:
                         continue
-                    s = slices.get(k)
-                    if s is None:
-                        s = planes[k % 8][8 * (k // 8) : 8 * (k // 8) + n]
-                        slices[k] = s
-                    term = s * w[k]
-                    j = k % N_ACC_STRIPES
+                    s = tap_slice(k)
+                    m = partner.get(k)
+                    if m is not None:
+                        s = s + tap_slice(m)
+                        done.add(m)
+                    term = s if no_mul else s * w[k]
+                    j = k % n_stripes
                     parts[j] = term if parts[j] is None else parts[j] + term
                 parts = [p for p in parts if p is not None]
                 if not parts:  # degenerate all-zero taps
@@ -1527,8 +1560,16 @@ def graph_strip_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + aux_specs + x3_specs,
-        out_specs=pl.BlockSpec((1, tile_h, w), lambda ci, i: (ci, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w),
+            # REFORGE_STRIP_OUT_CONST=1: timing-only A/B that pins the out
+            # block index (one HBM store per frame) to expose how much of
+            # the out-pipeline store cost the schedule fails to overlap.
+            (lambda ci, i: (0, 0, 0))
+            if _os.environ.get("REFORGE_STRIP_OUT_CONST") == "1"
+            else (lambda ci, i: (ci, i, 0)),
+            memory_space=pltpu.VMEM,
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, strip_rows, w_total), x.dtype),
             pltpu.VMEM((n, w_total, tile_h), jnp.float32),
