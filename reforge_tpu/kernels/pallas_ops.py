@@ -267,6 +267,14 @@ def _blocked_taps(src_block, accumulate, out_rows, n_cols, weights_list,
       ``sub`` is large (128) so the 8 phase slices amortize over many
       output rows (at sub=8 the planes dominate and it loses).
 
+    Round-4 campaign (BENCH.md "definitive budget"): Mosaic issues the
+    tap mul and the accumulate add as SEPARATE VPU ops (no FMA — the
+    no-mul A/B saves 39% of the flagship frame), so a tap's true cost is
+    two 8.6 us whole-frame op passes; with planes and merges counted the
+    op model reproduces the measured frame time to 1%.  Symmetric-tap
+    pairing, sub=64/256, and 6 stripes all measured neutral-to-worse on
+    hardware — this schedule is at its issue-count floor for f32 taps.
+
     Striping reorders the tap sum (ascending within a stripe, then a
     balanced merge), which moves results a few f32 ULP — inside every
     kernel tolerance (tests/test_parity.py bounds convs at 32 ULP vs a
