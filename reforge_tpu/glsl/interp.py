@@ -605,6 +605,69 @@ class Interp:
 
         return walk(body, False)
 
+    @staticmethod
+    def _static_induction_var(s: ast.For):
+        """The induction variable name of a For whose init, bound, and
+        step are integer literals (``for (int k = 0; k < 4; k++)``): such
+        a loop always unrolls with a concrete Python int per iteration —
+        even when traced inside a vectorized while body — so indexing a
+        local array by it stays a static index.  None otherwise."""
+        if not (
+            isinstance(s.init, ast.Decl)
+            and s.init.type in ("int", "uint")
+            and isinstance(s.init.init, ast.Num)
+            and isinstance(s.cond, ast.Binary)
+            and s.cond.op in ("<", "<=")
+            and isinstance(s.cond.left, ast.Ident)
+            and s.cond.left.name == s.init.name
+            and isinstance(s.cond.right, ast.Num)
+            and s.update is not None
+        ):
+            return None
+        u = s.update
+        if (
+            isinstance(u, ast.Unary)
+            and u.op in ("++pre", "++post")
+            and isinstance(u.expr, ast.Ident)
+            and u.expr.name == s.init.name
+        ):
+            return s.init.name
+        if (
+            isinstance(u, ast.Assign)
+            and u.op == "+="
+            and isinstance(u.target, ast.Ident)
+            and u.target.name == s.init.name
+            and isinstance(u.value, ast.Num)
+        ):
+            return s.init.name
+        return None
+
+    def _body_has_own_jump(self, body: list) -> bool:
+        """True when the loop body contains a break/continue binding to
+        THIS loop (not one inside a nested loop/switch, and not return —
+        a return escapes every loop, which the enclosing-boxes path
+        already handles correctly).  Used to force the vectorized
+        lowering for a loop traced inside an enclosing vectorized loop:
+        the unrolled path would record these jumps into the ENCLOSING
+        loop's lane kills."""
+        def walk(stmts):
+            for s in stmts:
+                if isinstance(s, (ast.For, ast.While, ast.DoWhile,
+                                  ast.Switch)):
+                    continue
+                if isinstance(s, (ast.Break, ast.Continue)):
+                    return True
+                if isinstance(s, ast.If):
+                    if walk(s.then):
+                        return True
+                    if s.other is not None and walk(s.other):
+                        return True
+                if isinstance(s, ast.Block) and walk(s.body):
+                    return True
+            return False
+
+        return walk(body)
+
     def _body_has_return(self, body: list) -> bool:
         """True when the loop body contains a lexical `return` (calls are
         by name, so user-function bodies are never descended into)."""
@@ -635,18 +698,46 @@ class Interp:
         loop_scope = scope.child()
         if s.init is not None:
             self.exec_stmt(s.init, loop_scope)
-        if self._body_has_masked_jump(s.body):
+        forced = bool(self._vec_loop_stack) and self._body_has_own_jump(s.body)
+        if forced or self._body_has_masked_jump(s.body):
             # A break/continue under an if may be per-pixel: the unrolled
             # path cannot mask it, so try the vectorized lowering first;
             # its gates (side effects, nesting) fall back to unrolling,
             # which is correct whenever the jump is actually uniform.
+            # Inside an enclosing vectorized loop (`forced`) there is no
+            # fallback: the unrolled path would record this loop's
+            # break/continue into the ENCLOSING loop's lane kills, so a
+            # lowering failure propagates as the diagnostic.
             try:
                 self._exec_loop_vectorized(
                     s.cond, s.body, s.update, loop_scope, s.line
                 )
                 return
             except GlslError:
+                if forced:
+                    raise
                 pass
+        if self.mask is not None:
+            # Under a per-pixel mask every assignment blends with
+            # where(mask, ...), so `k++` would turn the induction var
+            # into a plane and push a perfectly static loop onto the
+            # vectorized path.  A static-shaped For instead unrolls with
+            # a CONCRETE induction value shadowed per iteration (the
+            # fori lowering's trick), keeping loop control uniform and
+            # local-array indexing by the var static.  Bodies that jump
+            # or reassign the var fall through to the generic paths.
+            shape = self._scan_loop_shape(s, loop_scope)
+            if shape is not None and shape[2] <= _MAX_UNROLL:
+                var, start, count, step = shape
+                assigned, _ = self._collect_assigned(s.body)
+                if var not in assigned and not self._body_has_own_jump(s.body):
+                    for t in range(count):
+                        inner = loop_scope.child()
+                        inner.declare(
+                            var, Val(s.init.type, start + step * t)
+                        )
+                        self.exec_block(s.body, inner)
+                    return
         iters = 0
         while True:
             if s.cond is not None:
@@ -675,11 +766,14 @@ class Interp:
                 raise GlslError("loop exceeds unroll limit", s.line)
 
     def exec_while(self, s: ast.While, scope: "_Scope") -> None:
-        if self._body_has_masked_jump(s.body):
+        forced = bool(self._vec_loop_stack) and self._body_has_own_jump(s.body)
+        if forced or self._body_has_masked_jump(s.body):
             try:
                 self._exec_loop_vectorized(s.cond, s.body, None, scope, s.line)
                 return
             except GlslError:
+                if forced:  # see exec_for: no unrolled fallback in here
+                    raise
                 pass
         iters = 0
         while True:
@@ -1044,7 +1138,31 @@ class Interp:
             rv = None
             if retval_proto[0] is not None and "_retval" in final:
                 rv = self._tree_to_val(final["_retval"], retval_proto[0])
-            loop_scope.activation.note_return(final["_returned"], rv)
+            if self._vec_loop_stack:
+                # This loop ran nested inside an enclosing vectorized
+                # loop in the SAME activation context (function calls
+                # swap the stack out, so a callee's loop never lands
+                # here).  A lane that returned in here left the whole
+                # function, so it must also leave the ENCLOSING loop:
+                # record it in that loop's boxes exactly as a direct
+                # `return` statement would, value riding the box blend.
+                # Masks stay disjoint with earlier same-round returns —
+                # the activation's live_mask folded into our initial
+                # active mask, so an already-returned lane never
+                # iterated in here.
+                act, boxes = self._vec_loop_stack[-1]
+                m = final["_returned"]
+                boxes[1] = (
+                    m if boxes[1] is None else jnp.logical_or(boxes[1], m)
+                )
+                if rv is not None:
+                    bv = self._broadcast_val(rv)
+                    boxes[2] = bv if boxes[2] is None else self._blend_val(
+                        m, bv, boxes[2]
+                    )
+                act.note_return(m, None)
+            else:
+                loop_scope.activation.note_return(final["_returned"], rv)
         self.stats["while_loop"] = True
 
     # ---- fori_loop lowering of long uniform loops -----------------------
@@ -1109,6 +1227,11 @@ class Interp:
         construct so the caller's diagnostic states the real cause."""
         ok = True
         self._scan_reject_reason = None
+        # Induction variables of enclosing nested Fors with literal
+        # bounds: such loops unroll with a concrete Python int even
+        # inside the vectorized while body, so `acc[k]` stays a static
+        # index (see _static_induction_var).
+        static_ivs: list = []
 
         def reject(why):
             nonlocal ok
@@ -1139,12 +1262,34 @@ class Interp:
                 # the enclosing activation; a valued return's result
                 # rides the while carry (threaded like discard).
                 return
+            if allow_break and isinstance(node, (ast.For, ast.While,
+                                                 ast.DoWhile)):
+                # Nested loops compose: a literal-bound nested For
+                # unrolls inline during the body trace (its induction
+                # var stays a concrete int, so indexing locals by it is
+                # admitted below); a per-pixel nested loop lowers to its
+                # own nested lax.while_loop (exec_for/exec_while force
+                # that path whenever the nested body binds its own
+                # break/continue — the unrolled fallback would record
+                # those into THIS loop's lane kills).
+                iv = (
+                    self._static_induction_var(node)
+                    if isinstance(node, ast.For) else None
+                )
+                if iv is not None:
+                    static_ivs.append(iv)
+                for field in node.__dataclass_fields__:
+                    walk(getattr(node, field))
+                if iv is not None:
+                    static_ivs.remove(iv)
+                return
             if isinstance(node, (ast.Break, ast.Continue, ast.Return, ast.For,
                                  ast.While, ast.DoWhile, ast.Switch)):
                 reject(
-                    "a nested loop or switch statement"
-                    if isinstance(node, (ast.For, ast.While, ast.DoWhile,
-                                         ast.Switch))
+                    "a nested switch statement"
+                    if isinstance(node, ast.Switch)
+                    else "a nested loop"
+                    if isinstance(node, (ast.For, ast.While, ast.DoWhile))
                     else "break/continue/return here"
                 )
                 return
@@ -1220,8 +1365,12 @@ class Interp:
                     and base.expr.name in self.ssbo_instances
                 )
                 if not is_ssbo and not isinstance(node.index, ast.Num):
-                    reject("a non-literal local array/vector index")
-                    return
+                    if not (
+                        isinstance(node.index, ast.Ident)
+                        and node.index.name in static_ivs
+                    ):
+                        reject("a non-literal local array/vector index")
+                        return
             for field in node.__dataclass_fields__:
                 walk(getattr(node, field))
 
@@ -1408,10 +1557,11 @@ class Interp:
         transitively by _callee_effect_summary and threaded through the
         loop carry) — but not ``barrier`` (divergent barriers are UB in
         GLSL), recursion, or non-atomic writes to shared arrays (the
-        carry threads shared state only for atomics).  Static nested
-        loops are fine (they unroll during the body trace); a nested
-        data-dependent loop raises at trace time and the caller falls
-        back to the unrolled path."""
+        carry threads shared state only for atomics).  Loops in callees
+        compose like loops in the body: static ones unroll during the
+        body trace, per-pixel ones lower to their own nested
+        lax.while_loop (the call machinery swaps the loop stack out, so
+        a callee-loop `return` correctly exits the callee only)."""
         # _seen is the active recursion path; a diamond call graph
         # (f->g->u, f->h->u) must qualify u on both paths.
         seen = _seen if _seen is not None else set()
@@ -1661,7 +1811,8 @@ class Interp:
         return True
 
     def exec_do_while(self, s: ast.DoWhile, scope: "_Scope") -> None:
-        if self._body_has_masked_jump(s.body):
+        forced = bool(self._vec_loop_stack) and self._body_has_own_jump(s.body)
+        if forced or self._body_has_masked_jump(s.body):
             try:
                 # at_least_once: do-while runs the body before the first
                 # condition check.
@@ -1670,6 +1821,8 @@ class Interp:
                 )
                 return
             except GlslError:
+                if forced:  # see exec_for: no unrolled fallback in here
+                    raise
                 pass
         iters = 0
         while True:

@@ -2564,3 +2564,272 @@ void main() {
         np.testing.assert_array_equal(got[0][discarded], 0.0)
         np.testing.assert_allclose(got[0][~discarded], want[~discarded],
                                    atol=1e-5)
+
+
+class TestNestedDataDependentLoops:
+    """Nested loops inside vectorized data-dependent loops (round 4).
+
+    The reference compiles arbitrary conforming GLSL via shaderc
+    (reference: src/vulkan/shader.rs:73-93), including loops in loops.
+    Our lowering composes: a static-bound inner For unrolls inline with
+    a concrete induction var (so `wts[k]` stays a static index even
+    under the outer loop's lane mask), and a per-pixel inner loop
+    lowers to its own nested lax.while_loop whose returned lanes
+    propagate into the enclosing loop's lane kills."""
+
+    def test_static_inner_unrolls_in_dd_loop(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            float wts[4];
+            wts[0] = 0.1; wts[1] = 0.2; wts[2] = 0.3; wts[3] = 0.4;
+            float acc = 0.0;
+            int n = 0;
+            while (acc < 1.0 && n < 30) {
+                for (int k = 0; k < 4; k++) {
+                    acc += v * wts[k];
+                }
+                n++;
+            }
+            imageStore(output_image, pos, vec4(acc, float(n), 0.0, 1.0));
+        """)
+        a = np.asarray(img)[0]
+        accs = np.zeros_like(a)
+        ns = np.zeros_like(a)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                v = np.float32(a[i, j])
+                acc = np.float32(0.0)
+                n = 0
+                while acc < 1.0 and n < 30:
+                    for wt in (0.1, 0.2, 0.3, 0.4):
+                        acc = np.float32(acc + v * np.float32(wt))
+                    n += 1
+                accs[i, j] = acc
+                ns[i, j] = n
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], accs, atol=1e-5)
+        np.testing.assert_array_equal(got[1], ns)
+
+    def test_true_dd_inner_loop(self):
+        # Inner condition per-pixel: a genuine while_loop inside the
+        # outer while_loop's body trace.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            int total = 0;
+            int n = 0;
+            while (n < 6) {
+                float w = v;
+                while (w < 1.0) {
+                    w = w * 2.0 + 0.05;
+                    total++;
+                }
+                v = v * 0.7 + 0.01;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(float(total), v, 0.0, 1.0));
+        """)
+        a = np.asarray(img)[0]
+        tot = np.zeros_like(a)
+        vs = a.copy()
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                v = np.float32(a[i, j])
+                t = 0
+                for _ in range(6):
+                    w = v
+                    while w < 1.0:
+                        w = np.float32(w * 2.0 + np.float32(0.05))
+                        t += 1
+                    v = np.float32(v * np.float32(0.7) + np.float32(0.01))
+                tot[i, j] = t
+                vs[i, j] = v
+        got = np.asarray(out)
+        np.testing.assert_array_equal(got[0], tot)
+        np.testing.assert_allclose(got[1], vs, atol=1e-5)
+
+    def test_inner_loop_per_pixel_break(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            float acc = 0.0;
+            int n = 0;
+            while (n < 8) {
+                int k = 0;
+                while (k < 16) {
+                    acc += v * 0.01;
+                    if (acc > 0.5) break;
+                    k++;
+                }
+                v = v * 1.1;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(acc, v, float(n), 1.0));
+        """)
+        a = np.asarray(img)[0]
+        accs = np.zeros_like(a)
+        vs = a.copy()
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                v = np.float32(a[i, j])
+                acc = np.float32(0.0)
+                for _ in range(8):
+                    k = 0
+                    while k < 16:
+                        acc = np.float32(acc + np.float32(v * np.float32(0.01)))
+                        if acc > 0.5:
+                            break
+                        k += 1
+                    v = np.float32(v * np.float32(1.1))
+                accs[i, j] = acc
+                vs[i, j] = v
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], accs, atol=1e-5)
+        np.testing.assert_allclose(got[1], vs, atol=1e-4)
+
+    def test_return_from_inner_of_two_loops(self):
+        # The double-loop return idiom (raymarch step + refinement):
+        # a lane returning inside the INNER loop must leave the OUTER
+        # loop too — its mask propagates into the enclosing boxes.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            float d = v;
+            for (int i = 0; i < 10; i++) {
+                float s = d;
+                int k = 0;
+                while (s < 2.0 && k < 12) {
+                    s = s + d * 0.3;
+                    if (s > 1.5) {
+                        imageStore(output_image, pos,
+                                   vec4(s, float(i), float(k), 1.0));
+                        return;
+                    }
+                    k++;
+                }
+                d = d * 1.2 + 0.02;
+                if (d > 3.0) break;
+            }
+            imageStore(output_image, pos, vec4(-1.0, d, 0.0, 1.0));
+        """)
+        a = np.asarray(img)[0]
+        want = np.zeros((4,) + a.shape, np.float32)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                d = np.float32(a[i, j])
+                hit = False
+                for it in range(10):
+                    s = d
+                    k = 0
+                    while s < 2.0 and k < 12:
+                        s = np.float32(s + d * np.float32(0.3))
+                        if s > 1.5:
+                            want[:, i, j] = (s, it, k, 1.0)
+                            hit = True
+                            break
+                        k += 1
+                    if hit:
+                        break
+                    d = np.float32(d * np.float32(1.2) + np.float32(0.02))
+                    if d > 3.0:
+                        break
+                if not hit:
+                    want[:, i, j] = (-1.0, d, 0.0, 1.0)
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+    def test_callee_with_dd_loop_called_from_dd_loop(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            float acc = 0.0;
+            int n = 0;
+            while (acc < 2.0 && n < 10) {
+                acc += grow(v);
+                v = v * 1.05;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(acc, float(n), 0.0, 1.0));
+        """, extra_decls="""
+float grow(float x) {
+    float s = x;
+    while (s < 0.5) { s = s * 3.0 + 0.01; }
+    return s;
+}
+""")
+        a = np.asarray(img)[0]
+        accs = np.zeros_like(a)
+        ns = np.zeros_like(a)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                v = np.float32(a[i, j])
+                acc = np.float32(0.0)
+                n = 0
+                while acc < 2.0 and n < 10:
+                    s = v
+                    while s < 0.5:
+                        s = np.float32(s * 3.0 + np.float32(0.01))
+                    acc = np.float32(acc + s)
+                    v = np.float32(v * np.float32(1.05))
+                    n += 1
+                accs[i, j] = acc
+                ns[i, j] = n
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], accs, atol=1e-4)
+        np.testing.assert_array_equal(got[1], ns)
+
+    def test_imagestore_in_inner_loop(self):
+        # A store inside the inner of two dd loops rides both carries.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            int n = 0;
+            while (v < 1.0 && n < 5) {
+                float w = v;
+                while (w < 0.8) {
+                    w = w * 2.0 + 0.1;
+                    imageStore(output_image, pos, vec4(w, float(n), 0.0, 1.0));
+                }
+                v = v + w * 0.3;
+                n++;
+            }
+            if (n == 0) {
+                imageStore(output_image, pos, vec4(v, -1.0, 0.0, 1.0));
+            }
+        """)
+        a = np.asarray(img)[0]
+        want = np.zeros((4,) + a.shape, np.float32)
+        want[3] = 1.0  # unwritten output images read back (0,0,0,1)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                v = np.float32(a[i, j])
+                n = 0
+                stored = None
+                while v < 1.0 and n < 5:
+                    w = v
+                    while w < 0.8:
+                        w = np.float32(w * 2.0 + np.float32(0.1))
+                        stored = (w, n, 0.0, 1.0)
+                    v = np.float32(v + np.float32(w * np.float32(0.3)))
+                    n += 1
+                if n == 0:
+                    stored = (v, -1.0, 0.0, 1.0)
+                if stored is not None:
+                    want[:, i, j] = stored
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+    def test_nested_switch_still_rejected(self):
+        with pytest.raises(GlslError, match="switch"):
+            run_shader("""
+                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+                float v = imageLoad(input_image, pos).r;
+                int n = 0;
+                while (v < 1.0 && n < 10) {
+                    switch (n) {
+                    case 0: v += 0.1; break;
+                    default: v += 0.2; break;
+                    }
+                    n++;
+                }
+                imageStore(output_image, pos, vec4(v));
+            """)
