@@ -143,6 +143,21 @@ def main() -> int:
                       "skipping variant (would fall back to per-node)",
                       file=sys.stderr)
                 continue
+        elif variant == "seg":
+            # segment-level hybrid (the shipped default where the mc gate
+            # rejects the whole graph): fused child megakernels for the
+            # winning segments, per-node for the gated convs.
+            plan = prog._strip_plan
+            if plan is None or plan[0] != "segments":
+                print(f"# segments plan NOT eligible (got {plan and plan[0]}); "
+                      "skipping variant", file=sys.stderr)
+                continue
+            desc = [
+                (s[0], [n.name for n in s[4]]) if s[0] == "seg"
+                else (s[0], s[1].name)
+                for s in plan[1]
+            ]
+            print(f"# segments: {desc}", file=sys.stderr)
         elif variant == "single":
             # the single-tier megakernel (input-fed convs + pointwise tail):
             # the optimized baseline the mc conv stage should match.

@@ -103,6 +103,8 @@ class GraphProgram:
         width: int,
         height: int,
         fmt: str = "rgba32f",
+        *,
+        segments_ok: bool = True,
     ):
         self.graph = graph
         self.width = width
@@ -110,6 +112,7 @@ class GraphProgram:
         self.fmt = fmt
         self.storage_dtype = self.STORAGE_DTYPES.get(fmt, jnp.float32)
         self._fused = jax.jit(self._forward)
+        self._segments_ok = segments_ok
         self._strip_plan = self._plan_strip_fusion()
         self._coord_plane_stack = None  # lazy; see _strip_fused_forward
         self._node_fns: dict[str, Any] = {}
@@ -188,6 +191,8 @@ class GraphProgram:
         strip = self._strip_fused_forward(resources[FILE_INPUT], t)
         if strip is not None:
             return strip
+        if self._strip_plan is not None and self._strip_plan[0] == "segments":
+            return self._segments_forward(resources, ctx, t)
         for layer in self.graph.layers:
             bundles, singles = self._bundle_groups(layer)
             for res, items in bundles:
@@ -225,7 +230,7 @@ class GraphProgram:
         mc = self._plan_strip_mc()
         if mc is not None:
             return ("mc", mc)
-        return None
+        return self._plan_strip_segments()
 
     def _conv_plan_for(self, node, max_taps: int | None = None):
         """(wh, ww) numpy tap vectors when this node is strip-fusable as a
@@ -613,6 +618,162 @@ class GraphProgram:
             "store1": store,
         }
 
+    def _plan_strip_segments(self):
+        """Third fusion tier: when the WHOLE graph can't fuse (an
+        extent-carrying conv gated at wide frames, a GLSL/gather node in
+        the middle), fuse the maximal contiguous SEGMENTS that can and
+        run only the blocking nodes per-node.
+
+        A fusible segment is a topo-contiguous node range with exactly
+        one external image input (its FILE_INPUT) and one exiting
+        resource (its FINAL_OUTPUT); each becomes a child GraphProgram
+        over a renamed subgraph whose own single/mc planner decides
+        eligibility — so every measured fusion gate (extent-carrying
+        convs at >= MC_CONV_MAX_WIDTH, VMEM tile model, width alignment)
+        applies per segment instead of dropping the whole graph to
+        per-node HBM round trips.  4K chain3 (blur -> sobel -> tonemap):
+        the blur stays per-node (where it measures faster — BENCH.md mc
+        table), the sobel -> tonemap tail fuses (1.57x measured).
+
+        The reference has no analog: it always dispatches per node
+        (command.rs:166-242); this tier exists so the fused path's
+        structural gates never cost MORE than the reference's model."""
+        if not self._segments_ok or self.width % 128 != 0:
+            return None
+        order = self.graph.ordered_nodes
+        if len(order) < 2:
+            return None
+        for node in order:
+            if node.spec.ssbos_in or node.spec.ssbos_out:
+                return None  # buffer resources don't rename cleanly
+
+        produced_at = {
+            res: i for i, n in enumerate(order) for res, _ in n.outputs
+        }
+        consumers: dict[str, list[int]] = {}
+        for i, n in enumerate(order):
+            for res, _ in n.inputs:
+                consumers.setdefault(res, []).append(i)
+
+        def segment_io(i: int, j: int):
+            """(r_in, r_out) when order[i..j] has exactly one external
+            input resource and one exiting resource (not also consumed
+            inside), else None."""
+            inside = set(range(i, j + 1))
+            ext_in = {
+                res
+                for k in inside
+                for res, _ in order[k].inputs
+                if produced_at.get(res) not in inside
+            }
+            if len(ext_in) != 1:
+                return None
+            exits = []
+            for k in inside:
+                for res, _ in order[k].outputs:
+                    outside = [
+                        c for c in consumers.get(res, []) if c not in inside
+                    ]
+                    if res == FINAL_OUTPUT or outside:
+                        if any(c in inside for c in consumers.get(res, [])):
+                            return None  # exit read back inside: ambiguous
+                        exits.append(res)
+            if len(exits) != 1:
+                return None
+            return next(iter(ext_in)), exits[0]
+
+        def child_for(i: int, j: int, r_in: str, r_out: str):
+            from . import builder as _builder
+
+            def rename(res: str) -> str:
+                if res == r_in:
+                    return FILE_INPUT
+                if res == r_out:
+                    return FINAL_OUTPUT
+                return res
+
+            sub_nodes = {}
+            for k in range(i, j + 1):
+                n = order[k]
+                sub_nodes[n.name] = PipelineNode(
+                    name=n.name,
+                    spec=n.spec,
+                    inputs=[(rename(r), d) for r, d in n.inputs],
+                    outputs=[(rename(r), d) for r, d in n.outputs],
+                    params=n.params,
+                )
+            layers = _builder._order_by_execution(sub_nodes)
+            if layers is None:
+                return None
+            kinds = {
+                res: "image"
+                for n in sub_nodes.values()
+                for res, _ in list(n.inputs) + list(n.outputs)
+            }
+            sub = BuiltGraph(
+                nodes=sub_nodes, layers=layers, resource_kinds=kinds
+            )
+            return GraphProgram(
+                sub, self.width, self.height, self.fmt, segments_ok=False
+            )
+
+        steps: list = []
+        n_seg = 0
+        i = 0
+        n = len(order)
+        while i < n:
+            accepted = False
+            for j in range(n - 1, i - 1, -1):
+                if i == 0 and j == n - 1:
+                    continue  # the whole graph: both tiers already said no
+                if j == i and order[i].spec.mc_stencil_fn is None:
+                    # single-node segments only pay for stencils (the mc
+                    # stencil stage beats the standalone kernel, 1.5x);
+                    # a lone conv/pointwise fuses to its per-node kernel.
+                    continue
+                io = segment_io(i, j)
+                if io is None:
+                    continue
+                child = child_for(i, j, *io)
+                if child is None or child._strip_plan is None:
+                    continue
+                steps.append(
+                    ("seg", child, io[0], io[1], list(order[i : j + 1]))
+                )
+                n_seg += 1
+                i = j + 1
+                accepted = True
+                break
+            if not accepted:
+                steps.append(("node", order[i]))
+                i += 1
+        if n_seg == 0:
+            return None
+        return ("segments", steps)
+
+    def _segments_forward(self, resources, ctx, t):
+        """Hybrid execution for a ("segments", steps) plan: fused child
+        megakernels for the winning segments, per-node for the rest.
+        Inter-segment values live in inter-node storage semantics either
+        way, so the result is identical to full per-node execution."""
+        for step in self._strip_plan[1]:
+            if step[0] == "seg":
+                _, child, r_in, r_out, orig_nodes = step
+                v = child._strip_fused_forward(resources[r_in], t)
+                if v is None:
+                    # runtime tile gate said no: per-node fallback with
+                    # the original resource names
+                    for node in orig_nodes:
+                        resources.update(self._run_node(node, ctx, resources))
+                else:
+                    resources[r_out] = v
+            else:
+                resources.update(self._run_node(step[1], ctx, resources))
+        out = resources.get(FINAL_OUTPUT)
+        if out is None:
+            raise GraphTraceError("no node wrote the final output")
+        return out
+
     def _strip_fused_forward(self, file_input, t, row0_base=None):
         """Run the whole graph as one strip-fused Pallas kernel, or return
         None when the static plan or runtime gates say no.
@@ -626,6 +787,8 @@ class GraphProgram:
 
         if self._strip_plan is None or not _ops._use_pallas():
             return None
+        if self._strip_plan[0] == "segments":
+            return None  # hybrid plans execute via _segments_forward
         if self._strip_plan[0] == "mc":
             return self._strip_mc_forward(
                 file_input, t, self._strip_plan[1], row0_base

@@ -188,6 +188,11 @@ class HaloShardedProgram:
         prog = self.program
         if not self._mesh_is_tpu or prog._strip_plan is None:
             return None
+        if prog._strip_plan[0] == "segments":
+            # Hybrid plans interleave fused segments with per-node nodes;
+            # the slab executor needs ONE kernel covering the whole graph.
+            # The per-node exchange path below handles these graphs.
+            return None
         if prog._strip_plan[0] == "mc":
             # The mc plan records the whole graph's accumulated input
             # halo; one exchange of that many rows bounds every stage's

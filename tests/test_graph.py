@@ -560,7 +560,10 @@ class TestConvBundling:
             "gs: gaussian { sigma: 2.0 }\nedge: sobel {}\ntone: tonemap {}\n"
         )
         assert plan(tm_blur_tm) == "mc"          # zero-extent conv: fused
-        assert plan(chain3) is None              # conv feeds stencil: gated
+        # conv feeds stencil: the whole-graph mc plan is gated; the
+        # segment tier fuses the stencil+pointwise tail instead
+        # (TestSegmentFusion) and the conv runs per-node.
+        assert plan(chain3) == "segments"
         assert plan(chain3, w=1920, h=1080) == "mc"  # narrow: fused
 
     def test_mc_carry_bit_equal(self, monkeypatch):
@@ -727,3 +730,139 @@ class TestConvBundling:
         assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
         prog64 = GraphProgram(build_graph(parse(src, expects_input=True)), 64, 48)
         assert prog64._strip_plan is None
+
+
+class TestSegmentFusion:
+    """The third fusion tier (program.py::_plan_strip_segments): when the
+    whole graph can't fuse — an extent-carrying conv gated at wide frames
+    (ops.MC_CONV_MAX_WIDTH) or an unfusable node in the middle — the
+    maximal fusible SEGMENTS run as child megakernels and only the
+    blocking nodes run per-node.  Measured 4K chain3: hybrid 0.78 ms vs
+    per-node 1.15 (BENCH.md mc table)."""
+
+    CHAIN3 = (
+        "input -> gs -> edge -> tone -> output\n"
+        "gs: gaussian { sigma: 2 }\nedge: sobel {}\ntone: tonemap {}\n"
+    )
+
+    def _gated(self, monkeypatch, src, w=128, h=48, fmt="rgba32f"):
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+
+        # Gate extent-carrying convs at every width so the segment tier
+        # triggers at test sizes (on hardware it starts at 2560).
+        monkeypatch.setattr(kops, "MC_CONV_MAX_WIDTH", 1)
+        return GraphProgram(build_graph(parse(src, expects_input=True)), w, h,
+                            fmt)
+
+    def test_plan_structure_chain3(self, monkeypatch):
+        prog = self._gated(monkeypatch, self.CHAIN3)
+        plan = prog._strip_plan
+        assert plan is not None and plan[0] == "segments"
+        kinds = [(s[0], s[1].name if s[0] == "node"
+                  else [n.name for n in s[4]]) for s in plan[1]]
+        # the gated conv stays per-node; the stencil+pointwise tail fuses
+        assert kinds == [("node", "gs"), ("seg", ["edge", "tone"])]
+        seg = plan[1][1]
+        assert seg[1]._strip_plan[0] == "mc"
+        assert seg[2] == "gs:output_image"
+
+    def test_two_segments_around_gated_conv(self, monkeypatch):
+        src = (
+            "input -> tm -> gs -> edge -> tm2 -> output\n"
+            "tm: tonemap {}\ngs: gaussian { sigma: 2 }\n"
+            "edge: sobel {}\ntm2: tonemap {}\n"
+        )
+        prog = self._gated(monkeypatch, src)
+        plan = prog._strip_plan
+        assert plan is not None and plan[0] == "segments"
+        segs = [[n.name for n in s[4]] for s in plan[1] if s[0] == "seg"]
+        # tm -> gs fuses (gs is zero-extent INSIDE its child graph);
+        # edge -> tm2 fuses; nothing is left per-node.
+        assert segs == [["tm", "gs"], ["edge", "tm2"]]
+
+    def test_blur2_has_no_segments(self, monkeypatch):
+        # two chained gated convs: no fusible segment (a lone conv
+        # segment buys nothing) — plan None, plain per-node execution.
+        src = (
+            "input -> a -> b -> output\n"
+            "a: gaussian { sigma: 2 }\nb: gaussian { sigma: 2 }\n"
+        )
+        prog = self._gated(monkeypatch, src)
+        assert prog._strip_plan is None
+
+    def test_single_stencil_segment(self, monkeypatch):
+        # conv -> stencil: the lone sobel still fuses (the mc stencil
+        # stage beats the standalone kernel, 1.39x at 4K).
+        src = (
+            "input -> gs -> edge -> output\n"
+            "gs: gaussian { sigma: 2 }\nedge: sobel {}\n"
+        )
+        prog = self._gated(monkeypatch, src)
+        plan = prog._strip_plan
+        assert plan is not None and plan[0] == "segments"
+        kinds = [(s[0], s[1].name if s[0] == "node"
+                  else [n.name for n in s[4]]) for s in plan[1]]
+        assert kinds == [("node", "gs"), ("seg", ["edge"])]
+
+    def test_non_lane_multiple_width_bails(self, monkeypatch):
+        prog = self._gated(monkeypatch, self.CHAIN3, w=120)
+        assert prog._strip_plan is None
+
+    @pytest.mark.parametrize("case", ["chain3", "heads_tails"])
+    def test_segments_match_per_node(self, case, monkeypatch):
+        """Hybrid execution == per-node execution (the child megakernels
+        preserve inter-node storage semantics at segment boundaries)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = {
+            "chain3": self.CHAIN3,
+            "heads_tails": (
+                "input -> tm -> gs -> edge -> tm2 -> output\n"
+                "tm: tonemap {}\ngs: gaussian { sigma: 2 }\n"
+                "edge: sobel {}\ntm2: tonemap {}\n"
+            ),
+        }[case]
+        prog = self._gated(monkeypatch, src)
+        assert prog._strip_plan is not None
+        assert prog._strip_plan[0] == "segments"
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        want = np.asarray(prog._forward(img, t))  # per-node (CPU: no pallas)
+
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        for fname in ("graph_strip_fused_mc", "graph_strip_fused",
+                      "sep_conv_fused", "stencil_apply", "conv1d_h",
+                      "conv1d_w"):
+            monkeypatch.setattr(
+                pallas_ops, fname,
+                functools.partial(getattr(pallas_ops, fname), interpret=True),
+            )
+        got = prog._forward(img, t)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
+
+    def test_runtime_gate_falls_back_per_node(self, monkeypatch):
+        """A child whose runtime tile gate says no executes its original
+        nodes per-node — bit-equal to full per-node execution."""
+        import jax.numpy as jnp
+
+        from reforge_tpu.kernels import ops as kops
+
+        prog = self._gated(monkeypatch, self.CHAIN3)
+        # CPU backend: _use_pallas() False -> every child returns None.
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        got = np.asarray(prog._forward(img, t))
+        prog2 = self._gated(monkeypatch, self.CHAIN3)
+        prog2._strip_plan = None
+        want = np.asarray(prog2._forward(img, t))
+        np.testing.assert_array_equal(got, want)
