@@ -357,6 +357,22 @@ class GraphProgram:
         if n_heavy == 0:
             return None  # pointwise-only: plain XLA fusion is already one pass
 
+        # bf16 storage: heavy conv stages run as single-product MXU band
+        # matmuls inside the mc kernel (McStage.mxu) — sigma-independent
+        # and off the VPU, the same formulation that makes rgba16f the
+        # fast mode in the single-tier kernel (graph_strip_fused).
+        mxu_min_taps = int(
+            _os.environ.get("REFORGE_MC_MXU_BF16_MIN_TAPS", "24")
+        )
+
+        def _conv_mxu(plan) -> bool:
+            wh, ww = plan
+            return (
+                self.storage_dtype == jnp.bfloat16
+                and (len(ww) - 1) // 2 <= 64
+                and len(wh) + len(ww) >= mxu_min_taps
+            )
+
         # ---- extent halos (reverse topo; lifts exact, extents 8-aligned) --
         need_h: dict[str, int] = {}
         need_w: dict[str, int] = {}
@@ -382,7 +398,8 @@ class GraphProgram:
         if self.width >= _ops.MC_CONV_MAX_WIDTH and any(
             kind == "conv"
             and (eh[node.outputs[0][0]] > 0 or ew[node.outputs[0][0]] > 0)
-            for kind, node, _ in nodes
+            and not _conv_mxu(extra)
+            for kind, node, extra in nodes
         ):
             # Shape-aware gate, re-measured round 4 (v5e, 4K, sequenced):
             # mc plans whose conv stages all have ZERO extent halos win at
@@ -395,6 +412,11 @@ class GraphProgram:
             # standalone convs overlap their HBM traffic with tap compute
             # (and ride the MXU x3 kernel at >=56 taps), while the mc
             # kernel serializes everything on the VPU.  Gate only those.
+            # bf16 storage exemption: an MXU-eligible conv stage
+            # (_conv_mxu) runs off the VPU entirely, so it never pays
+            # the serialization this gate exists for — measured v5e 4K
+            # rgba16f chain3-s4: mc-mxu beats both per-node and the
+            # segment hybrid (BENCH.md mc rgba16f table).
             return None
 
         rh_in = _r8(need_h.get(_FI, 0))
@@ -523,7 +545,8 @@ class GraphProgram:
         carried_out: set = set()
         for ss in stage_specs:
             if (ss["kind"] == "conv" and eh[ss["out"]] > 0
-                    and ss["node"].spec.conv_epilogue_identity):
+                    and ss["node"].spec.conv_epilogue_identity
+                    and not _conv_mxu(ss["plan"])):
                 carried_out.add(ss["out"])
         last_use: dict[str, int] = {}
         for si, reads in enumerate(reads_of):
@@ -579,6 +602,7 @@ class GraphProgram:
                 whp = (0.0,) * (rh8 - rh) + tuple(float(v) for v in wh)
                 wwp = (0.0,) * (rw8 - rw) + tuple(float(v) for v in ww)
                 identity = node.spec.conv_epilogue_identity
+                use_mxu = _conv_mxu(ss["plan"])
                 stages.append(
                     McStage(
                         kind="conv", out_buf=out_buf, eh=s_eh, ew=s_ew,
@@ -586,7 +610,8 @@ class GraphProgram:
                         epilogue=None if identity else make_epilogue(node, s_ew),
                         x_buf=(buf_of[ss["x_res"]] if ss["x_res"] else -3),
                         blur_buf=(-3 if identity else blur_of.get(si, blur_slot)),
-                        carry=s_eh > 0,
+                        carry=s_eh > 0 and not use_mxu,
+                        mxu=use_mxu,
                     )
                 )
             elif ss["kind"] == "stencil":

@@ -2297,6 +2297,13 @@ class McStage:
     # tile_h + 2*eh (per-node execution never recomputes halo rows —
     # this is the mc analog).  Requires tile_h >= 2*eh at runtime.
     carry: bool = False
+    # bf16 storage only: run both separable passes as single-product MXU
+    # band matmuls on the raw bf16 strip / bf16-cast pool block (the mc
+    # analog of graph_strip_fused's x3_terms == 1 stage).  The planner
+    # sets this for heavy convs when the storage dtype is bfloat16; the
+    # wrapper builds the band-matrix constants.  Implies carry == False
+    # (the MXU recompute of halo rows is cheaper than the carry copy).
+    mxu: bool = False
     # stencil fields
     r: int = 0
 
@@ -2400,16 +2407,29 @@ def _mc_strip_fill_halos(i, slot, scratch, *, tile_h, strip_rows, rh,
 
 
 def _graph_strip_kernel_mc(
-    x_hbm, t_ref, r0_ref, o_ref, scratch, bufs, tmp, tmp_t, sems,
-    *maybe_xf32,
+    x_hbm, t_ref, r0_ref, *rest,
     stages: tuple, tile_h: int, out_w: int, n_tiles: int, strip_rows: int,
     rh_in: int, w_base: int, in_h: int, in_w: int, store1,
     pad_edge_mode: bool = True, store1_id: bool = False,
     direct_store: bool = True, carry_enabled: bool = True,
+    n_mxu: int = 0, has_xf32: bool = False,
 ):
     """Execute the staged plan on one channel-full strip (see module note
     above).  ``bufs`` is the (n_bufs, 4, strip_rows, w_total) intermediate
-    pool; ``store1`` quantizes a block to inter-node storage semantics."""
+    pool; ``store1`` quantizes a block to inter-node storage semantics.
+
+    When ``n_mxu`` > 0 (bf16 storage with MXU-eligible conv stages) the
+    positional refs gain the stacked band-matrix constants ``a_ref`` /
+    ``c_ref`` after r0_ref and a bf16 H-result staging buffer ``ts_bf``
+    at the tail of the scratch list."""
+    rest = list(rest)
+    a_ref = c_ref = None
+    if n_mxu:
+        a_ref, c_ref = rest.pop(0), rest.pop(0)
+    o_ref, scratch, bufs, tmp, tmp_t, sems = rest[:6]
+    rest = rest[6:]
+    maybe_xf32 = (rest.pop(0),) if has_xf32 else ()
+    ts_bf = rest.pop(0) if n_mxu else None
     i = pl.program_id(0)
 
     dma_do = _mc_strip_dma_fn(
@@ -2514,6 +2534,7 @@ def _graph_strip_kernel_mc(
     t_s = t_ref[0, 0]
     row0_strip = r0_ref[0, 0] + i * tile_h  # global row of output row 0
 
+    _mxu_i = 0  # index into the stacked a_ref/c_ref band constants
     for stage in stages:
         row0 = row0_strip - stage.eh  # global row of the block's first row
         if stage.kind == "point":
@@ -2642,7 +2663,74 @@ def _graph_strip_kernel_mc(
                         bufs[tgt_buf, c, r_dst : r_dst + n_rows,
                              w_base - ew : w_base - ew + out_cols] = v
 
-            if (carry_enabled and stage.carry and eh > 0
+            if stage.mxu:
+                # Single-product MXU band conv (bf16 storage): the H pass
+                # is ONE (out_rows, span) @ (span, w_total) dot per
+                # channel on the raw bf16 strip (or the bf16-cast pool
+                # block), the W pass 3-tile banded dots — the mc analog
+                # of the single-tier kernel's x3_terms == 1 stage
+                # (graph_strip_fused).  Replaces ~2 VPU issue slots per
+                # tap with sigma-independent MXU work; matches the
+                # per-node prefer_mxu semantics (operand rounding below
+                # bf16 storage precision).
+                m = _mxu_i
+                _mxu_i += 1
+                span = out_rows + 2 * stage.rh8
+                shift = w_base - ew
+                adv = (shift - stage.rw8) // 128
+                n_wt = -(-out_cols // 128)
+                src_b = stage.in_bufs[0]
+                c0 = w_base - ew
+                # Taps only read block cols [c0 - rw8, c0 + out_cols +
+                # rw8); ts cols outside are zeroed so the band's
+                # zero-weight entries never multiply uninitialized VMEM
+                # (0 * NaN would poison the dot).
+                s_lo = c0 - stage.rw8
+                s_hi = c0 + out_cols + stage.rw8
+                wt_full = ts_bf.shape[1]
+                A = a_ref[m, 0:out_rows, 0:span]
+                for ch in range(4):
+                    if src_b == -2:
+                        xs = scratch[slot, ch, off_h : off_h + span, :]
+                    else:
+                        xs = bufs[
+                            src_b, ch, off_h : off_h + span, :
+                        ].astype(jnp.bfloat16)
+                    tmp[0:out_rows, :] = jnp.dot(
+                        A, xs, preferred_element_type=jnp.float32
+                    )
+                    ts_bf[0:out_rows, :] = tmp[0:out_rows, :].astype(
+                        jnp.bfloat16
+                    )
+                    if s_lo > 0:
+                        ts_bf[0:out_rows, 0:s_lo] = jnp.zeros(
+                            (out_rows, s_lo), jnp.bfloat16
+                        )
+                    if s_hi < wt_full:
+                        ts_bf[0:out_rows, s_hi:] = jnp.zeros(
+                            (out_rows, wt_full - s_hi), jnp.bfloat16
+                        )
+                    for j in range(n_wt):
+                        org = 128 * (j + adv)
+                        d = jnp.dot(
+                            ts_bf[0:out_rows, org : org + 384],
+                            c_ref[m],
+                            preferred_element_type=jnp.float32,
+                        )
+                        L = min(128, out_cols - 128 * j)
+                        v = d[:, 0:L] if L < 128 else d
+                        v = v if raw else store1(v)
+                        if tgt_buf == -1:
+                            o_ref[ch, :, 128 * j : 128 * j + L] = v.astype(
+                                o_ref.dtype
+                            )
+                        else:
+                            bufs[
+                                tgt_buf, ch,
+                                rh_in - eh : rh_in - eh + out_rows,
+                                c0 + 128 * j : c0 + 128 * j + L,
+                            ] = v
+            elif (carry_enabled and stage.carry and eh > 0
                     and 2 * eh <= tile_h and tgt_buf >= 0):
                 # Sliding window: the 2*eh overlap rows computed by strip
                 # i-1 (bottom of its block) become strip i's top halo —
@@ -2778,12 +2866,71 @@ def graph_strip_fused_mc(
     r0_arr = jnp.reshape(
         jnp.asarray(0 if row0_base is None else row0_base, jnp.int32), (1, 1)
     )
+
+    # MXU band constants for bf16-storage conv stages (McStage.mxu): one
+    # (out_rows, span) H band and one (384, 128) 3-tile W band per stage,
+    # stacked (zero-padded to the max geometry; the kernel slices each
+    # stage's exact shape statically).  The W window of output tile j is
+    # ts[:, 128*(j+adv) : +384], so w_total is widened when the last
+    # tile's window would overrun.
+    mxu_stages = [st for st in stages if st.kind == "conv" and st.mxu]
+    n_mxu = len(mxu_stages)
+    mxu_args = ()
+    mxu_in_specs: list = []
+    mxu_scratch: list = []
+    if n_mxu:
+        import ml_dtypes
+
+        for st in mxu_stages:
+            out_cols = w + 2 * st.ew
+            n_wt = -(-out_cols // 128)
+            adv = (w_base - st.ew - st.rw8) // 128
+            need = 128 * (n_wt - 1 + adv) + 384
+            if need > w_total:
+                w_total = _round_up(need, 128)
+        max_r = _round_up(max(tile_h + 2 * st.eh for st in mxu_stages), 16)
+        max_s = _round_up(
+            max(tile_h + 2 * st.eh + 2 * st.rh8 for st in mxu_stages), 16
+        )
+        a_np = np.zeros((n_mxu, max_r, max_s), ml_dtypes.bfloat16)
+        c_np = np.zeros((n_mxu, 384, 128), ml_dtypes.bfloat16)
+        for m, st in enumerate(mxu_stages):
+            orows = tile_h + 2 * st.eh
+            span = orows + 2 * st.rh8
+            a_np[m, :orows, :span] = _band_matrix_h(
+                np.asarray(st.wh, np.float32), orows, span
+            ).astype(ml_dtypes.bfloat16)
+            shift = w_base - st.ew
+            adv = (shift - st.rw8) // 128
+            c_np[m] = np.concatenate(
+                list(
+                    _band_matrices_w3_shift(
+                        np.asarray(st.ww, np.float32), st.rw8,
+                        shift=shift - 128 * adv,
+                    )
+                ),
+                axis=0,
+            ).astype(ml_dtypes.bfloat16)
+        mxu_args = (jnp.asarray(a_np), jnp.asarray(c_np))
+        mxu_in_specs = [
+            pl.BlockSpec((n_mxu, max_r, max_s), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mxu, 384, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        mxu_scratch = [
+            pltpu.VMEM((_round_up(strip_rows, 16), w_total), jnp.bfloat16)
+        ]
+
+    has_xf32 = x.dtype != jnp.float32
     vmem_use = (
         2 * 4 * strip_rows * w_total * x.dtype.itemsize
         + (4 * strip_rows * w_total * 4 if x.dtype.itemsize == 2 else 0)
         + n_bufs * 4 * strip_rows * w_total * 4
         + 2 * strip_rows * w_total * 4
         + 2 * 4 * tile_h * w * 4
+        + (strip_rows * w_total * 2 if n_mxu else 0)
+        + sum(int(np.prod(a.shape)) * 2 for a in mxu_args)
     )
     out = pl.pallas_call(
         functools.partial(
@@ -2802,6 +2949,8 @@ def graph_strip_fused_mc(
             store1_id=store1_id,
             direct_store=direct_store,
             carry_enabled=carry_enabled,
+            n_mxu=n_mxu,
+            has_xf32=has_xf32,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
         grid=(n_tiles,),
@@ -2809,7 +2958,7 @@ def graph_strip_fused_mc(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + mxu_in_specs,
         out_specs=pl.BlockSpec((c, tile_h, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -2820,14 +2969,14 @@ def graph_strip_fused_mc(
             pltpu.SemaphoreType.DMA((2,)),
         ] + (
             [pltpu.VMEM((4, strip_rows, w_total), jnp.float32)]
-            if x.dtype != jnp.float32 else []
-        ),
+            if has_xf32 else []
+        ) + mxu_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(2 * vmem_use + 8 * 1024 * 1024,
                                  100 * 1024 * 1024),
         ),
         interpret=interpret,
-    )(x, t_arr, r0_arr)
+    )(x, t_arr, r0_arr, *mxu_args)
     return out
 
 

@@ -689,7 +689,14 @@ class TestConvBundling:
         rng = np.random.default_rng(3)
         img32 = rng.random((4, 48, 128), dtype=np.float32)
         t = jnp.float32(0.0)
-        for fmt, tol in (("rgba8", 2.0 / 255.0 + 1e-6), ("rgba16f", 2e-2)):
+        # rgba16f: the sigma-4 blur (50 combined taps) runs as a
+        # single-product bf16 MXU band conv (McStage.mxu), whose H-pass
+        # intermediate rounds to bf16 — one extra ~2^-8 relative rounding
+        # that the downstream sobel's +/-1,+/-2 tap sums amplify ~8x
+        # (measured spatially-uniform 0.022 max, 0.0014 mean vs the CPU
+        # f32-compute reference; per-node TPU execution uses the same
+        # prefer_mxu operand rounding, so on-chip the paths agree closer).
+        for fmt, tol in (("rgba8", 2.0 / 255.0 + 1e-6), ("rgba16f", 4e-2)):
             graph = build_graph(parse(src, expects_input=True))
             prog = GraphProgram(graph, 128, 48, fmt)
             assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
@@ -730,6 +737,107 @@ class TestConvBundling:
         assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
         prog64 = GraphProgram(build_graph(parse(src, expects_input=True)), 64, 48)
         assert prog64._strip_plan is None
+
+    # bf16-storage MXU band conv stages (McStage.mxu): every conv-source
+    # class — the raw bf16 strip, a store1'd pool block, a raw-f32
+    # pre-map block — plus the epilogue and identity store targets.
+    MXU_CASES = {
+        "strip_identity_conv": (
+            "input -> gs -> edge -> tone -> output\n"
+            "gs: blur { sigma: 4.0 }\nedge: sobel {}\ntone: tonemap {}"
+        ),
+        "pool_reading_conv": (
+            "input -> tone -> gs -> output\n"
+            "tone: tonemap {}\ngs: blur { sigma: 4.0 }"
+        ),
+        "epilogue_conv": (
+            "input -> u -> gray -> output\n"
+            "u: unsharp { sigma: 4.0, amount: 0.8 }\ngray: grayscale {}"
+        ),
+        "pre_map_conv": (
+            "input -> glow -> output\n"
+            "glow: bloom { threshold: 0.4, sigma: 4.0, intensity: 0.8 }"
+        ),
+        "conv_of_conv": (
+            "input -> a -> b -> output\n"
+            "a: blur { sigma: 4.0 }\nb: blur { sigma: 3.0 }"
+        ),
+    }
+
+    @pytest.mark.parametrize("name", sorted(MXU_CASES))
+    def test_mc_mxu_band_conv_matches_per_node(self, name, monkeypatch):
+        """bf16 storage: heavy conv stages run as single-product MXU band
+        matmuls inside the mc megakernel.  Bound vs the CPU per-node
+        reference (f32 compute, bf16 node boundaries): the MXU path adds
+        one bf16 rounding of the H-pass intermediate (~2^-8 relative),
+        amplified by downstream derivative kernels (sobel/emboss) — 4e-2
+        covers the measured worst case with margin; per-node execution ON
+        TPU uses the same prefer_mxu operand rounding."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = self.MXU_CASES[name]
+        graph = build_graph(parse(src, expects_input=True))
+        prog = GraphProgram(graph, 128, 96, "rgba16f")
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        conv_stages = [
+            s for s in prog._strip_plan[1]["stages"] if s.kind == "conv"
+        ]
+        assert conv_stages and all(s.mxu for s in conv_stages), name
+        assert all(not s.carry for s in conv_stages), name
+
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(rng.random((4, 96, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        want = np.asarray(prog._forward(img, t), np.float32)
+
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = prog._strip_fused_forward(img.astype(prog.storage_dtype), t)
+        assert got is not None, name
+        d = np.abs(np.asarray(got, np.float32) - want)
+        assert d.max() <= 4e-2, (name, d.max())
+        assert d.mean() <= 5e-3, (name, d.mean())
+
+    def test_mc_mxu_gate_bf16_wide_frames(self, monkeypatch):
+        """At >= MC_CONV_MAX_WIDTH, extent-carrying convs gate the mc plan
+        ONLY when they can't ride the MXU: bf16 storage with >= 24
+        combined taps fuses the whole graph (measured 2.06x vs per-node
+        at 4K, BENCH.md), while f32 storage and light bf16 convs keep the
+        segment/per-node plans."""
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        def plan_kind(sigma, fmt):
+            src = (
+                "input -> gs -> edge -> tone -> output\n"
+                "gs: gaussian { sigma: %s }\n"
+                "edge: sobel {}\ntone: tonemap {}" % sigma
+            )
+            graph = build_graph(parse(src, expects_input=True))
+            prog = GraphProgram(graph, 3840, 2160, fmt)
+            return prog._strip_plan and prog._strip_plan[0]
+
+        # sigma 4 (50 combined taps): bf16 -> whole-graph mc via MXU
+        assert plan_kind(4, "rgba16f") == "mc"
+        # sigma 2 (26 combined taps): still above the MXU crossover
+        assert plan_kind(2, "rgba16f") == "mc"
+        # same graph, f32 storage: extent conv still gated -> segments
+        assert plan_kind(4, "rgba32f") == "segments"
+        # sigma 1 (14 taps, below the MXU crossover): bf16 stays gated
+        assert plan_kind(1, "rgba16f") == "segments"
 
 
 class TestSegmentFusion:
