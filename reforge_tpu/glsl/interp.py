@@ -1283,6 +1283,23 @@ class Interp:
                 if iv is not None:
                     static_ivs.remove(iv)
                 return
+            if allow_break and isinstance(node, ast.Switch):
+                # A switch inside the vectorized body executes via the
+                # masked lowering (exec_switch routes there whenever a
+                # mask or the loop stack is live), which binds the
+                # case-terminal breaks to the SWITCH.  Vet the case shape
+                # it requires here so the diagnostic names the loop.
+                for _vals, cbody in node.cases:
+                    if not self._switch_case_body_ok(cbody):
+                        reject(
+                            "a switch whose cases have a non-tail 'break' "
+                            "or a 'return'"
+                        )
+                        return
+                walk(node.selector)
+                for _vals, cbody in node.cases:
+                    walk(cbody)
+                return
             if isinstance(node, (ast.Break, ast.Continue, ast.Return, ast.For,
                                  ast.While, ast.DoWhile, ast.Switch)):
                 reject(
@@ -1351,11 +1368,14 @@ class Interp:
             ) and shared_root(node.expr):
                 reject("a non-atomic shared-memory write")
                 return
-            if isinstance(node, ast.Index):
-                # Only SSBO-member reads handle traced indices; local
-                # array or vector indexing needs a static index — a
-                # LITERAL one stays static under the while trace (the
-                # loop variable is a tracer), so `acc[0]` is fine.
+            if isinstance(node, ast.Index) and not allow_break:
+                # The fori lowering keeps local arrays OUT of its carry,
+                # so array/vector indexing there needs a static index — a
+                # LITERAL one stays static under the trace, as does the
+                # induction var of an enclosing literal-bound For.  (The
+                # vectorized while path has no such limit: dynamic
+                # indices lower to per-lane gathers/masked merges, and
+                # SSBO reads handle traced indices on both paths.)
                 base = node.expr
                 is_ssbo = isinstance(base, ast.Ident) and (
                     base.name in self.ssbo_members
@@ -1856,6 +1876,31 @@ class Interp:
         if not is_static(sel.data):
             self._exec_switch_masked(s, scope, sel)
             return
+        if self._vec_loop_stack or self.mask is not None:
+            # Inside a vectorized loop round (or any lane-masked region)
+            # a case-terminal `break` must bind to the SWITCH — the
+            # unrolled executor would record it as a loop lane-kill (or
+            # reject it under a plain mask).  The masked lowering strips
+            # tail breaks itself, so route uniform selectors through it
+            # as a broadcast plane whenever the cases fit its shape.
+            if all(self._switch_case_body_ok(b) for _, b in s.cases):
+                if sel.type not in ("int", "uint"):
+                    raise GlslError(
+                        "switch selector must be an integer", s.line
+                    )
+                plane = Val(sel.type, self._as_array(sel.data, "int"))
+                self._exec_switch_masked(s, scope, plane)
+                return
+            if self._vec_loop_stack:
+                raise GlslError(
+                    "switch inside a data-dependent loop requires 'break' "
+                    "only at the end of a case and no 'return' inside it",
+                    s.line,
+                )
+            # Plain masked region, shape the masked lowering can't take
+            # (e.g. a `return` in a case): the unrolled path below still
+            # handles it — returns lower to lane kills; a non-tail break
+            # is rejected by exec_stmt with its own diagnostic.
         sel_v = int(sel.data)
         start = None
         for i, (values, _body) in enumerate(s.cases):
@@ -2079,6 +2124,84 @@ class Interp:
             v._comp_origins = [base_origins[i] for i in idxs]  # type: ignore[attr-defined]
         return v
 
+    def _dyn_index_plane(self, idx: Val, n: int, line: int) -> Any:
+        """A traced (per-pixel or traced-uniform) index as a clamped
+        (h, w) int32 plane.  GLSL leaves out-of-bounds dynamic indexing
+        undefined; clamping to the valid range is the robustBufferAccess
+        convention (the scalar reference clamps identically)."""
+        if idx.type not in ("int", "uint"):
+            raise GlslError("array/vector index must be an integer", line)
+        i = jnp.broadcast_to(
+            self._as_array(idx.data, "int"), (self.h, self.w)
+        )
+        return jnp.clip(i, 0, n - 1)
+
+    def _gather_leaf(self, datas: list, elem_t: str, i: Any) -> Any:
+        """Per-lane gather over scalar leaves: out[y,x] = datas[i[y,x]].
+        Leaves stack to one (n, h, w) array; a single take_along_axis
+        resolves every lane (XLA lowers it to a vectorized select tree
+        for small n)."""
+        stacked = jnp.stack(
+            [
+                jnp.broadcast_to(
+                    self._as_array(d, elem_t), (self.h, self.w)
+                )
+                for d in datas
+            ]
+        )
+        return jnp.take_along_axis(stacked, i[None, :, :], axis=0)[0]
+
+    def _gather_elems(self, elems: list, i: Any, line: int) -> Val:
+        """Per-lane gather over a list of same-typed Vals (the elements of
+        a local array): result[lane] = elems[i[lane]].  Recurses through
+        vectors, matrices, structs, and nested arrays down to scalar
+        leaves."""
+        proto = elems[0]
+        if proto.is_vector():
+            return Val(
+                proto.type,
+                [
+                    self._gather_leaf(
+                        [e.data[c] for e in elems], proto.elem_type, i
+                    )
+                    for c in range(proto.size)
+                ],
+            )
+        if proto.type in MAT_TYPES:
+            n = MAT_TYPES[proto.type]
+            return Val(
+                proto.type,
+                [
+                    [
+                        self._gather_leaf(
+                            [e.data[col][c] for e in elems], "float", i
+                        )
+                        for c in range(n)
+                    ]
+                    for col in range(n)
+                ],
+            )
+        if proto.type.startswith("struct:"):
+            return Val(
+                proto.type,
+                {
+                    k: self._gather_elems([e.data[k] for e in elems], i, line)
+                    for k in proto.data
+                },
+            )
+        if proto.type.startswith("array"):
+            return Val(
+                proto.type,
+                [
+                    self._gather_elems([e.data[s] for e in elems], i, line)
+                    for s in range(len(proto.data))
+                ],
+            )
+        return Val(
+            proto.type,
+            self._gather_leaf([e.data for e in elems], proto.type, i),
+        )
+
     def _eval_Index(self, e: ast.Index, scope) -> Val:
         base = self.eval_expr(e.expr, scope)
         idx = self.eval_expr(e.index, scope)
@@ -2088,16 +2211,32 @@ class Interp:
             return self._shared_read(base.data, idx, e.line)
         if base.type.startswith("array"):
             if not is_static(idx.data):
-                raise GlslError("array index must be uniform", e.line)
+                i = self._dyn_index_plane(idx, len(base.data), e.line)
+                return self._gather_elems(base.data, i, e.line)
             return base.data[int(idx.data)]
         if base.is_vector():
             if not is_static(idx.data):
-                raise GlslError("vector index must be uniform", e.line)
+                i = self._dyn_index_plane(idx, base.size, e.line)
+                return Val(
+                    base.elem_type,
+                    self._gather_leaf(base.data, base.elem_type, i),
+                )
             return Val(base.elem_type, base.data[int(idx.data)])
         if base.type in MAT_TYPES:
-            if not is_static(idx.data):
-                raise GlslError("matrix index must be uniform", e.line)
             n = MAT_TYPES[base.type]
+            if not is_static(idx.data):
+                i = self._dyn_index_plane(idx, n, e.line)
+                return Val(
+                    f"vec{n}",
+                    [
+                        self._gather_leaf(
+                            [base.data[col][c] for col in range(n)],
+                            "float",
+                            i,
+                        )
+                        for c in range(n)
+                    ],
+                )
             return Val(f"vec{n}", list(base.data[int(idx.data)]))
         raise GlslError(f"cannot index type {base.type}", e.line)
 
@@ -2295,6 +2434,46 @@ class Interp:
                 self._shared_write(base_old.data, idx, value, scope, line)
                 return
             if not is_static(idx.data):
+                # Dynamic (per-pixel) indexed store: lane k of the index
+                # selects element k — lower to one masked merge per
+                # element (i == k composes with the enclosing lane mask).
+                if base_old.type.startswith("array"):
+                    n = len(base_old.data)
+                    elem_t = base_old.type.split(":", 1)[1]
+                    if not elem_t.startswith(("struct:",)) and (
+                        elem_t not in self.shader.structs
+                    ):
+                        value = self.convert(value, elem_t, line)
+                    ip = self._dyn_index_plane(idx, n, line)
+                    m = self._effective_mask(scope)
+                    elems = list(base_old.data)
+                    for k in range(n):
+                        mk = ip == jnp.int32(k)
+                        if m is not None:
+                            mk = jnp.logical_and(mk, m)
+                        elems[k] = self._mask_merge_val(mk, value, elems[k])
+                    self._assign_to(
+                        target.expr, Val(base_old.type, elems), scope, line
+                    )
+                    return
+                if base_old.is_vector():
+                    value = self.convert(value, base_old.elem_type, line)
+                    ip = self._dyn_index_plane(idx, base_old.size, line)
+                    m = self._effective_mask(scope)
+                    comps = list(base_old.data)
+                    for k in range(base_old.size):
+                        mk = ip == jnp.int32(k)
+                        if m is not None:
+                            mk = jnp.logical_and(mk, m)
+                        comps[k] = jnp.where(
+                            mk,
+                            self._as_array(value.data, base_old.elem_type),
+                            self._as_array(comps[k], base_old.elem_type),
+                        )
+                    self._assign_to(
+                        target.expr, Val(base_old.type, comps), scope, line
+                    )
+                    return
                 raise GlslError("store through non-uniform index", line)
             i = int(idx.data)
             if base_old.type.startswith("array"):
@@ -2317,7 +2496,8 @@ class Interp:
         raise GlslError("unsupported assignment target", line)
 
     def _mask_merge_val(self, m: Any, new: Val, old: Val) -> Val:
-        """Lane-masked merge of two same-typed Vals (scalar/vector/struct)."""
+        """Lane-masked merge of two same-typed Vals (scalar/vector/matrix/
+        struct/array)."""
         if new.type.startswith("struct:"):
             return Val(
                 new.type,
@@ -2325,6 +2505,22 @@ class Interp:
                     k: self._mask_merge_val(m, v, old.data[k])
                     for k, v in new.data.items()
                 },
+            )
+        if new.type.startswith("array"):
+            return Val(
+                new.type,
+                [
+                    self._mask_merge_val(m, n, o)
+                    for n, o in zip(new.data, old.data)
+                ],
+            )
+        if new.type in MAT_TYPES:
+            return Val(
+                new.type,
+                [
+                    [jnp.where(m, n, o) for n, o in zip(nc, oc)]
+                    for nc, oc in zip(new.data, old.data)
+                ],
             )
         if new.is_vector():
             return Val(

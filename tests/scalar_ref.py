@@ -460,7 +460,10 @@ class ScalarRef:
             return [base[SWZ[c]] for c in e.name]
         if isinstance(e, ast.Index):
             base = self.eval(e.expr, scopes)
-            return base[int(self.eval(e.index, scopes))]
+            # Clamp like the engine (robustBufferAccess convention for
+            # dynamic indices; interp._dyn_index_plane).
+            i = min(max(int(self.eval(e.index, scopes)), 0), len(base) - 1)
+            return base[i]
         if isinstance(e, ast.ArrayLit):
             return [self.eval(x, scopes) for x in e.elems]
         if isinstance(e, ast.Unary):
@@ -585,7 +588,8 @@ class ScalarRef:
             return
         if isinstance(target, ast.Index):
             base = self.eval(target.expr, scopes)
-            base[int(self.eval(target.index, scopes))] = v
+            i = min(max(int(self.eval(target.index, scopes)), 0), len(base) - 1)
+            base[i] = v
             return
         raise RefUnsupported("assign target")
 

@@ -2818,7 +2818,69 @@ float grow(float x) {
                     want[:, i, j] = stored
         np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
 
-    def test_nested_switch_still_rejected(self):
+    def test_switch_inside_loop(self):
+        """A switch in a data-dependent loop body executes via the masked
+        lowering (its tail breaks bind to the switch, not the loop)."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            int n = 0;
+            while (v < 1.0 && n < 10) {
+                switch (n) {
+                case 0: v += 0.1; break;
+                default: v += 0.2; break;
+                }
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v));
+        """)
+        a = np.asarray(img)[0]
+        want = np.empty_like(a)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                v = np.float32(a[i, j])
+                n = 0
+                while v < 1.0 and n < 10:
+                    v = np.float32(
+                        v + (np.float32(0.1) if n == 0 else np.float32(0.2))
+                    )
+                    n += 1
+                want[i, j] = v
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_switch_fallthrough_inside_loop(self):
+        """Fall-through cases compose with the loop carry."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = 0.0;
+            int n = 0;
+            while (n < int(c.g * 5.0) + 1) {
+                switch (n % 3) {
+                    case 0: v += 1.0; break;
+                    case 1: v += 0.25;
+                    case 2: v += 0.0625; break;
+                }
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v, 0.0, 0.0, 1.0));
+        """)
+        g = np.asarray(img)[1]
+        trips = (g * 5).astype(int) + 1
+        want = np.zeros_like(g)
+        for i in range(g.shape[0]):
+            for j in range(g.shape[1]):
+                for nn in range(trips[i, j]):
+                    m = nn % 3
+                    want[i, j] += (
+                        1.0 if m == 0 else 0.25 + 0.0625 if m == 1 else 0.0625
+                    )
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_switch_midcase_break_in_loop_rejected(self):
+        """A non-tail break inside a switch case can't lower (it would
+        need lane kills scoped to the switch); the diagnostic names the
+        construct rather than silently binding it to the loop."""
         with pytest.raises(GlslError, match="switch"):
             run_shader("""
                 ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
@@ -2826,10 +2888,229 @@ float grow(float x) {
                 int n = 0;
                 while (v < 1.0 && n < 10) {
                     switch (n) {
-                    case 0: v += 0.1; break;
+                    case 0:
+                        if (v > 0.5) { break; }
+                        v += 0.1;
+                        break;
                     default: v += 0.2; break;
                     }
                     n++;
                 }
                 imageStore(output_image, pos, vec4(v));
             """)
+
+    def test_uniform_switch_with_break_under_divergent_if(self):
+        """A uniform-selector switch whose cases end in `break` works
+        inside per-pixel control flow (routed through the masked
+        lowering; previously a hard error)."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = 0.0;
+            int mode = 1;
+            if (c.b > 0.5) {
+                switch (mode) {
+                    case 0: v = 5.0; break;
+                    case 1: v = 7.0; break;
+                    default: v = 9.0; break;
+                }
+            }
+            imageStore(output_image, pos, vec4(v, 0.0, 0.0, 1.0));
+        """)
+        b = np.asarray(img)[2]
+        np.testing.assert_allclose(
+            np.asarray(out)[0], np.where(b > 0.5, 7.0, 0.0), atol=1e-6
+        )
+
+
+class TestDynamicIndexing:
+    """Per-pixel (traced) indices into local arrays, vectors, and matrix
+    columns: reads lower to per-lane gathers over stacked element planes,
+    writes to one masked merge per element.  Out-of-bounds dynamic
+    indices clamp (robustBufferAccess convention; GLSL leaves them
+    undefined).  The reference compiles these natively via shaderc
+    (shader.rs:73-93)."""
+
+    def test_array_read_per_pixel_lut(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float lut[4] = float[](0.1, 0.3, 0.6, 1.0);
+            int i = int(c.r * 4.0);
+            imageStore(output_image, pos, vec4(lut[i], c.gba));
+        """)
+        r = np.asarray(img)[0]
+        i = np.clip((r * 4).astype(int), 0, 3)
+        want = np.array([0.1, 0.3, 0.6, 1.0], np.float32)[i]
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_array_write_per_pixel(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float acc[3] = float[](0.0, 0.0, 0.0);
+            int i = int(c.g * 3.0);
+            acc[i] = c.r;
+            imageStore(output_image, pos, vec4(acc[0], acc[1], acc[2], 1.0));
+        """)
+        a = np.asarray(img)
+        i = np.clip((a[1] * 3).astype(int), 0, 2)
+        for k in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out)[k], np.where(i == k, a[0], 0.0), atol=1e-6
+            )
+
+    def test_array_compound_assign_dynamic(self):
+        """`arr[i] += v` evaluates as gather + masked merge."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float acc[2] = float[](0.25, 0.5);
+            int i = int(c.b * 2.0);
+            acc[i] += c.r;
+            imageStore(output_image, pos, vec4(acc[0], acc[1], 0.0, 1.0));
+        """)
+        a = np.asarray(img)
+        i = np.clip((a[2] * 2).astype(int), 0, 1)
+        base = np.array([0.25, 0.5], np.float32)
+        for k in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out)[k],
+                np.where(i == k, base[k] + a[0], base[k]),
+                atol=1e-6,
+            )
+
+    def test_vector_dynamic_read_write(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            int i = int(c.a * 3.0);
+            vec3 v = c.rgb;
+            float picked = v[i];
+            v[i] = 9.0;
+            imageStore(output_image, pos, vec4(picked, v[0], v[1], v[2]));
+        """)
+        a = np.asarray(img)
+        i = np.clip((a[3] * 3).astype(int), 0, 2)
+        picked = np.take_along_axis(a[:3], i[None], 0)[0]
+        np.testing.assert_allclose(np.asarray(out)[0], picked, atol=1e-6)
+        for k in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out)[1 + k], np.where(i == k, 9.0, a[k]), atol=1e-6
+            )
+
+    def test_vec_array_dynamic_read(self):
+        """Arrays of vectors gather per component."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            vec2 pal[3] = vec2[](vec2(0.0, 0.5), vec2(0.25, 0.75), vec2(1.0, 0.125));
+            int i = int(c.r * 3.0);
+            vec2 p = pal[i];
+            imageStore(output_image, pos, vec4(p.x, p.y, 0.0, 1.0));
+        """)
+        a = np.asarray(img)
+        i = np.clip((a[0] * 3).astype(int), 0, 2)
+        pal = np.array([[0.0, 0.5], [0.25, 0.75], [1.0, 0.125]], np.float32)
+        np.testing.assert_allclose(np.asarray(out)[0], pal[i, 0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out)[1], pal[i, 1], atol=1e-6)
+
+    def test_matrix_dynamic_column(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            mat2 m = mat2(0.1, 0.2, 0.3, 0.4);
+            int i = int(c.g * 2.0);
+            vec2 col = m[i];
+            imageStore(output_image, pos, vec4(col.x, col.y, 0.0, 1.0));
+        """)
+        a = np.asarray(img)
+        i = np.clip((a[1] * 2).astype(int), 0, 1)
+        cols = np.array([[0.1, 0.2], [0.3, 0.4]], np.float32)  # column-major
+        np.testing.assert_allclose(np.asarray(out)[0], cols[i, 0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out)[1], cols[i, 1], atol=1e-6)
+
+    def test_dynamic_index_clamps_out_of_bounds(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float lut[2] = float[](0.25, 0.75);
+            int i = int(c.r * 8.0) - 2;   // ranges well past both ends
+            imageStore(output_image, pos, vec4(lut[i], 0.0, 0.0, 1.0));
+        """)
+        r = np.asarray(img)[0]
+        i = np.clip((r * 8).astype(int) - 2, 0, 1)
+        want = np.array([0.25, 0.75], np.float32)[i]
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_dynamic_write_under_divergent_if(self):
+        """The element merge composes with the enclosing lane mask."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float acc[2] = float[](0.0, 0.0);
+            int i = int(c.g * 2.0);
+            if (c.r > 0.5) { acc[i] = 1.0; }
+            imageStore(output_image, pos, vec4(acc[0], acc[1], 0.0, 1.0));
+        """)
+        a = np.asarray(img)
+        i = np.clip((a[1] * 2).astype(int), 0, 1)
+        on = a[0] > 0.5
+        for k in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out)[k],
+                np.where(on & (i == k), 1.0, 0.0),
+                atol=1e-6,
+            )
+
+    def test_dynamic_index_inside_data_dependent_loop(self):
+        """Arrays indexed by loop-carried values ride the while carry."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float hist[4] = float[](0.0, 0.0, 0.0, 0.0);
+            int n = 0;
+            while (n < int(c.r * 6.0) + 1) {
+                hist[(n * 3) % 4] += 0.5;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(hist[0], hist[1], hist[2], hist[3]));
+        """)
+        a = np.asarray(img)
+        trips = (a[0] * 6).astype(int) + 1
+        want = np.zeros((4,) + a.shape[1:], np.float32)
+        for y in range(a.shape[1]):
+            for x in range(a.shape[2]):
+                for nn in range(trips[y, x]):
+                    want[(nn * 3) % 4, y, x] += 0.5
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+    def test_dynamic_gather_in_loop_condition(self):
+        """The loop condition may gather from a carried array."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float w[3] = float[](0.4, 0.3, 0.2);
+            float v = c.r;
+            int n = 0;
+            while (v < w[n % 3] + 0.5 && n < 6) {
+                v += 0.21;
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+        """)
+        a = np.asarray(img)
+        wts = [0.4, 0.3, 0.2]
+        wantv = np.empty_like(a[0])
+        wantn = np.empty_like(a[0])
+        for y in range(a.shape[1]):
+            for x in range(a.shape[2]):
+                v = np.float32(a[0, y, x])
+                n = 0
+                while v < np.float32(wts[n % 3] + 0.5) and n < 6:
+                    v = np.float32(v + np.float32(0.21))
+                    n += 1
+                wantv[y, x] = v
+                wantn[y, x] = n
+        np.testing.assert_allclose(np.asarray(out)[0], wantv, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out)[1], wantn, atol=1e-6)
