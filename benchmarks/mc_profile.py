@@ -137,7 +137,8 @@ def main() -> int:
 
             mcp = plan[1]
             if _po.mc_strip_tile_h(
-                h, w, mcp["rh_in"], mcp["ew_in"], max(mcp["n_bufs"], 1)
+                h, w, mcp["rh_in"], mcp["ew_in"], max(mcp["n_bufs"], 1),
+                mxu_t_max=mcp.get("mxu_t_max", 0),
             ) is None:
                 print("# mc tile gate rejects this height/override; "
                       "skipping variant (would fall back to per-node)",

@@ -325,6 +325,59 @@ class GraphProgram:
             a = MC_EW_ALIGN
             return (v + a - 1) // a * a
 
+        # MXU-eligible conv stages run as band matmuls inside the mc
+        # kernel (McStage.mxu) — sigma-independent and off the VPU.
+        # bf16 storage: single products at >= 24 combined taps (the
+        # rgba16f fast-mode formulation).  f32 storage (rgba32f/rgba8
+        # pools): HEAVY convs (>= X3_MIN_TAPS combined taps, where
+        # per-node execution switches to the standalone MXU x3 kernel
+        # anyway) as f32-exact bf16x3 splits — same MXU cost as
+        # per-node x3, minus the per-node HBM round trips.
+        mxu_min_taps = int(
+            _os.environ.get("REFORGE_MC_MXU_BF16_MIN_TAPS", "24")
+        )
+        x3_min_taps = int(
+            _os.environ.get(
+                "REFORGE_MC_MXU_F32_MIN_TAPS", str(_ops.X3_MIN_TAPS)
+            )
+        )
+        x3_min_width = int(
+            _os.environ.get(
+                "REFORGE_MC_MXU_F32_MIN_WIDTH", str(_ops.MC_MXU_F32_MIN_WIDTH)
+            )
+        )
+
+        def _conv_mxu_terms(plan) -> int:
+            """0 = not MXU-eligible, 1 = single-product bf16, 3 = bf16x3.
+
+            The bf16 single-product form wins at every width (measured
+            0.44 vs 0.53 ms at 1080p, 2.06x at 4K); the f32-exact bf16x3
+            form pays 6 MXU products + the Dekker splits per pass, so it
+            only beats per-node's standalone x3 kernel at wide frames
+            (4K 1.27-1.42x, 1080p 0.80x) — below x3_min_width heavy f32
+            convs keep per-node execution.  rgba8 is excluded: the
+            UNORM-grid store1 quantize inside the x3 W-tile loop
+            measured 13.5 ms vs 5.5 per-node on blur2-s8 4K (and
+            minutes-long Mosaic compiles) — rgba8 is parity semantics,
+            not a fast path, so heavy rgba8 convs stay per-node."""
+            wh, ww = plan
+            taps = len(wh) + len(ww)
+            if (len(ww) - 1) // 2 > 64:
+                return 0
+            if self.storage_dtype == jnp.bfloat16:
+                return 1 if taps >= mxu_min_taps else 0
+            if (
+                self.storage_dtype == jnp.float32
+                and self.fmt != "rgba8"
+                and taps >= x3_min_taps
+                and self.width >= x3_min_width
+            ):
+                return 3
+            return 0
+
+        def _conv_mxu(plan) -> bool:
+            return _conv_mxu_terms(plan) > 0
+
         # ---- classify ----------------------------------------------------
         # entries: (kind, node, extra); kinds "conv" | "stencil" | "point"
         nodes: list = []
@@ -336,7 +389,16 @@ class GraphProgram:
                     return None
                 plan = None
                 if spec.conv_epilogue is not None:
-                    plan = self._conv_plan_for(node)
+                    plan = self._conv_plan_for(node, max_taps=200)
+                    if (
+                        plan is not None
+                        and len(plan[0]) + len(plan[1]) >= _ops.X3_MIN_TAPS
+                        and not _conv_mxu(plan)
+                    ):
+                        # Heavy conv that can't ride the in-kernel MXU:
+                        # per-node's standalone x3 kernel wins — don't
+                        # serialize ~100 taps on the mc VPU.
+                        plan = None
                 if plan is not None:
                     nodes.append(("conv", node, plan))
                     n_heavy += 1
@@ -356,22 +418,6 @@ class GraphProgram:
                 return None
         if n_heavy == 0:
             return None  # pointwise-only: plain XLA fusion is already one pass
-
-        # bf16 storage: heavy conv stages run as single-product MXU band
-        # matmuls inside the mc kernel (McStage.mxu) — sigma-independent
-        # and off the VPU, the same formulation that makes rgba16f the
-        # fast mode in the single-tier kernel (graph_strip_fused).
-        mxu_min_taps = int(
-            _os.environ.get("REFORGE_MC_MXU_BF16_MIN_TAPS", "24")
-        )
-
-        def _conv_mxu(plan) -> bool:
-            wh, ww = plan
-            return (
-                self.storage_dtype == jnp.bfloat16
-                and (len(ww) - 1) // 2 <= 64
-                and len(wh) + len(ww) >= mxu_min_taps
-            )
 
         # ---- extent halos (reverse topo; lifts exact, extents 8-aligned) --
         need_h: dict[str, int] = {}
@@ -412,11 +458,15 @@ class GraphProgram:
             # standalone convs overlap their HBM traffic with tap compute
             # (and ride the MXU x3 kernel at >=56 taps), while the mc
             # kernel serializes everything on the VPU.  Gate only those.
-            # bf16 storage exemption: an MXU-eligible conv stage
-            # (_conv_mxu) runs off the VPU entirely, so it never pays
-            # the serialization this gate exists for — measured v5e 4K
-            # rgba16f chain3-s4: mc-mxu beats both per-node and the
-            # segment hybrid (BENCH.md mc rgba16f table).
+            # MXU exemption: an MXU-eligible conv stage (_conv_mxu) runs
+            # off the VPU entirely, so it never pays the serialization
+            # this gate exists for.  Measured v5e 4K: rgba16f chain3-s4
+            # single-product mc-mxu beats both per-node and the segment
+            # hybrid (BENCH.md mc rgba16f table); f32 bf16x3 stages win
+            # every >= X3_MIN_TAPS case (chain3 1.42x s5 / 1.27x s8,
+            # blur2 1.42x s5 / 1.28x s8) while forcing them below the
+            # threshold loses (chain3-s4 forced: 0.52x) — the crossover
+            # coincides with per-node's own VPU->x3 switch.
             return None
 
         rh_in = _r8(need_h.get(_FI, 0))
@@ -602,7 +652,8 @@ class GraphProgram:
                 whp = (0.0,) * (rh8 - rh) + tuple(float(v) for v in wh)
                 wwp = (0.0,) * (rw8 - rw) + tuple(float(v) for v in ww)
                 identity = node.spec.conv_epilogue_identity
-                use_mxu = _conv_mxu(ss["plan"])
+                mxu_terms = _conv_mxu_terms(ss["plan"])
+                use_mxu = mxu_terms > 0
                 stages.append(
                     McStage(
                         kind="conv", out_buf=out_buf, eh=s_eh, ew=s_ew,
@@ -612,6 +663,7 @@ class GraphProgram:
                         blur_buf=(-3 if identity else blur_of.get(si, blur_slot)),
                         carry=s_eh > 0 and not use_mxu,
                         mxu=use_mxu,
+                        mxu_terms=max(mxu_terms, 1),
                     )
                 )
             elif ss["kind"] == "stencil":
@@ -641,6 +693,11 @@ class GraphProgram:
             "ew_in": ew_in,
             "input_halo": input_halo,
             "store1": store,
+            "mxu_t_max": max(
+                (st.mxu_terms for st in stages
+                 if st.kind == "conv" and st.mxu),
+                default=0,
+            ),
         }
 
     def _plan_strip_segments(self):
@@ -942,6 +999,7 @@ class GraphProgram:
             in_h, self.width, plan["rh_in"], plan["ew_in"], n_bufs,
             itemsize=file_input.dtype.itemsize,
             min_tile=2 * plan.get("eh_max", 0),
+            mxu_t_max=plan.get("mxu_t_max", 0),
         )
         if tile_h is None:
             return None

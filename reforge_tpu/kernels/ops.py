@@ -103,6 +103,16 @@ X3_MIN_TAPS = 56
 # Measured on v5e (graph/program.py::_plan_strip_mc gate comment).
 MC_CONV_MAX_WIDTH = 2560
 
+# Frame width at which HEAVY f32-storage convs (>= X3_MIN_TAPS combined
+# taps) start winning as in-kernel bf16x3 MXU band-matmul stages vs
+# per-node's standalone x3 kernel: the 6-products-+-Dekker-splits cost
+# is width-independent per pixel, but the mc strip grid's fixed costs
+# only amortize at wide frames.  Measured v5e blur2-s8: 1920 0.80x,
+# 2560 1.03x, 3840 1.28x.  Deliberately a separate constant from
+# MC_CONV_MAX_WIDTH (benchmarks force-lift that gate to build mc plans;
+# x3 eligibility must not move with it).
+MC_MXU_F32_MIN_WIDTH = 2560
+
 
 def sep_conv(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray,
              prefer_mxu: bool = False) -> jnp.ndarray:

@@ -2297,13 +2297,18 @@ class McStage:
     # tile_h + 2*eh (per-node execution never recomputes halo rows —
     # this is the mc analog).  Requires tile_h >= 2*eh at runtime.
     carry: bool = False
-    # bf16 storage only: run both separable passes as single-product MXU
-    # band matmuls on the raw bf16 strip / bf16-cast pool block (the mc
-    # analog of graph_strip_fused's x3_terms == 1 stage).  The planner
-    # sets this for heavy convs when the storage dtype is bfloat16; the
-    # wrapper builds the band-matrix constants.  Implies carry == False
-    # (the MXU recompute of halo rows is cheaper than the carry copy).
+    # Run both separable passes as MXU band matmuls (the mc analog of
+    # graph_strip_fused's x3 stages).  mxu_terms selects the precision
+    # form: 1 = single-product dots on the raw bf16 strip / bf16-cast
+    # pool block (bf16 storage — operand rounding below storage
+    # precision); 3 = the six bf16x3 cross-products per pass (f32
+    # storage, f32-exact to ~1 ulp — the in-kernel form of
+    # sep_conv_fused_mxu_x3).  The planner sets this for heavy convs;
+    # the wrapper builds the (stacked, term-split) band-matrix
+    # constants.  Implies carry == False (the MXU recompute of halo
+    # rows is cheaper than the carry copy).
     mxu: bool = False
+    mxu_terms: int = 1
     # stencil fields
     r: int = 0
 
@@ -2412,16 +2417,18 @@ def _graph_strip_kernel_mc(
     rh_in: int, w_base: int, in_h: int, in_w: int, store1,
     pad_edge_mode: bool = True, store1_id: bool = False,
     direct_store: bool = True, carry_enabled: bool = True,
-    n_mxu: int = 0, has_xf32: bool = False,
+    n_mxu: int = 0, mxu_t_max: int = 1, has_xf32: bool = False,
 ):
     """Execute the staged plan on one channel-full strip (see module note
     above).  ``bufs`` is the (n_bufs, 4, strip_rows, w_total) intermediate
     pool; ``store1`` quantizes a block to inter-node storage semantics.
 
-    When ``n_mxu`` > 0 (bf16 storage with MXU-eligible conv stages) the
-    positional refs gain the stacked band-matrix constants ``a_ref`` /
-    ``c_ref`` after r0_ref and a bf16 H-result staging buffer ``ts_bf``
-    at the tail of the scratch list."""
+    When ``n_mxu`` > 0 (MXU-eligible conv stages) the positional refs
+    gain the stacked band-matrix constants ``a_ref`` / ``c_ref`` (terms
+    axis after the stage axis) after r0_ref, a bf16 H-result staging
+    buffer ``ts_bf`` at the tail of the scratch list, and — when any
+    stage is f32-exact (``mxu_t_max`` == 3) — an ``xs3`` buffer for the
+    bf16x3 split of the source block."""
     rest = list(rest)
     a_ref = c_ref = None
     if n_mxu:
@@ -2430,6 +2437,7 @@ def _graph_strip_kernel_mc(
     rest = rest[6:]
     maybe_xf32 = (rest.pop(0),) if has_xf32 else ()
     ts_bf = rest.pop(0) if n_mxu else None
+    xs3 = rest.pop(0) if n_mxu and mxu_t_max == 3 else None
     i = pl.program_id(0)
 
     dma_do = _mc_strip_dma_fn(
@@ -2664,17 +2672,23 @@ def _graph_strip_kernel_mc(
                              w_base - ew : w_base - ew + out_cols] = v
 
             if stage.mxu:
-                # Single-product MXU band conv (bf16 storage): the H pass
-                # is ONE (out_rows, span) @ (span, w_total) dot per
-                # channel on the raw bf16 strip (or the bf16-cast pool
-                # block), the W pass 3-tile banded dots — the mc analog
-                # of the single-tier kernel's x3_terms == 1 stage
-                # (graph_strip_fused).  Replaces ~2 VPU issue slots per
-                # tap with sigma-independent MXU work; matches the
-                # per-node prefer_mxu semantics (operand rounding below
-                # bf16 storage precision).
+                # MXU band conv: the H pass is (out_rows, span) @ (span,
+                # w_total) dots per channel, the W pass 3-tile banded
+                # dots — the mc analog of the single-tier kernel's x3
+                # stages (graph_strip_fused).  mxu_terms == 1 (bf16
+                # storage): ONE product per pass on the raw bf16 strip /
+                # bf16-cast pool block, matching the per-node prefer_mxu
+                # semantics (operand rounding below bf16 storage
+                # precision).  mxu_terms == 3 (f32 storage): the six
+                # significant bf16x3 cross-products per pass — f32-exact
+                # to ~1 ulp, the in-kernel form of sep_conv_fused_mxu_x3
+                # — so heavy convs fuse instead of dropping the graph to
+                # per-node HBM round trips.  Replaces ~2 VPU issue slots
+                # per tap with sigma-independent MXU work.
                 m = _mxu_i
                 _mxu_i += 1
+                terms = stage.mxu_terms
+                pairs = _X3_PAIRS if terms == 3 else ((0, 0),)
                 span = out_rows + 2 * stage.rh8
                 shift = w_base - ew
                 adv = (shift - stage.rw8) // 128
@@ -2687,36 +2701,75 @@ def _graph_strip_kernel_mc(
                 # (0 * NaN would poison the dot).
                 s_lo = c0 - stage.rw8
                 s_hi = c0 + out_cols + stage.rw8
-                wt_full = ts_bf.shape[1]
-                A = a_ref[m, 0:out_rows, 0:span]
+                wt_full = ts_bf.shape[2]
+                As = [a_ref[m, a, 0:out_rows, 0:span] for a in range(terms)]
                 for ch in range(4):
-                    if src_b == -2:
-                        xs = scratch[slot, ch, off_h : off_h + span, :]
+                    if terms == 3:
+                        # f32 source block: split into three bf16 terms
+                        # (each residual subtraction exact in f32).
+                        if src_b == -2:
+                            sv = scratch[slot, ch, off_h : off_h + span, :]
+                        else:
+                            sv = bufs[src_b, ch, off_h : off_h + span, :]
+                        if sv.dtype != jnp.float32:
+                            sv = sv.astype(jnp.float32)
+                        b0 = sv.astype(jnp.bfloat16)
+                        xs3[0, 0:span, :] = b0
+                        sv = sv - b0.astype(jnp.float32)
+                        b1 = sv.astype(jnp.bfloat16)
+                        xs3[1, 0:span, :] = b1
+                        xs3[2, 0:span, :] = (
+                            sv - b1.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+                        xsrc = lambda b: xs3[b, 0:span, :]
+                    elif src_b == -2:
+                        xsrc = lambda b: scratch[
+                            slot, ch, off_h : off_h + span, :
+                        ]
                     else:
-                        xs = bufs[
+                        xsrc = lambda b: bufs[
                             src_b, ch, off_h : off_h + span, :
                         ].astype(jnp.bfloat16)
                     tmp[0:out_rows, :] = jnp.dot(
-                        A, xs, preferred_element_type=jnp.float32
+                        As[0], xsrc(0), preferred_element_type=jnp.float32
                     )
-                    ts_bf[0:out_rows, :] = tmp[0:out_rows, :].astype(
-                        jnp.bfloat16
-                    )
-                    if s_lo > 0:
-                        ts_bf[0:out_rows, 0:s_lo] = jnp.zeros(
-                            (out_rows, s_lo), jnp.bfloat16
+                    for a, b in pairs[1:]:
+                        tmp[0:out_rows, :] += jnp.dot(
+                            As[a], xsrc(b),
+                            preferred_element_type=jnp.float32,
                         )
-                    if s_hi < wt_full:
-                        ts_bf[0:out_rows, s_hi:] = jnp.zeros(
-                            (out_rows, wt_full - s_hi), jnp.bfloat16
-                        )
+                    tv = tmp[0:out_rows, :]
+                    b0 = tv.astype(jnp.bfloat16)
+                    ts_bf[0, 0:out_rows, :] = b0
+                    if terms == 3:
+                        tv = tv - b0.astype(jnp.float32)
+                        b1 = tv.astype(jnp.bfloat16)
+                        ts_bf[1, 0:out_rows, :] = b1
+                        ts_bf[2, 0:out_rows, :] = (
+                            tv - b1.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+                    for tt in range(terms):
+                        if s_lo > 0:
+                            ts_bf[tt, 0:out_rows, 0:s_lo] = jnp.zeros(
+                                (out_rows, s_lo), jnp.bfloat16
+                            )
+                        if s_hi < wt_full:
+                            ts_bf[tt, 0:out_rows, s_hi:] = jnp.zeros(
+                                (out_rows, wt_full - s_hi), jnp.bfloat16
+                            )
                     for j in range(n_wt):
                         org = 128 * (j + adv)
                         d = jnp.dot(
-                            ts_bf[0:out_rows, org : org + 384],
-                            c_ref[m],
+                            ts_bf[0, 0:out_rows, org : org + 384],
+                            c_ref[m, 0],
                             preferred_element_type=jnp.float32,
                         )
+                        for a, b in pairs[1:]:
+                            d += jnp.dot(
+                                ts_bf[a, 0:out_rows, org : org + 384],
+                                c_ref[m, b],
+                                preferred_element_type=jnp.float32,
+                            )
                         L = min(128, out_cols - 128 * j)
                         v = d[:, 0:L] if L < 128 else d
                         v = v if raw else store1(v)
@@ -2776,7 +2829,7 @@ def mc_strip_geometry(h: int, w: int, rh_in: int, ew_in: int):
 
 def mc_strip_tile_h(
     h: int, w: int, rh_in: int, ew_in: int, n_bufs: int,
-    itemsize: int = 4, min_tile: int = 0,
+    itemsize: int = 4, min_tile: int = 0, mxu_t_max: int = 0,
 ) -> int | None:
     """Pick tile_h for the mc megakernel, or None when the geometry or
     VMEM model says no.
@@ -2807,6 +2860,9 @@ def mc_strip_tile_h(
             + n_bufs * 4 * strip_rows * w_total * 4      # pool
             + 2 * strip_rows * w_total * 4               # tmp/tmp_t
             + 2 * 4 * tile_h * w * 4                     # out blocks
+            # MXU conv stages: ts_bf terms (+ xs3 split when f32-exact)
+            + (mxu_t_max * strip_rows * w_total * 2 if mxu_t_max else 0)
+            + (3 * strip_rows * w_total * 2 if mxu_t_max == 3 else 0)
         )
         return use < 60 * 1024 * 1024
 
@@ -2867,19 +2923,31 @@ def graph_strip_fused_mc(
         jnp.asarray(0 if row0_base is None else row0_base, jnp.int32), (1, 1)
     )
 
-    # MXU band constants for bf16-storage conv stages (McStage.mxu): one
-    # (out_rows, span) H band and one (384, 128) 3-tile W band per stage,
-    # stacked (zero-padded to the max geometry; the kernel slices each
-    # stage's exact shape statically).  The W window of output tile j is
-    # ts[:, 128*(j+adv) : +384], so w_total is widened when the last
-    # tile's window would overrun.
+    # MXU band constants for conv stages riding the MXU (McStage.mxu):
+    # one (out_rows, span) H band and one (384, 128) 3-tile W band per
+    # stage, stacked (zero-padded to the max geometry; the kernel slices
+    # each stage's exact shape statically).  The W window of output tile
+    # j is ts[:, 128*(j+adv) : +384], so w_total is widened when the
+    # last tile's window would overrun.  A terms axis carries the bf16x3
+    # Dekker split of each band for f32-exact stages (mxu_terms == 3);
+    # single-product bf16-storage stages fill term 0 only.
     mxu_stages = [st for st in stages if st.kind == "conv" and st.mxu]
     n_mxu = len(mxu_stages)
+    mxu_t_max = max((st.mxu_terms for st in mxu_stages), default=1)
     mxu_args = ()
     mxu_in_specs: list = []
     mxu_scratch: list = []
     if n_mxu:
         import ml_dtypes
+
+        def _split3(arr: np.ndarray, n_terms: int) -> list:
+            out = []
+            rem = arr.astype(np.float32)
+            for _ in range(n_terms):
+                t = rem.astype(ml_dtypes.bfloat16)
+                out.append(t)
+                rem = rem - t.astype(np.float32)
+            return out
 
         for st in mxu_stages:
             out_cols = w + 2 * st.ew
@@ -2892,17 +2960,15 @@ def graph_strip_fused_mc(
         max_s = _round_up(
             max(tile_h + 2 * st.eh + 2 * st.rh8 for st in mxu_stages), 16
         )
-        a_np = np.zeros((n_mxu, max_r, max_s), ml_dtypes.bfloat16)
-        c_np = np.zeros((n_mxu, 384, 128), ml_dtypes.bfloat16)
+        a_np = np.zeros((n_mxu, mxu_t_max, max_r, max_s), ml_dtypes.bfloat16)
+        c_np = np.zeros((n_mxu, mxu_t_max, 384, 128), ml_dtypes.bfloat16)
         for m, st in enumerate(mxu_stages):
             orows = tile_h + 2 * st.eh
             span = orows + 2 * st.rh8
-            a_np[m, :orows, :span] = _band_matrix_h(
-                np.asarray(st.wh, np.float32), orows, span
-            ).astype(ml_dtypes.bfloat16)
+            ah = _band_matrix_h(np.asarray(st.wh, np.float32), orows, span)
             shift = w_base - st.ew
             adv = (shift - st.rw8) // 128
-            c_np[m] = np.concatenate(
+            cw = np.concatenate(
                 list(
                     _band_matrices_w3_shift(
                         np.asarray(st.ww, np.float32), st.rw8,
@@ -2910,17 +2976,32 @@ def graph_strip_fused_mc(
                     )
                 ),
                 axis=0,
-            ).astype(ml_dtypes.bfloat16)
+            )
+            for tt, term in enumerate(_split3(ah, st.mxu_terms)):
+                a_np[m, tt, :orows, :span] = term
+            for tt, term in enumerate(_split3(cw, st.mxu_terms)):
+                c_np[m, tt] = term
         mxu_args = (jnp.asarray(a_np), jnp.asarray(c_np))
         mxu_in_specs = [
-            pl.BlockSpec((n_mxu, max_r, max_s), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_mxu, 384, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mxu, mxu_t_max, max_r, max_s),
+                         lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mxu, mxu_t_max, 384, 128),
+                         lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
         ]
         mxu_scratch = [
-            pltpu.VMEM((_round_up(strip_rows, 16), w_total), jnp.bfloat16)
+            pltpu.VMEM(
+                (mxu_t_max, _round_up(strip_rows, 16), w_total),
+                jnp.bfloat16,
+            )
         ]
+        if mxu_t_max == 3:
+            # bf16x3 split of the f32 source block (per channel, reused
+            # across x3 stages within a strip iteration).
+            mxu_scratch.append(
+                pltpu.VMEM(
+                    (3, _round_up(strip_rows, 16), w_total), jnp.bfloat16
+                )
+            )
 
     has_xf32 = x.dtype != jnp.float32
     vmem_use = (
@@ -2929,7 +3010,8 @@ def graph_strip_fused_mc(
         + n_bufs * 4 * strip_rows * w_total * 4
         + 2 * strip_rows * w_total * 4
         + 2 * 4 * tile_h * w * 4
-        + (strip_rows * w_total * 2 if n_mxu else 0)
+        + (mxu_t_max * strip_rows * w_total * 2 if n_mxu else 0)
+        + (3 * strip_rows * w_total * 2 if mxu_t_max == 3 else 0)
         + sum(int(np.prod(a.shape)) * 2 for a in mxu_args)
     )
     out = pl.pallas_call(
@@ -2950,6 +3032,7 @@ def graph_strip_fused_mc(
             direct_store=direct_store,
             carry_enabled=carry_enabled,
             n_mxu=n_mxu,
+            mxu_t_max=mxu_t_max,
             has_xf32=has_xf32,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),

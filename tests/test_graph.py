@@ -810,6 +810,96 @@ class TestConvBundling:
         assert d.max() <= 4e-2, (name, d.max())
         assert d.mean() <= 5e-3, (name, d.mean())
 
+    # f32-storage HEAVY convs (>= ops.X3_MIN_TAPS combined taps, where
+    # per-node execution switches to the standalone MXU x3 kernel) ride
+    # the mc kernel's MXU as f32-exact bf16x3 band matmuls
+    # (McStage.mxu_terms == 3) instead of gating the whole graph to
+    # per-node HBM round trips.  sigma 6 -> radius 18 -> 74 combined taps.
+    MXU_X3_CASES = {
+        "strip_heavy_conv_chain": (
+            "input -> gs -> edge -> tone -> output\n"
+            "gs: gaussian { sigma: 6.0 }\nedge: sobel {}\ntone: tonemap {}"
+        ),
+        "pool_heavy_conv": (
+            "input -> tone -> gs -> output\n"
+            "tone: tonemap {}\ngs: gaussian { sigma: 6.0 }"
+        ),
+        "heavy_conv_of_conv": (
+            "input -> a -> b -> output\n"
+            "a: gaussian { sigma: 6.0 }\nb: gaussian { sigma: 6.0 }"
+        ),
+    }
+
+    # rgba8 is excluded from the x3 form on hardware (store1 quantize in
+    # the x3 W-tile loop measured 13.5 ms vs 5.5 per-node; see
+    # _conv_mxu_terms) — only rgba32f builds terms-3 stages.
+    @pytest.mark.parametrize("name", sorted(MXU_X3_CASES))
+    @pytest.mark.parametrize("fmt", ["rgba32f"])
+    def test_mc_mxu_x3_band_conv_matches_per_node(
+        self, name, fmt, monkeypatch
+    ):
+        """f32 storage: heavy conv stages run as bf16x3 MXU band matmuls
+        (the six significant Dekker cross-products per pass) inside the
+        mc megakernel — f32-exact to a few ulps vs the CPU per-node f32
+        reference, unlike the bf16-storage single-product form."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        # The f32 bf16x3 form is width-gated on hardware (wins at >=
+        # 2560, loses to per-node x3 below); lift it for the test size.
+        monkeypatch.setenv("REFORGE_MC_MXU_F32_MIN_WIDTH", "1")
+        src = self.MXU_X3_CASES[name]
+        graph = build_graph(parse(src, expects_input=True))
+        prog = GraphProgram(graph, 128, 96, fmt)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        conv_stages = [
+            s for s in prog._strip_plan[1]["stages"] if s.kind == "conv"
+        ]
+        assert conv_stages and all(
+            s.mxu and s.mxu_terms == 3 for s in conv_stages
+        ), name
+        assert prog._strip_plan[1]["mxu_t_max"] == 3
+
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((4, 96, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        want = np.asarray(prog._forward(img, t), np.float32)
+
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = prog._strip_fused_forward(img.astype(prog.storage_dtype), t)
+        assert got is not None, name
+        d = np.abs(np.asarray(got, np.float32) - want)
+        # bf16x3 drops the three sub-f32-precision cross products:
+        # a few ulps of f32 on O(1) values, amplified ~8x by sobel
+        assert d.max() <= 2e-5, (name, d.max())
+        assert d.mean() <= 2e-6, (name, d.mean())
+
+    def test_mc_mxu_x3_excludes_rgba8(self, monkeypatch):
+        """rgba8 heavy convs never build terms-3 stages (the quantize in
+        the x3 W-tile loop is pathological on chip) — the graph keeps
+        per-node execution."""
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        monkeypatch.setenv("REFORGE_MC_MXU_F32_MIN_WIDTH", "1")
+        src = self.MXU_X3_CASES["heavy_conv_of_conv"]
+        graph = build_graph(parse(src, expects_input=True))
+        prog = GraphProgram(graph, 128, 96, "rgba8")
+        assert prog._strip_plan is None
+
     def test_mc_mxu_gate_bf16_wide_frames(self, monkeypatch):
         """At >= MC_CONV_MAX_WIDTH, extent-carrying convs gate the mc plan
         ONLY when they can't ride the MXU: bf16 storage with >= 24
@@ -835,9 +925,15 @@ class TestConvBundling:
         # sigma 2 (26 combined taps): still above the MXU crossover
         assert plan_kind(2, "rgba16f") == "mc"
         # same graph, f32 storage: extent conv still gated -> segments
+        # (50 taps < X3_MIN_TAPS; forcing the bf16x3 mc stage measured
+        # 0.52x per-node — the VPU per-node conv is faster at mid taps)
         assert plan_kind(4, "rgba32f") == "segments"
         # sigma 1 (14 taps, below the MXU crossover): bf16 stays gated
         assert plan_kind(1, "rgba16f") == "segments"
+        # HEAVY f32 convs (>= X3_MIN_TAPS) ride the in-kernel bf16x3 MXU
+        # stage: whole-graph mc at any width (1.27-1.42x per-node, BENCH)
+        assert plan_kind(8, "rgba32f") == "mc"
+        assert plan_kind(5, "rgba32f") == "mc"
 
 
 class TestSegmentFusion:
