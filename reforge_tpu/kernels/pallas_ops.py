@@ -612,6 +612,30 @@ def _band_matrices_w3_shift(wp: np.ndarray, rw_pad: int,
     return np.where(valid, np.asarray(wp, np.float32)[np.clip(k, 0, len(wp) - 1)], 0.0).astype(np.float32)
 
 
+def _band_matrices_w2_shiftstore(wp: np.ndarray) -> np.ndarray:
+    """(256, 128) 2-tile W band for the SHIFT-STORED H result (rw <= 64).
+
+    The in-kernel MXU stages' source origin (w_base) is 128-aligned, so
+    a tap window of output tile j starts 128 - rw_pad columns into an
+    aligned tile and the generic band needs 3 tiles
+    (_band_matrices_w3_shift).  Storing the H result shifted LEFT by
+    ``w_base - rw_pad`` lanes instead (one lane-rotate folded into the
+    bf16 downcast store the stage already pays) puts the window of
+    output tile j exactly at ts columns [128j, 128j + 128 + 2 rw), so
+    two tiles cover it whenever rw_pad <= 64: ts col 128j + 128t + p
+    holds source col 128j + 128t + p + (w_base - rw_pad), hence
+    lead-padded tap index k = 128t + p - q and
+    C[128t + p, q] = wp[128t + p - q] — one third less MXU work per
+    W pass than the 3-tile band."""
+    t_p = np.arange(256).reshape(256, 1)
+    q = np.arange(128).reshape(1, 128)
+    k = t_p - q
+    valid = (k >= 0) & (k < len(wp))
+    return np.where(
+        valid, np.asarray(wp, np.float32)[np.clip(k, 0, len(wp) - 1)], 0.0
+    ).astype(np.float32)
+
+
 def _band_matrices_w2(weights: np.ndarray) -> np.ndarray:
     """Two (128, 128) matrices for the 2-tile W pass (radius <= 64).
 
@@ -1159,7 +1183,7 @@ def _graph_strip_kernel(
     rh_max: int, rw_max: int, epilogue, raw: bool = False,
     in_h: int = 0, in_w: int = 0, pad_edge_mode: bool = True,
     w_base: int | None = None, n_aux: int = 0, x3_idx: tuple = (),
-    x3_terms: int = 3,
+    x3_terms: int = 3, w2s: int = 0,
 ):
     """The WHOLE graph in one streaming pass: shared-load convs + a traced
     channel-local epilogue that evaluates every remaining (pointwise) node
@@ -1281,21 +1305,31 @@ def _graph_strip_kernel(
                     a3_ref[m, a], xsrc(b),
                     preferred_element_type=jnp.float32,
                 )
+            # With w2s > 0 the bf16 downcast stores are lane-rotated by
+            # w2s so the W windows tile-align and the band is 2 tiles
+            # instead of 3 (_band_matrices_w2_shiftstore) — the rotate
+            # folds into a store the stage pays anyway.
+            wt_full = ts_s.shape[-1]
+            w_win = 256 if w2s else 384
+
+            def _store(term, blk):
+                ts_s[term, 0 : tile_h, 0 : wt_full - w2s] = (
+                    blk[:, w2s:] if w2s else blk
+                )
+
             tv = tmpf_s[:, :]
             b0 = tv.astype(jnp.bfloat16)
-            ts_s[0, 0 : tile_h, :] = b0
+            _store(0, b0)
             if x3_terms == 3:
                 tv = tv - b0.astype(jnp.float32)
                 b1 = tv.astype(jnp.bfloat16)
-                ts_s[1, 0 : tile_h, :] = b1
-                ts_s[2, 0 : tile_h, :] = (
-                    tv - b1.astype(jnp.float32)
-                ).astype(jnp.bfloat16)
+                _store(1, b1)
+                _store(2, (tv - b1.astype(jnp.float32)).astype(jnp.bfloat16))
             for j in range(n_wtiles):
                 acc = None
                 for a, b in pairs:
                     d = jnp.dot(
-                        ts_s[a, 0 : tile_h, 128 * j : 128 * j + 384],
+                        ts_s[a, 0 : tile_h, 128 * j : 128 * j + w_win],
                         c3_ref[m, b],
                         preferred_element_type=jnp.float32,
                     )
@@ -1464,6 +1498,14 @@ def graph_strip_fused(
     x3_args = ()
     x3_specs = []
     x3_scratch = []
+    # 2-tile W band (one third less MXU work): store the H result
+    # lane-shifted by w2s so tap windows tile-align; needs RW <= 64
+    # (see _band_matrices_w2_shiftstore).  REFORGE_MXU_W2=0 keeps the
+    # generic 3-tile band for A/Bs.
+    w2s = 0
+    if (n_x3 and RW <= 64
+            and _os.environ.get("REFORGE_MXU_W2", "1") != "0"):
+        w2s = w_base - RW
     if n_x3:
         import ml_dtypes
 
@@ -1473,6 +1515,11 @@ def graph_strip_fused(
             if x3_terms == 3:
                 return _split3_np(mat)
             return np.asarray(mat, ml_dtypes.bfloat16)[None]
+
+        def w_band(wp):
+            if w2s:
+                return _band_matrices_w2_shiftstore(wp)[None]
+            return _band_matrices_w3_shift(wp, RW, shift=w_base)
 
         a3 = jnp.asarray(
             np.stack(
@@ -1495,9 +1542,8 @@ def graph_strip_fused(
                             np.concatenate(
                                 [
                                     h_terms(m)[b]
-                                    for m in _band_matrices_w3_shift(
-                                        np.asarray(weights[k][1], np.float32),
-                                        RW, shift=w_base,
+                                    for m in w_band(
+                                        np.asarray(weights[k][1], np.float32)
                                     )
                                 ],
                                 axis=0,
@@ -1560,6 +1606,7 @@ def graph_strip_fused(
             n_aux=n_aux,
             x3_idx=x3_idx,
             x3_terms=x3_terms,
+            w2s=w2s,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h_pad, w), x.dtype),
         grid=(c, n_tiles),
@@ -2417,7 +2464,8 @@ def _graph_strip_kernel_mc(
     rh_in: int, w_base: int, in_h: int, in_w: int, store1,
     pad_edge_mode: bool = True, store1_id: bool = False,
     direct_store: bool = True, carry_enabled: bool = True,
-    n_mxu: int = 0, mxu_t_max: int = 1, has_xf32: bool = False,
+    n_mxu: int = 0, mxu_t_max: int = 1, mxu_w2: bool = False,
+    has_xf32: bool = False,
 ):
     """Execute the staged plan on one channel-full strip (see module note
     above).  ``bufs`` is the (n_bufs, 4, strip_rows, w_total) intermediate
@@ -2702,6 +2750,13 @@ def _graph_strip_kernel_mc(
                 s_lo = c0 - stage.rw8
                 s_hi = c0 + out_cols + stage.rw8
                 wt_full = ts_bf.shape[2]
+                # 2-tile W band: the H-result stores lane-rotate left by
+                # sm = (shift - rw8) mod 128 so tile j's tap window sits
+                # exactly at ts cols [128(j+adv), +128+2rw8) — see
+                # _band_matrices_w2_shiftstore.  The zero margins shift
+                # with the data (they also cover the unwritten tail).
+                sm = (shift - stage.rw8 - 128 * adv) if mxu_w2 else 0
+                w_win = 256 if mxu_w2 else 384
                 As = [a_ref[m, a, 0:out_rows, 0:span] for a in range(terms)]
                 for ch in range(4):
                     if terms == 3:
@@ -2738,35 +2793,44 @@ def _graph_strip_kernel_mc(
                             As[a], xsrc(b),
                             preferred_element_type=jnp.float32,
                         )
+                    def _store(term, blk):
+                        ts_bf[term, 0:out_rows, 0 : wt_full - sm] = (
+                            blk[:, sm:] if sm else blk
+                        )
+
                     tv = tmp[0:out_rows, :]
                     b0 = tv.astype(jnp.bfloat16)
-                    ts_bf[0, 0:out_rows, :] = b0
+                    _store(0, b0)
                     if terms == 3:
                         tv = tv - b0.astype(jnp.float32)
                         b1 = tv.astype(jnp.bfloat16)
-                        ts_bf[1, 0:out_rows, :] = b1
-                        ts_bf[2, 0:out_rows, :] = (
-                            tv - b1.astype(jnp.float32)
-                        ).astype(jnp.bfloat16)
+                        _store(1, b1)
+                        _store(
+                            2,
+                            (tv - b1.astype(jnp.float32)).astype(
+                                jnp.bfloat16
+                            ),
+                        )
                     for tt in range(terms):
-                        if s_lo > 0:
-                            ts_bf[tt, 0:out_rows, 0:s_lo] = jnp.zeros(
-                                (out_rows, s_lo), jnp.bfloat16
+                        if s_lo - sm > 0:
+                            ts_bf[tt, 0:out_rows, 0 : s_lo - sm] = jnp.zeros(
+                                (out_rows, s_lo - sm), jnp.bfloat16
                             )
-                        if s_hi < wt_full:
-                            ts_bf[tt, 0:out_rows, s_hi:] = jnp.zeros(
-                                (out_rows, wt_full - s_hi), jnp.bfloat16
+                        if s_hi - sm < wt_full:
+                            ts_bf[tt, 0:out_rows, s_hi - sm :] = jnp.zeros(
+                                (out_rows, wt_full - (s_hi - sm)),
+                                jnp.bfloat16,
                             )
                     for j in range(n_wt):
                         org = 128 * (j + adv)
                         d = jnp.dot(
-                            ts_bf[0, 0:out_rows, org : org + 384],
+                            ts_bf[0, 0:out_rows, org : org + w_win],
                             c_ref[m, 0],
                             preferred_element_type=jnp.float32,
                         )
                         for a, b in pairs[1:]:
                             d += jnp.dot(
-                                ts_bf[a, 0:out_rows, org : org + 384],
+                                ts_bf[a, 0:out_rows, org : org + w_win],
                                 c_ref[m, b],
                                 preferred_element_type=jnp.float32,
                             )
@@ -2934,6 +2998,7 @@ def graph_strip_fused_mc(
     mxu_stages = [st for st in stages if st.kind == "conv" and st.mxu]
     n_mxu = len(mxu_stages)
     mxu_t_max = max((st.mxu_terms for st in mxu_stages), default=1)
+    w_win = 384
     mxu_args = ()
     mxu_in_specs: list = []
     mxu_scratch: list = []
@@ -2949,11 +3014,19 @@ def graph_strip_fused_mc(
                 rem = rem - t.astype(np.float32)
             return out
 
+        # 2-tile W band via shift-stored H results (one third less MXU
+        # work; see _band_matrices_w2_shiftstore) — all-or-nothing per
+        # kernel so the stacked band constants share one shape.
+        w2 = (
+            all(st.rw8 <= 64 for st in mxu_stages)
+            and _os.environ.get("REFORGE_MXU_W2", "1") != "0"
+        )
+        w_win = 256 if w2 else 384
         for st in mxu_stages:
             out_cols = w + 2 * st.ew
             n_wt = -(-out_cols // 128)
             adv = (w_base - st.ew - st.rw8) // 128
-            need = 128 * (n_wt - 1 + adv) + 384
+            need = 128 * (n_wt - 1 + adv) + w_win
             if need > w_total:
                 w_total = _round_up(need, 128)
         max_r = _round_up(max(tile_h + 2 * st.eh for st in mxu_stages), 16)
@@ -2961,22 +3034,27 @@ def graph_strip_fused_mc(
             max(tile_h + 2 * st.eh + 2 * st.rh8 for st in mxu_stages), 16
         )
         a_np = np.zeros((n_mxu, mxu_t_max, max_r, max_s), ml_dtypes.bfloat16)
-        c_np = np.zeros((n_mxu, mxu_t_max, 384, 128), ml_dtypes.bfloat16)
+        c_np = np.zeros((n_mxu, mxu_t_max, w_win, 128), ml_dtypes.bfloat16)
         for m, st in enumerate(mxu_stages):
             orows = tile_h + 2 * st.eh
             span = orows + 2 * st.rh8
             ah = _band_matrix_h(np.asarray(st.wh, np.float32), orows, span)
             shift = w_base - st.ew
             adv = (shift - st.rw8) // 128
-            cw = np.concatenate(
-                list(
-                    _band_matrices_w3_shift(
-                        np.asarray(st.ww, np.float32), st.rw8,
-                        shift=shift - 128 * adv,
-                    )
-                ),
-                axis=0,
-            )
+            if w2:
+                cw = _band_matrices_w2_shiftstore(
+                    np.asarray(st.ww, np.float32)
+                )
+            else:
+                cw = np.concatenate(
+                    list(
+                        _band_matrices_w3_shift(
+                            np.asarray(st.ww, np.float32), st.rw8,
+                            shift=shift - 128 * adv,
+                        )
+                    ),
+                    axis=0,
+                )
             for tt, term in enumerate(_split3(ah, st.mxu_terms)):
                 a_np[m, tt, :orows, :span] = term
             for tt, term in enumerate(_split3(cw, st.mxu_terms)):
@@ -2985,7 +3063,7 @@ def graph_strip_fused_mc(
         mxu_in_specs = [
             pl.BlockSpec((n_mxu, mxu_t_max, max_r, max_s),
                          lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_mxu, mxu_t_max, 384, 128),
+            pl.BlockSpec((n_mxu, mxu_t_max, w_win, 128),
                          lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
         ]
         mxu_scratch = [
@@ -3033,6 +3111,7 @@ def graph_strip_fused_mc(
             carry_enabled=carry_enabled,
             n_mxu=n_mxu,
             mxu_t_max=mxu_t_max,
+            mxu_w2=(n_mxu > 0 and w_win == 256),
             has_xf32=has_xf32,
         ),
         out_shape=jax.ShapeDtypeStruct((c, h, w), x.dtype),
