@@ -900,6 +900,59 @@ class TestConvBundling:
         prog = GraphProgram(graph, 128, 96, "rgba8")
         assert prog._strip_plan is None
 
+    @pytest.mark.parametrize("fmt", ["rgba32f", "rgba16f"])
+    def test_mxu_w2_band_matches_w3(self, fmt, monkeypatch):
+        """The 2-tile W band (lane-rotated H-result stores,
+        _band_matrices_w2_shiftstore) produces the same output as the
+        generic 3-tile band in BOTH megakernels — the bands hold the
+        same exact-f32 weights, only the tile alignment differs, so any
+        drift is contraction-order noise."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        monkeypatch.setenv("REFORGE_MC_MXU_F32_MIN_WIDTH", "1")
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(pallas_ops, "TRANSPOSE_MIN_WIDTH", 1)
+        for fn in ("graph_strip_fused", "graph_strip_fused_mc"):
+            monkeypatch.setattr(
+                pallas_ops, fn,
+                functools.partial(getattr(pallas_ops, fn), interpret=True),
+            )
+        rng = np.random.default_rng(23)
+        img = jnp.asarray(rng.random((4, 96, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        cases = {
+            "single": (
+                "input -> gs -> tone -> output\n"
+                "gs: gaussian { sigma: 8.0 }\ntone: tonemap {}"
+            ),
+            "mc": self.MXU_X3_CASES["heavy_conv_of_conv"],
+        }
+        for tag, src in cases.items():
+            outs = {}
+            for w2 in ("1", "0"):
+                monkeypatch.setenv("REFORGE_MXU_W2", w2)
+                prog = GraphProgram(
+                    build_graph(parse(src, expects_input=True)), 128, 96, fmt
+                )
+                assert prog._strip_plan is not None, (tag, fmt)
+                assert prog._strip_plan[0] == tag, (tag, fmt)
+                got = prog._strip_fused_forward(
+                    img.astype(prog.storage_dtype), t
+                )
+                assert got is not None, (tag, fmt, w2)
+                outs[w2] = np.asarray(got, np.float32)
+            d = np.abs(outs["1"] - outs["0"])
+            tol = 1e-5 if fmt == "rgba32f" else 1e-2
+            assert d.max() <= tol, (tag, fmt, d.max())
+
     def test_mc_mxu_gate_bf16_wide_frames(self, monkeypatch):
         """At >= MC_CONV_MAX_WIDTH, extent-carrying convs gate the mc plan
         ONLY when they can't ride the MXU: bf16 storage with >= 24
