@@ -220,6 +220,24 @@ def _reflect(interp: Interp, args: list[Val], line: int) -> Val:
 
 
 def _mix(interp: Interp, args: list[Val], line: int) -> Val:
+    if args[2].elem_type == "bool":
+        # mix(x, y, bvec a): componentwise select, y where a is true.
+        x, y, a = args
+        size = max(x.size, y.size, a.size)
+
+        def comp(v, i):
+            return v.data[i] if v.is_vector() else v.data
+
+        comps = []
+        for i in range(size):
+            c, xc, yc = comp(a, i), comp(x, i), comp(y, i)
+            if is_static(c):
+                comps.append(yc if c else xc)
+            else:
+                comps.append(jnp.where(c, yc, xc))
+        return Val(_vec_name(x.elem_type, size), comps) if size > 1 else Val(
+            x.elem_type, comps[0]
+        )
     return _zip_map(
         interp, args, line,
         py=lambda x, y, a: x + (y - x) * a,
@@ -294,6 +312,409 @@ def _not(interp: Interp, args: list[Val], line: int) -> Val:
     return _map1(interp, v, lambda x: not x, jnp.logical_not, out_elem="bool")
 
 
+def _gdot(a: Val, b: Val):
+    """dot() generalized to genType (scalar or vector) raw data."""
+    xs = a.data if a.is_vector() else [a.data]
+    ys = b.data if b.is_vector() else [b.data]
+    total = None
+    for x, y in zip(xs, ys):
+        t = x * y
+        total = t if total is None else total + t
+    return total
+
+
+def _refract(interp: Interp, args: list[Val], line: int) -> Val:
+    i, n, eta = args
+    d = _gdot(n, i)
+    e = eta.data if not eta.is_vector() else eta.data[0]
+    k = 1.0 - e * e * (1.0 - d * d)
+    ics = i.data if i.is_vector() else [i.data]
+    ncs = n.data if n.is_vector() else [n.data]
+    if _static_all(k, e, d) and all(map(is_static, ics + ncs)):
+        if k < 0.0:
+            comps = [0.0] * len(ics)
+        else:
+            coef = e * d + math.sqrt(k)
+            comps = [e * ic - coef * nc for ic, nc in zip(ics, ncs)]
+    else:
+        coef = e * d + jnp.sqrt(jnp.maximum(k, 0.0))
+        keep = jnp.asarray(k) >= 0.0
+        comps = [
+            jnp.where(keep, e * ic - coef * nc, 0.0)
+            for ic, nc in zip(ics, ncs)
+        ]
+    return Val(i.type, comps if i.is_vector() else comps[0])
+
+
+def _faceforward(interp: Interp, args: list[Val], line: int) -> Val:
+    n, i, nref = args
+    d = _gdot(nref, i)
+    ncs = n.data if n.is_vector() else [n.data]
+    if is_static(d) and all(map(is_static, ncs)):
+        comps = [nc if d < 0.0 else -nc for nc in ncs]
+    else:
+        fwd = jnp.asarray(d) < 0.0
+        comps = [jnp.where(fwd, nc, -1.0 * nc) for nc in ncs]
+    return Val(n.type, comps if n.is_vector() else comps[0])
+
+
+def _ldexp(interp: Interp, args: list[Val], line: int) -> Val:
+    return _zip_map(
+        interp, args, line,
+        py=lambda x, e: math.ldexp(x, int(e)),
+        jx=lambda x, e: x * jnp.exp2(e),
+    )
+
+
+# ---- bit-level: casts, counts, fields, pack/unpack ----------------------
+#
+# Static (python-int) lanes wrap to 32 bits like the GPU's registers do;
+# traced lanes are already int32/uint32 jnp arrays.  GLSL's bit builtins
+# are defined on 32-bit two's-complement values (shaderc compiles them
+# all; reference shader.rs:73-93), so py/jx pairs must agree bit-exactly.
+
+
+def _u32(x) -> int:
+    return int(x) & 0xFFFFFFFF
+
+
+def _i32(x) -> int:
+    x = int(x) & 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def _float_bits_py(x) -> int:
+    import struct
+
+    return struct.unpack("<I", struct.pack("<f", x))[0]
+
+
+def _bits_float_py(x) -> float:
+    import struct
+
+    return struct.unpack("<f", struct.pack("<I", _u32(x)))[0]
+
+
+def _bitcast_jx(x, dt):
+    import jax
+
+    return jax.lax.bitcast_convert_type(jnp.asarray(x), dt)
+
+
+def _pop_py(x) -> int:
+    return bin(_u32(x)).count("1")
+
+
+def _pop_jx(x):
+    import jax
+
+    return jax.lax.population_count(x).astype(jnp.int32)
+
+
+def _find_lsb_py(x) -> int:
+    v = _u32(x)
+    return (v & -v).bit_length() - 1 if v else -1
+
+
+def _find_lsb_jx(x):
+    import jax
+
+    tz = jax.lax.population_count((x & (~x + 1)) - 1).astype(jnp.int32)
+    return jnp.where(jnp.asarray(x) == 0, jnp.int32(-1), tz)
+
+
+def _find_msb_py(x) -> int:
+    v = int(x)
+    if v < 0:
+        v = ~v
+    v = _u32(v)
+    return v.bit_length() - 1
+
+
+def _find_msb_jx(x):
+    import jax
+
+    v = jnp.where(x < 0, ~x, x) if x.dtype == jnp.int32 else x
+    r = 31 - jax.lax.clz(v.astype(jnp.uint32)).astype(jnp.int32)
+    return jnp.where(v.astype(jnp.uint32) == 0, jnp.int32(-1), r)
+
+
+def _bitfield_extract(interp: Interp, args: list[Val], line: int) -> Val:
+    signed = args[0].elem_type == "int"
+
+    def py(v, o, b):
+        v, o, b = _u32(v), int(o), int(b)
+        if b == 0:
+            return 0
+        r = (v >> o) & ((1 << b) - 1)
+        if signed and (r >> (b - 1)) & 1:
+            r -= 1 << b
+        return r if signed else r & 0xFFFFFFFF
+
+    def jx(v, o, b):
+        # Sign/zero extension via the shift pair; b == 0 masked to 0
+        # (a 32-lane shift is undefined).
+        up = v << jnp.where(b == 0, 0, 32 - o - b)
+        r = up >> jnp.where(b == 0, 0, 32 - b).astype(up.dtype)
+        return jnp.where(b == 0, jnp.zeros_like(r), r)
+
+    return _zip_map(interp, args, line, py, jx)
+
+
+def _bitfield_insert(interp: Interp, args: list[Val], line: int) -> Val:
+    signed = args[0].elem_type == "int"
+
+    def py(base, ins, o, b):
+        base, ins, o, b = _u32(base), _u32(ins), int(o), int(b)
+        mask = ((1 << b) - 1) << o
+        r = (base & ~mask) | ((ins << o) & mask)
+        return _i32(r) if signed else r & 0xFFFFFFFF
+
+    def jx(base, ins, o, b):
+        one = jnp.ones_like(base)
+        full = jnp.asarray(b) >= 32
+        mask = jnp.where(
+            full, ~jnp.zeros_like(base), ((one << b) - 1) << o
+        )
+        return (base & ~mask) | ((ins << o) & mask)
+
+    return _zip_map(interp, args, line, py, jx)
+
+
+def _brev_py(x) -> int:
+    return int("{:032b}".format(_u32(x))[::-1], 2)
+
+
+def _brev_jx(x):
+    signed = x.dtype == jnp.int32
+    u = x.astype(jnp.uint32)
+    u = ((u & 0x55555555) << 1) | ((u >> 1) & 0x55555555)
+    u = ((u & 0x33333333) << 2) | ((u >> 2) & 0x33333333)
+    u = ((u & 0x0F0F0F0F) << 4) | ((u >> 4) & 0x0F0F0F0F)
+    u = ((u & 0x00FF00FF) << 8) | ((u >> 8) & 0x00FF00FF)
+    u = (u << 16) | (u >> 16)
+    return u.astype(jnp.int32) if signed else u
+
+
+def _bitrev(interp: Interp, args: list[Val], line: int) -> Val:
+    (v,) = args
+    signed = v.elem_type == "int"
+    return _map1(
+        interp, v,
+        (lambda x: _i32(_brev_py(x))) if signed else _brev_py,
+        _brev_jx,
+    )
+
+
+def _pack(interp: Interp, v: Val, line: int, n: int, encode_py, encode_jx,
+          name: str) -> Val:
+    if not v.is_vector() or v.size != n or v.elem_type != "float":
+        raise GlslError(f"{name}() needs a vec{n}", line)
+    bits = 32 // n
+    if all(map(is_static, v.data)):
+        acc = 0
+        for i, c in enumerate(v.data):
+            acc |= (encode_py(c) & ((1 << bits) - 1)) << (bits * i)
+        return Val("uint", acc)
+    acc = None
+    for i, c in enumerate(v.data):
+        b = encode_jx(interp._as_array(c, "float")).astype(jnp.uint32)
+        b = (b & jnp.uint32((1 << bits) - 1)) << jnp.uint32(bits * i)
+        acc = b if acc is None else acc | b
+    return Val("uint", acc)
+
+
+def _unpack(interp: Interp, v: Val, line: int, n: int, decode_py, decode_jx,
+            name: str) -> Val:
+    if v.is_vector() or v.elem_type not in ("uint", "int"):
+        raise GlslError(f"{name}() needs a uint", line)
+    bits = 32 // n
+    comps = []
+    for i in range(n):
+        if is_static(v.data):
+            comps.append(decode_py((_u32(v.data) >> (bits * i)) & ((1 << bits) - 1)))
+        else:
+            field = (
+                jnp.asarray(v.data).astype(jnp.uint32) >> jnp.uint32(bits * i)
+            ) & jnp.uint32((1 << bits) - 1)
+            comps.append(decode_jx(field))
+    return Val(f"vec{n}", comps)
+
+
+def _snorm_enc_py(scale):
+    return lambda c: _u32(int(round(min(max(c, -1.0), 1.0) * scale)))
+
+
+def _snorm_enc_jx(scale):
+    return lambda c: jnp.round(jnp.clip(c, -1.0, 1.0) * scale).astype(jnp.int32)
+
+
+def _snorm_dec(bits, scale):
+    half = 1 << (bits - 1)
+    full = 1 << bits
+
+    def py(b):
+        s = b - full if b >= half else b
+        return min(max(s / scale, -1.0), 1.0)
+
+    def jx(b):
+        s = jnp.where(b >= half, b.astype(jnp.int32) - full, b.astype(jnp.int32))
+        return jnp.clip(s.astype(jnp.float32) / scale, -1.0, 1.0)
+
+    return py, jx
+
+
+def _half_enc_py(c) -> int:
+    import numpy as np
+
+    return int(np.float32(c).astype(np.float16).view(np.uint16))
+
+
+def _half_enc_jx(c):
+    return _bitcast_jx(c.astype(jnp.float16), jnp.uint16)
+
+
+def _half_dec_py(b) -> float:
+    import numpy as np
+
+    return float(np.uint16(b).view(np.float16))
+
+
+def _half_dec_jx(b):
+    return _bitcast_jx(b.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+
+
+_PACK_FNS: dict[str, tuple] = {
+    # name -> (n, encode_py, encode_jx)
+    "packUnorm4x8": (
+        4,
+        lambda c: int(round(min(max(c, 0.0), 1.0) * 255.0)),
+        lambda c: jnp.round(jnp.clip(c, 0.0, 1.0) * 255.0),
+    ),
+    "packSnorm4x8": (4, _snorm_enc_py(127.0), _snorm_enc_jx(127.0)),
+    "packUnorm2x16": (
+        2,
+        lambda c: int(round(min(max(c, 0.0), 1.0) * 65535.0)),
+        lambda c: jnp.round(jnp.clip(c, 0.0, 1.0) * 65535.0),
+    ),
+    "packSnorm2x16": (2, _snorm_enc_py(32767.0), _snorm_enc_jx(32767.0)),
+    "packHalf2x16": (2, _half_enc_py, _half_enc_jx),
+}
+
+_UNPACK_FNS: dict[str, tuple] = {
+    "unpackUnorm4x8": (
+        4,
+        lambda b: b / 255.0,
+        lambda b: b.astype(jnp.float32) / 255.0,
+    ),
+    "unpackSnorm4x8": (4, *_snorm_dec(8, 127.0)),
+    "unpackUnorm2x16": (
+        2,
+        lambda b: b / 65535.0,
+        lambda b: b.astype(jnp.float32) / 65535.0,
+    ),
+    "unpackSnorm2x16": (2, *_snorm_dec(16, 32767.0)),
+    "unpackHalf2x16": (2, _half_dec_py, _half_dec_jx),
+}
+
+
+def _make_pack(name, n, enc_py, enc_jx):
+    def fn(interp: Interp, args: list[Val], line: int) -> Val:
+        (v,) = args
+        return _pack(interp, v, line, n, enc_py, enc_jx, name)
+
+    return fn
+
+
+def _make_unpack(name, n, dec_py, dec_jx):
+    def fn(interp: Interp, args: list[Val], line: int) -> Val:
+        (v,) = args
+        return _unpack(interp, v, line, n, dec_py, dec_jx, name)
+
+    return fn
+
+
+# ---- matrix builtins -----------------------------------------------------
+#
+# Matrices are column-major lists of columns (Val.data[j][i] = row i of
+# column j), each element a static float or an (H, W) lane array — so
+# determinant/inverse are plain arithmetic over elements and vectorize
+# for free.
+
+
+def _mat_size(v: Val, line: int, fn: str) -> int:
+    from .interp import MAT_TYPES
+
+    if v.type not in MAT_TYPES:
+        raise GlslError(f"{fn}() needs a matrix", line)
+    return MAT_TYPES[v.type]
+
+
+def _matrix_comp_mult(interp: Interp, args: list[Val], line: int) -> Val:
+    a, b = args
+    n = _mat_size(a, line, "matrixCompMult")
+    if b.type != a.type:
+        raise GlslError("matrixCompMult() needs matching matrices", line)
+    return Val(
+        a.type,
+        [[x * y for x, y in zip(ca, cb)] for ca, cb in zip(a.data, b.data)],
+    )
+
+
+def _outer_product(interp: Interp, args: list[Val], line: int) -> Val:
+    c, r = args
+    if not c.is_vector() or not r.is_vector() or c.size != r.size:
+        raise GlslError(
+            "outerProduct() supports equal-size vectors (square result)", line
+        )
+    n = c.size
+    cols = [[c.data[i] * r.data[j] for i in range(n)] for j in range(n)]
+    return Val(f"mat{n}", cols)
+
+
+def _minor(d, n: int, i: int, j: int):
+    rows = [r for r in range(n) if r != i]
+    cols = [c for c in range(n) if c != j]
+    return [[d[c][r] for r in rows] for c in cols]
+
+
+def _det(d, n: int):
+    if n == 1:
+        return d[0][0]
+    if n == 2:
+        return d[0][0] * d[1][1] - d[1][0] * d[0][1]
+    acc = None
+    for i in range(n):
+        term = d[0][i] * _det(_minor(d, n, i, 0), n - 1)
+        if i % 2:
+            term = -term
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _determinant(interp: Interp, args: list[Val], line: int) -> Val:
+    (m,) = args
+    n = _mat_size(m, line, "determinant")
+    return Val("float", _det(m.data, n))
+
+
+def _inverse(interp: Interp, args: list[Val], line: int) -> Val:
+    (m,) = args
+    n = _mat_size(m, line, "inverse")
+    det = _det(m.data, n)
+    inv_det = (1.0 / det) if is_static(det) else 1.0 / det
+    cols = []
+    for j in range(n):
+        col = []
+        for i in range(n):
+            c = _det(_minor(m.data, n, j, i), n - 1)
+            if (i + j) % 2:
+                c = -c
+            col.append(c * inv_det)
+        cols.append(col)
+    return Val(m.type, cols)
+
+
 def _simple(py: Callable, jx: Callable, out_elem: Optional[str] = None):
     def fn(interp: Interp, args: list[Val], line: int) -> Val:
         return _zip_map(interp, args, line, py, jx, out_elem=out_elem)
@@ -359,4 +780,41 @@ BUILTIN_FUNCS: dict[str, Callable[[Interp, list, int], Val]] = {
     "not": _not,
     "isnan": _simple(lambda x: x != x, jnp.isnan, out_elem="bool"),
     "isinf": _simple(lambda x: x in (float("inf"), float("-inf")), jnp.isinf, out_elem="bool"),
+    "fma": _simple(lambda a, b, c: a * b + c, lambda a, b, c: a * b + c),
+    "ldexp": _ldexp,
+    "refract": _refract,
+    "faceforward": _faceforward,
+    "floatBitsToInt": _simple(
+        lambda x: _i32(_float_bits_py(x)),
+        lambda x: _bitcast_jx(x, jnp.int32), out_elem="int",
+    ),
+    "floatBitsToUint": _simple(
+        lambda x: _float_bits_py(x),
+        lambda x: _bitcast_jx(x, jnp.uint32), out_elem="uint",
+    ),
+    "intBitsToFloat": _simple(
+        _bits_float_py, lambda x: _bitcast_jx(x, jnp.float32),
+        out_elem="float",
+    ),
+    "uintBitsToFloat": _simple(
+        _bits_float_py, lambda x: _bitcast_jx(x, jnp.float32),
+        out_elem="float",
+    ),
+    "bitCount": _simple(_pop_py, _pop_jx, out_elem="int"),
+    "findLSB": _simple(_find_lsb_py, _find_lsb_jx, out_elem="int"),
+    "findMSB": _simple(_find_msb_py, _find_msb_jx, out_elem="int"),
+    "bitfieldExtract": _bitfield_extract,
+    "bitfieldInsert": _bitfield_insert,
+    "bitfieldReverse": _bitrev,
+    "matrixCompMult": _matrix_comp_mult,
+    "outerProduct": _outer_product,
+    "determinant": _determinant,
+    "inverse": _inverse,
 }
+
+BUILTIN_FUNCS.update(
+    {name: _make_pack(name, *spec) for name, spec in _PACK_FNS.items()}
+)
+BUILTIN_FUNCS.update(
+    {name: _make_unpack(name, *spec) for name, spec in _UNPACK_FNS.items()}
+)

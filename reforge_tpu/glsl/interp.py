@@ -2818,6 +2818,46 @@ class Interp:
             n = MAT_TYPES[m.type]
             cols = [[m.data[j][i] for j in range(n)] for i in range(n)]
             return Val(m.type, cols)
+        if name in ("modf", "frexp"):
+            # Out-parameter builtins: evaluate x, compute both parts,
+            # write the out argument through the normal lvalue path.
+            if len(arg_exprs) != 2:
+                raise GlslError(f"{name}(x, out y) takes two arguments", line)
+            x = self.eval_expr(arg_exprs[0], scope)
+            if name == "modf":
+                from .builtins import BUILTIN_FUNCS
+
+                whole = BUILTIN_FUNCS["trunc"](self, [x], line)
+                self._assign_to(arg_exprs[1], whole, scope, line)
+                return self._arith("-", x, whole, line)
+            import math as _math
+
+            comps = x.data if x.is_vector() else [x.data]
+            ms, es = [], []
+            for c in comps:
+                if is_static(c):
+                    m_, e_ = _math.frexp(float(c))
+                    ms.append(m_)
+                    es.append(e_)
+                else:
+                    # Exponent/significand split on the raw f32 bits
+                    # (exact for normals; x == 0 -> (x, 0)).
+                    bits = jax.lax.bitcast_convert_type(
+                        jnp.asarray(c).astype(jnp.float32), jnp.uint32
+                    )
+                    be = ((bits >> 23) & jnp.uint32(0xFF)).astype(jnp.int32)
+                    sig = (bits & jnp.uint32(0x807FFFFF)) | jnp.uint32(126 << 23)
+                    m_ = jax.lax.bitcast_convert_type(sig, jnp.float32)
+                    zero = jnp.asarray(c) == 0.0
+                    ms.append(jnp.where(zero, jnp.asarray(c), m_))
+                    es.append(jnp.where(zero, jnp.int32(0), be - 126))
+            if x.is_vector():
+                self._assign_to(
+                    arg_exprs[1], Val(f"ivec{x.size}", es), scope, line
+                )
+                return Val(x.type, ms)
+            self._assign_to(arg_exprs[1], Val("int", es[0]), scope, line)
+            return Val("float", ms[0])
         if name == "imageLoad":
             return self._image_load(arg_exprs, scope, line)
         if name == "imageStore":

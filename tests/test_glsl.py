@@ -3114,3 +3114,185 @@ class TestDynamicIndexing:
                 wantn[y, x] = n
         np.testing.assert_allclose(np.asarray(out)[0], wantv, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out)[1], wantn, atol=1e-6)
+
+
+class TestExtendedBuiltins:
+    """GLSL 4.50 builtins added for shaderc parity (reference
+    shader.rs:73-93 compiles any conforming GLSL): geometric
+    (refract/faceforward), fma/ldexp/modf/frexp, bit casts and bitfield
+    ops, pack/unpack, and the non-square-free matrix set."""
+
+    def test_refract_and_faceforward(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            vec3 i = normalize(vec3(c.r, c.g, -1.0));
+            vec3 n = vec3(0.0, 0.0, 1.0);
+            vec3 r = refract(i, n, 0.75);
+            vec3 f = faceforward(n, i, n);
+            imageStore(output_image, pos, vec4(r.x, r.y, r.z, f.z));
+        """)
+        a = np.asarray(img, np.float64)
+        i = np.stack([a[0], a[1], -np.ones_like(a[0])])
+        i = i / np.sqrt((i * i).sum(0))
+        n = np.stack([np.zeros_like(a[0])] * 2 + [np.ones_like(a[0])])
+        d = (n * i).sum(0)
+        eta = 0.75
+        k = 1.0 - eta * eta * (1.0 - d * d)
+        r = np.where(k < 0, 0.0, eta * i - (eta * d + np.sqrt(np.maximum(k, 0))) * n)
+        f = np.where(d < 0, 1.0, -1.0)  # faceforward z-component
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[:3], r, atol=1e-5)
+        np.testing.assert_allclose(got[3], f, atol=1e-6)
+
+    def test_fma_ldexp_modf_frexp(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float x = c.r * 20.0 - 10.0;
+            float whole;
+            float frac = modf(x, whole);
+            int e;
+            float m = frexp(x, e);
+            float back = ldexp(m, e);
+            float f = fma(c.g, 2.0, c.b);
+            imageStore(output_image, pos, vec4(frac + whole, back, f, float(e)));
+        """)
+        a = np.asarray(img)
+        x = a[0] * np.float32(20.0) - np.float32(10.0)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], x, atol=1e-6)  # modf reassembles
+        np.testing.assert_allclose(got[1], x, atol=1e-7)  # frexp/ldexp exact
+        np.testing.assert_allclose(got[2], a[1] * 2.0 + a[2], atol=1e-6)
+        m, e = np.frexp(x.astype(np.float32))
+        np.testing.assert_array_equal(got[3], e.astype(np.float32))
+
+    def test_mix_bool_selector(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            vec3 sel = mix(vec3(0.0), c.rgb, greaterThan(c.rgb, vec3(0.5)));
+            imageStore(output_image, pos, vec4(sel, 1.0));
+        """)
+        a = np.asarray(img)
+        want = np.where(a[:3] > 0.5, a[:3], 0.0)
+        np.testing.assert_allclose(np.asarray(out)[:3], want, atol=1e-6)
+
+    def test_bit_casts_roundtrip(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            int bi = floatBitsToInt(c.r);
+            uint bu = floatBitsToUint(c.g);
+            float r = intBitsToFloat(bi);
+            float g = uintBitsToFloat(bu);
+            float k = uintBitsToFloat(0x3F800000u);
+            imageStore(output_image, pos, vec4(r, g, k, float(bi != 0)));
+        """)
+        a = np.asarray(img)
+        got = np.asarray(out)
+        np.testing.assert_array_equal(got[0], a[0])
+        np.testing.assert_array_equal(got[1], a[1])
+        np.testing.assert_array_equal(got[2], 1.0)
+
+    def test_bit_counts(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            uint v = uint(imageLoad(input_image, pos).r * 4095.0);
+            imageStore(output_image, pos, vec4(
+                float(bitCount(v)), float(findLSB(v)), float(findMSB(v)),
+                float(findMSB(0u))));
+        """)
+        a = np.asarray(img)
+        v = (a[0] * 4095.0).astype(np.uint32)
+        got = np.asarray(out)
+        pc = np.vectorize(lambda x: bin(x).count("1"))(v)
+        lsb = np.vectorize(
+            lambda x: int(int(x) & -int(x)).bit_length() - 1 if x else -1
+        )(v.astype(np.int64))
+        msb = np.vectorize(lambda x: int(x).bit_length() - 1)(v)
+        np.testing.assert_array_equal(got[0], pc.astype(np.float32))
+        np.testing.assert_array_equal(got[1], lsb.astype(np.float32))
+        np.testing.assert_array_equal(got[2], msb.astype(np.float32))
+        np.testing.assert_array_equal(got[3], -1.0)
+
+    def test_bitfield_ops(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            uint v = uint(imageLoad(input_image, pos).r * 65535.0);
+            uint ext = bitfieldExtract(v, 4, 8);
+            uint ins = bitfieldInsert(v, 0xABu, 8, 8);
+            uint rev = bitfieldReverse(v);
+            int sx = bitfieldExtract(int(v), 4, 8);
+            imageStore(output_image, pos, vec4(
+                float(ext), float(ins), float(rev >> 16u), float(sx)));
+        """)
+        a = np.asarray(img)
+        v = (a[0] * 65535.0).astype(np.uint32).astype(np.int64)
+        got = np.asarray(out)
+        ext = (v >> 4) & 0xFF
+        ins = (v & ~(0xFF << 8)) | (0xAB << 8)
+        rev = np.vectorize(lambda x: int("{:032b}".format(int(x))[::-1], 2))(v)
+        sx = (v >> 4) & 0xFF
+        sx = np.where(sx >= 0x80, sx - 0x100, sx)
+        np.testing.assert_array_equal(got[0], ext.astype(np.float32))
+        np.testing.assert_array_equal(got[1], ins.astype(np.float32))
+        np.testing.assert_array_equal(got[2], (rev >> 16).astype(np.float32))
+        np.testing.assert_array_equal(got[3], sx.astype(np.float32))
+
+    def test_pack_unpack_roundtrips(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            vec4 u8 = unpackUnorm4x8(packUnorm4x8(c));
+            vec2 h = unpackHalf2x16(packHalf2x16(c.rg));
+            vec2 s16 = unpackSnorm2x16(packSnorm2x16(c.rg * 2.0 - 1.0));
+            imageStore(output_image, pos, vec4(u8.r, h.x, s16.x * 0.5 + 0.5, u8.a));
+        """)
+        a = np.asarray(img)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], a[0], atol=0.5 / 255)
+        np.testing.assert_allclose(got[1], a[0].astype(np.float16).astype(np.float32), atol=1e-7)
+        np.testing.assert_allclose(got[2], a[0], atol=0.5 / 32767 + 1e-6)
+        np.testing.assert_allclose(got[3], a[3], atol=0.5 / 255)
+
+    def test_pack_static_and_snorm8(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            uint p = packUnorm4x8(vec4(1.0, 0.0, 0.5, 1.0));
+            vec4 u = unpackUnorm4x8(p);
+            vec4 s = unpackSnorm4x8(packSnorm4x8(vec4(-1.0, 1.0, 0.0, -0.5)));
+            imageStore(output_image, pos, vec4(u.r, u.b, s.x * -0.5, s.y));
+        """)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(got[1], 128.0 / 255.0, atol=1e-6)
+        np.testing.assert_allclose(got[2], 0.5, atol=1e-6)
+        np.testing.assert_allclose(got[3], 1.0, atol=1e-6)
+
+    def test_matrix_builtins(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            mat3 m = mat3(1.0 + c.r, c.g, 0.2,
+                          c.b, 2.0, 0.1,
+                          0.3, 0.4, 1.5 + c.a);
+            mat3 mi = inverse(m);
+            mat3 ident = m * mi;
+            float det = determinant(m);
+            mat3 cm = matrixCompMult(m, m);
+            mat2 op = outerProduct(vec2(c.r, 2.0), vec2(3.0, c.g));
+            imageStore(output_image, pos, vec4(
+                ident[0][0] + ident[1][1] + ident[2][2],
+                ident[0][1] + ident[1][0] + ident[2][1],
+                cm[1][1] * 0.25 + op[1][0] - 2.0 * 3.0 + det * 0.0,
+                op[0][1] - c.r * c.g + det / det));
+        """)
+        a = np.asarray(img)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], 3.0, atol=2e-4)   # trace(m*inv)
+        np.testing.assert_allclose(got[1], 0.0, atol=2e-4)   # off-diagonals
+        # cm[1][1] = 2^2; outerProduct(c, r)[j][i] = c_i * r_j, so
+        # op[1][0] = c.r * c.g and op[0][1] = 2 * 3; det/det = 1.
+        np.testing.assert_allclose(got[2], 1.0 + a[0] * a[1] - 6.0, atol=1e-5)
+        np.testing.assert_allclose(got[3], 6.0 - a[0] * a[1] + 1.0, atol=1e-5)
