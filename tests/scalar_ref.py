@@ -106,6 +106,45 @@ def _mod(a, b):
     return a - b * math.floor(a / b) if b != 0 else 0.0
 
 
+def _lift4(f):
+    def g(a, b, c, d):
+        n = next((len(v) for v in (a, b, c, d) if isinstance(v, list)), None)
+        if n is None:
+            return f(a, b, c, d)
+
+        def at(v, i):
+            return v[i] if isinstance(v, list) else v
+
+        return [f(at(a, i), at(b, i), at(c, i), at(d, i)) for i in range(n)]
+    return g
+
+
+# Bit-level builtins use the uint (non-negative) interpretation of the
+# 32-bit result — the scalar values carry no int/uint tag, so signed
+# variants (bitfieldExtract sign extension, negative bitfieldReverse
+# results) are covered by the hand-written engine tests instead;
+# differential shaders should apply them to uints.
+
+def _ref_find_lsb(x):
+    v = int(x) & 0xFFFFFFFF
+    return (v & -v).bit_length() - 1 if v else -1
+
+
+def _ref_find_msb(x):
+    v = int(x)
+    if v < 0:
+        v = ~v
+    v &= 0xFFFFFFFF
+    return v.bit_length() - 1
+
+
+def _ref_bfi(base, ins, o, b):
+    base, ins, o, b = (int(base) & 0xFFFFFFFF, int(ins) & 0xFFFFFFFF,
+                       int(o), int(b))
+    mask = ((1 << b) - 1) << o
+    return ((base & ~mask) | ((ins << o) & mask)) & 0xFFFFFFFF
+
+
 _BUILTINS = {
     "sin": _lift1(math.sin), "cos": _lift1(math.cos),
     "tan": _lift1(math.tan), "asin": _lift1(lambda x: math.asin(max(-1.0, min(1.0, x)))),
@@ -126,9 +165,80 @@ _BUILTINS = {
     "step": _lift2(lambda e, x: 0.0 if x < e else 1.0),
     "atan": None,  # special-cased (1/2 args)
     "clamp": _lift3(lambda x, lo, hi: min(max(x, lo), hi)),
-    "mix": _lift3(lambda a, b, t: a * (1.0 - t) + b * t),
+    "mix": _lift3(lambda a, b, t: (b if t else a) if isinstance(t, bool)
+                  else a * (1.0 - t) + b * t),
     "smoothstep": _lift3(_smoothstep),
+    "trunc": _lift1(lambda x: float(int(x))),
+    "roundEven": _lift1(lambda x: float(np.round(x))),
+    "fma": _lift3(lambda a, b, c: a * b + c),
+    "ldexp": _lift2(lambda x, e: math.ldexp(x, int(e))),
+    "floatBitsToInt": _lift1(lambda x: int(np.float32(x).view(np.int32))),
+    "floatBitsToUint": _lift1(lambda x: int(np.float32(x).view(np.uint32))),
+    "intBitsToFloat": _lift1(
+        lambda x: float(np.uint32(int(x) & 0xFFFFFFFF).view(np.float32))
+    ),
+    "uintBitsToFloat": _lift1(
+        lambda x: float(np.uint32(int(x) & 0xFFFFFFFF).view(np.float32))
+    ),
+    "bitCount": _lift1(lambda x: bin(int(x) & 0xFFFFFFFF).count("1")),
+    "findLSB": _lift1(_ref_find_lsb),
+    "findMSB": _lift1(_ref_find_msb),
+    "bitfieldReverse": _lift1(
+        lambda x: int("{:032b}".format(int(x) & 0xFFFFFFFF)[::-1], 2)
+    ),
+    "bitfieldExtract": _lift3(
+        lambda v, o, b: (((int(v) & 0xFFFFFFFF) >> int(o))
+                         & ((1 << int(b)) - 1)) if int(b) else 0
+    ),
+    "bitfieldInsert": _lift4(_ref_bfi),
 }
+
+
+def _ref_pack(n, enc):
+    def f(v):
+        bits = 32 // n
+        acc = 0
+        for i, c in enumerate(v):
+            acc |= (enc(c) & ((1 << bits) - 1)) << (bits * i)
+        return acc
+    return f
+
+
+def _ref_unpack(n, dec):
+    def f(u):
+        bits = 32 // n
+        u = int(u) & 0xFFFFFFFF
+        return [dec((u >> (bits * i)) & ((1 << bits) - 1)) for i in range(n)]
+    return f
+
+
+def _ref_snorm_dec(bits, scale):
+    half, full = 1 << (bits - 1), 1 << bits
+
+    def dec(b):
+        s = b - full if b >= half else b
+        return min(max(s / scale, -1.0), 1.0)
+    return dec
+
+
+_BUILTINS.update({
+    "packUnorm4x8": _ref_pack(
+        4, lambda c: int(np.round(min(max(c, 0.0), 1.0) * 255.0))),
+    "packSnorm4x8": _ref_pack(
+        4, lambda c: int(np.round(min(max(c, -1.0), 1.0) * 127.0))),
+    "packUnorm2x16": _ref_pack(
+        2, lambda c: int(np.round(min(max(c, 0.0), 1.0) * 65535.0))),
+    "packSnorm2x16": _ref_pack(
+        2, lambda c: int(np.round(min(max(c, -1.0), 1.0) * 32767.0))),
+    "packHalf2x16": _ref_pack(
+        2, lambda c: int(np.float32(c).astype(np.float16).view(np.uint16))),
+    "unpackUnorm4x8": _ref_unpack(4, lambda b: b / 255.0),
+    "unpackSnorm4x8": _ref_unpack(4, _ref_snorm_dec(8, 127.0)),
+    "unpackUnorm2x16": _ref_unpack(2, lambda b: b / 65535.0),
+    "unpackSnorm2x16": _ref_unpack(2, _ref_snorm_dec(16, 32767.0)),
+    "unpackHalf2x16": _ref_unpack(
+        2, lambda b: float(np.uint16(b).view(np.float16))),
+})
 
 
 class ScalarRef:
@@ -665,6 +775,88 @@ class ScalarRef:
                 ]
             ln = math.sqrt(sum(c * c for c in args[0]))
             return [c / ln if ln else 0.0 for c in args[0]]
+        if name in ("reflect", "refract", "faceforward"):
+            args = [self.eval(a, scopes) for a in e.args]
+
+            def vec(v):
+                return v if isinstance(v, list) else [v]
+
+            if name == "reflect":
+                i, n = vec(args[0]), vec(args[1])
+                d = sum(x * y for x, y in zip(n, i))
+                out = [x - 2.0 * d * y for x, y in zip(i, n)]
+            elif name == "refract":
+                i, n = vec(args[0]), vec(args[1])
+                eta = args[2]
+                d = sum(x * y for x, y in zip(n, i))
+                k = 1.0 - eta * eta * (1.0 - d * d)
+                if k < 0.0:
+                    out = [0.0] * len(i)
+                else:
+                    coef = eta * d + math.sqrt(k)
+                    out = [eta * x - coef * y for x, y in zip(i, n)]
+            else:
+                nv, iv, nref = vec(args[0]), vec(args[1]), vec(args[2])
+                d = sum(x * y for x, y in zip(nref, iv))
+                out = [c if d < 0.0 else -c for c in nv]
+            return out if isinstance(args[0], list) else out[0]
+        if name in ("transpose", "determinant", "inverse",
+                    "matrixCompMult", "outerProduct"):
+            args = [self.eval(a, scopes) for a in e.args]
+
+            def minor(d, n, i, j):
+                rows = [r for r in range(n) if r != i]
+                cols = [c for c in range(n) if c != j]
+                return [[d[c][r] for r in rows] for c in cols]
+
+            def det(d, n):
+                if n == 1:
+                    return d[0][0]
+                if n == 2:
+                    return d[0][0] * d[1][1] - d[1][0] * d[0][1]
+                return sum(
+                    (-1 if i % 2 else 1)
+                    * d[0][i] * det(minor(d, n, i, 0), n - 1)
+                    for i in range(n)
+                )
+
+            m = args[0]
+            if name == "outerProduct":
+                c, r = args
+                return [[ci * rj for ci in c] for rj in r]
+            n = len(m)
+            if name == "transpose":
+                return [[m[j][i] for j in range(n)] for i in range(n)]
+            if name == "determinant":
+                return det(m, n)
+            if name == "matrixCompMult":
+                return [[x * y for x, y in zip(ca, cb)]
+                        for ca, cb in zip(m, args[1])]
+            dv = det(m, n)
+            return [
+                [(-1 if (i + j) % 2 else 1)
+                 * det(minor(m, n, j, i), n - 1) / dv
+                 for i in range(n)]
+                for j in range(n)
+            ]
+        if name in ("modf", "frexp"):
+            x = self.eval(e.args[0], scopes)
+
+            def one(c):
+                if name == "modf":
+                    f, w = math.modf(c)
+                    return f, w
+                # f32 semantics: the engine splits the raw f32 bits.
+                m, ex = math.frexp(float(np.float32(c)))
+                return m, ex
+
+            if isinstance(x, list):
+                pairs = [one(c) for c in x]
+                self.assign(e.args[1], [p[1] for p in pairs], scopes)
+                return [p[0] for p in pairs]
+            f, o = one(x)
+            self.assign(e.args[1], o, scopes)
+            return f
         if name in _BUILTINS and _BUILTINS[name] is not None:
             args = [self.eval(a, scopes) for a in e.args]
             return _BUILTINS[name](*args)

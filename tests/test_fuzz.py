@@ -434,7 +434,7 @@ def _expr(rng, depth, vars_f, vars_v3):
         if leaf == 2:
             return f"c.{rng.choice(list('rgb'))}"
         return f"{rng.uniform(-1.5, 1.5):.3f}"
-    kind = rng.integers(0, 6)
+    kind = rng.integers(0, 8)
     a = _expr(rng, depth - 1, vars_f, vars_v3)
     b = _expr(rng, depth - 1, vars_f, vars_v3)
     if kind == 0:
@@ -448,11 +448,16 @@ def _expr(rng, depth, vars_f, vars_v3):
         return f"sqrt(abs({a}))"
     if kind == 4:
         return f"({a} > {b} ? {a} : {b})"
+    if kind == 5:
+        t = _expr(rng, 0, vars_f, vars_v3)
+        return f"fma({a}, clamp({b}, -2.0, 2.0), {t})"
+    if kind == 6:
+        return f"ldexp(clamp({a}, -2.0, 2.0), {int(rng.integers(-3, 4))})"
     return f"clamp({a}, -4.0, 4.0)"
 
 
 def _stmt(rng, depth, vars_f, vars_v3, lines):
-    k = rng.integers(0, 9)
+    k = rng.integers(0, 11)
     if k == 0 or not vars_f:
         nm = f"f{len(vars_f)}"
         lines.append(f"float {nm} = {_expr(rng, 2, vars_f, vars_v3)};")
@@ -512,7 +517,7 @@ def _stmt(rng, depth, vars_f, vars_v3, lines):
             f"case 1: {v} *= 0.75; break;\n"
             f"default: {v} = {e2};\n}}"
         )
-    else:
+    elif k == 8:
         # mat2 rotation applied to a fresh vec2.
         nm = f"f{len(vars_f)}"
         a = _expr(rng, 1, vars_f, vars_v3)
@@ -524,6 +529,35 @@ def _stmt(rng, depth, vars_f, vars_v3, lines):
             f"* vec2({a}, {b});"
         )
         lines.append(f"float {nm} = p{len(vars_f)}.x + p{len(vars_f)}.y * 0.5;")
+        vars_f.append(nm)
+    elif k == 9:
+        # Well-conditioned mat2 inverse: diagonally dominant, so the
+        # determinant stays far from 0 and f32-vs-f64 drift is bounded.
+        nm = f"f{len(vars_f)}"
+        a = _expr(rng, 1, vars_f, vars_v3)
+        b = _expr(rng, 1, vars_f, vars_v3)
+        lines.append(
+            f"mat2 q{len(vars_f)} = inverse(mat2("
+            f"2.0 + abs({a}), 0.25, -0.25, 2.0 + abs({b})));"
+        )
+        lines.append(
+            f"float {nm} = determinant(q{len(vars_f)}) "
+            f"+ q{len(vars_f)}[0][0] + q{len(vars_f)}[1][1];"
+        )
+        vars_f.append(nm)
+    else:
+        # uint bit ops: counts are integers, exact on both sides except
+        # at f32-vs-f64 truncation boundaries of v (fixed seeds keep
+        # this deterministic; the *63.9 scale avoids exact boundaries).
+        nm = f"f{len(vars_f)}"
+        a = _expr(rng, 1, vars_f, vars_v3)
+        lines.append(
+            f"uint u{len(vars_f)} = uint(clamp({a}, 0.0, 1.0) * 63.9);"
+        )
+        lines.append(
+            f"float {nm} = float(bitCount(u{len(vars_f)})) * 0.25 "
+            f"+ float(findMSB(u{len(vars_f)})) * 0.125;"
+        )
         vars_f.append(nm)
 
 
