@@ -27,7 +27,7 @@ SHADER_DIR = os.path.join(os.path.dirname(__file__), "..", "shaders")
 STABLE = [
     "passthrough", "invert", "sepia", "tonemap", "vignette", "sharpen",
     "sobel", "zoom", "wave", "pixelate", "gaussian_h", "gaussian_v",
-    "ink_drip", "light_trails", "kuwahara", "flow_field",
+    "ink_drip", "light_trails", "kuwahara", "flow_field", "glass",
 ]
 
 
