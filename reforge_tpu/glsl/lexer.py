@@ -3,8 +3,12 @@
 Covers the GLSL 4.5 compute-shader subset used by image filters: the same
 source language the reference compiles with shaderc at runtime
 (reference: src/vulkan/shader.rs:73-93).  Supports ``//`` and ``/* */``
-comments, ``#version``/``#extension`` directives (ignored), and object-like
-``#define`` macros (token-level substitution).
+comments, ``#version``/``#extension`` directives (ignored), object-like
+``#define`` macros (token-level substitution) with ``#undef``, and
+conditional compilation: ``#ifdef``/``#ifndef``/``#if``/``#elif``/
+``#else``/``#endif`` with C integer constant expressions (``defined``,
+arithmetic/shift/comparison/logical operators) plus ``#error``.
+Inactive lines are blanked, preserving diagnostic line numbers.
 """
 
 from __future__ import annotations
@@ -54,9 +58,63 @@ _OPS2 = [
 ]
 
 
+_PP_DEFINED_RE = re.compile(r"defined\s*(?:\(\s*(\w+)\s*\)|(\w+))")
+_PP_ID_RE = re.compile(r"\b[A-Za-z_]\w*\b")
+_PP_SUFFIX_RE = re.compile(r"\b(\d+|0[xX][0-9a-fA-F]+)[uUlL]+\b")
+_PP_OCTAL_RE = re.compile(r"\b0([0-7]+)\b")
+_PP_SAFE_RE = re.compile(r"^[\s0-9()+\-*/%<>=!&|^~]*$")
+
+
+def _pp_eval(expr: str, macros: dict[str, str], line: int) -> int:
+    """Evaluate a preprocessor ``#if``/``#elif`` integer expression.
+
+    C semantics on the subset real shaders use: ``defined(X)``, macro
+    substitution (undefined identifiers are 0), integer/hex/octal
+    literals with u/l suffixes, arithmetic, shifts, comparisons, bitwise
+    and logical operators.  The sanitized expression is evaluated in a
+    bare namespace; anything outside the subset is rejected with a
+    diagnostic rather than mis-evaluated."""
+    e = _PP_DEFINED_RE.sub(
+        lambda m: "1" if (m.group(1) or m.group(2)) in macros else "0", expr
+    )
+    for _ in range(16):  # expand object-like macros to fixpoint
+        e2 = _PP_ID_RE.sub(lambda m: macros.get(m.group(0), m.group(0)), e)
+        e2 = _PP_DEFINED_RE.sub(
+            lambda m: "1" if (m.group(1) or m.group(2)) in macros else "0", e2
+        )
+        if e2 == e:
+            break
+        e = e2
+    e = _PP_SUFFIX_RE.sub(r"\1", e)
+    e = re.sub(
+        r"\b0[xX][0-9a-fA-F]+\b", lambda m: str(int(m.group(0), 16)), e
+    )
+    e = _PP_ID_RE.sub("0", e)  # remaining identifiers are undefined -> 0
+    e = _PP_OCTAL_RE.sub(lambda m: str(int(m.group(1), 8)), e)
+    if not _PP_SAFE_RE.match(e):
+        raise GlslError(f"unsupported preprocessor expression: {expr}", line)
+    # C -> python spellings (order matters: protect != before rewriting !).
+    e = e.replace("!=", "\0")
+    e = e.replace("&&", " and ").replace("||", " or ").replace("!", " not ")
+    e = e.replace("\0", "!=")
+    # C integer division truncates toward zero; python's // floors.
+    # Preprocessor conditions with negative division are vanishingly
+    # rare, so floor division is an accepted approximation here.
+    e = re.sub(r"(?<![/*])/(?![/*])", "//", e)
+    try:
+        v = eval(e, {"__builtins__": {}}, {})  # sanitized above
+    except Exception:
+        raise GlslError(
+            f"unsupported preprocessor expression: {expr}", line
+        ) from None
+    return int(bool(v)) if isinstance(v, bool) else int(v)
+
+
 def tokenize(src: str) -> list[Tok]:
-    # Pass 1: strip comments, collect #define macros, drop other directives.
+    # Pass 1: strip comments, run the preprocessor (macros, conditionals).
     macros: dict[str, str] = {}
+    # Conditional stack entries: [branch_active, any_branch_taken, saw_else].
+    cond_stack: list[list[bool]] = []
     lines_out: list[str] = []
     i = 0
     n = len(src)
@@ -90,16 +148,60 @@ def tokenize(src: str) -> list[Tok]:
         stripped = clean.strip()
         if stripped.startswith("#"):
             parts = stripped[1:].split(None, 2)
-            if parts and parts[0] == "define":
+            directive = parts[0] if parts else ""
+            outer = all(c[0] for c in cond_stack[:-1])
+            here = all(c[0] for c in cond_stack)
+            if directive in ("ifdef", "ifndef"):
+                if len(parts) < 2:
+                    raise GlslError(f"#{directive} needs a name", lineno)
+                t = (parts[1] in macros) == (directive == "ifdef")
+                cond_stack.append([here and t, t or not here, False])
+            elif directive == "if":
+                expr = stripped[1:].split(None, 1)[1] if len(parts) > 1 else ""
+                t = bool(_pp_eval(expr, macros, lineno)) if here else False
+                cond_stack.append([t, t or not here, False])
+            elif directive == "elif":
+                if not cond_stack or cond_stack[-1][2]:
+                    raise GlslError("#elif without matching #if", lineno)
+                top = cond_stack[-1]
+                expr = stripped[1:].split(None, 1)[1] if len(parts) > 1 else ""
+                t = (outer and not top[1]
+                     and bool(_pp_eval(expr, macros, lineno)))
+                top[0] = t
+                top[1] = top[1] or t
+            elif directive == "else":
+                if not cond_stack or cond_stack[-1][2]:
+                    raise GlslError("#else without matching #if", lineno)
+                top = cond_stack[-1]
+                top[0] = outer and not top[1]
+                top[1] = True
+                top[2] = True
+            elif directive == "endif":
+                if not cond_stack:
+                    raise GlslError("#endif without matching #if", lineno)
+                cond_stack.pop()
+            elif not here:
+                pass  # other directives in inactive regions are skipped
+            elif directive == "define":
                 if len(parts) == 2:
                     macros[parts[1]] = ""
                 elif len(parts) == 3 and "(" not in parts[1]:
                     macros[parts[1]] = parts[2]
                 # Function-like macros unsupported: leave uses to fail
                 # at parse with a clear message.
+            elif directive == "undef":
+                if len(parts) >= 2:
+                    macros.pop(parts[1], None)
+            elif directive == "error":
+                msg = stripped[1:].split(None, 1)[1] if len(parts) > 1 else ""
+                raise GlslError(f"#error {msg}", lineno)
             lines_out.append("")
+        elif cond_stack and not all(c[0] for c in cond_stack):
+            lines_out.append("")  # inactive branch: blank, keep line count
         else:
             lines_out.append(clean)
+    if cond_stack:
+        raise GlslError("unterminated #if/#ifdef block", len(src.split("\n")))
 
     toks: list[Tok] = []
 

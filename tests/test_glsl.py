@@ -3296,3 +3296,96 @@ class TestExtendedBuiltins:
         # op[1][0] = c.r * c.g and op[0][1] = 2 * 3; det/det = 1.
         np.testing.assert_allclose(got[2], 1.0 + a[0] * a[1] - 6.0, atol=1e-5)
         np.testing.assert_allclose(got[3], 6.0 - a[0] * a[1] + 1.0, atol=1e-5)
+
+
+class TestPreprocessor:
+    """Conditional compilation (#ifdef/#if/#elif/#else/#endif, #undef,
+    #error) — shaderc runs a full C preprocessor (reference
+    shader.rs:73-93); inactive branches must vanish while diagnostic
+    line numbers stay stable."""
+
+    def test_if_elif_else_selects_one_branch(self):
+        src = HEADER + """
+#define MODE 2
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+#if MODE == 1
+    c *= 0.0;
+#elif MODE == 2
+    c *= 2.0;
+#else
+    c *= 3.0;
+#endif
+    imageStore(output_image, pos, c);
+}
+"""
+        spec = translate_shader(src, "pp")
+        img = jnp.full((4, 8, 8), 0.25, jnp.float32)
+        out = spec(KernelContext(width=8, height=8), {"input_image": img}, {})
+        np.testing.assert_allclose(np.asarray(out["output_image"]), 0.5)
+
+    def test_ifdef_hides_invalid_tokens_and_nested(self):
+        src = HEADER + """
+#define QUALITY 3
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+#ifdef UNSET_FLAG
+    this is not even valid GLSL $$$;
+#else
+#if QUALITY > 2 && !defined(UNSET_FLAG)
+    c += 0.125;
+#endif
+#endif
+    imageStore(output_image, pos, c);
+}
+"""
+        spec = translate_shader(src, "pp2")
+        img = jnp.full((4, 8, 8), 0.25, jnp.float32)
+        out = spec(KernelContext(width=8, height=8), {"input_image": img}, {})
+        np.testing.assert_allclose(np.asarray(out["output_image"]), 0.375)
+
+    def test_undef_and_error(self):
+        src_ok = HEADER + """
+#define K 1
+#undef K
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+#ifdef K
+#error K should be undefined
+#endif
+    imageStore(output_image, pos, imageLoad(input_image, pos));
+}
+"""
+        translate_shader(src_ok, "pp3")  # must not raise
+        src_err = HEADER + """
+#define BAD 1
+#ifdef BAD
+#error deliberate failure
+#endif
+void main() {}
+"""
+        with pytest.raises(GlslError, match="deliberate failure"):
+            translate_shader(src_err, "pp4")
+
+    def test_unterminated_if_diagnostic(self):
+        src = HEADER + "#if 1\nvoid main() {}\n"
+        with pytest.raises(GlslError, match="unterminated"):
+            translate_shader(src, "pp5")
+
+    def test_line_numbers_survive_inactive_regions(self):
+        # A syntax error AFTER a dropped block must carry its true
+        # source line (inactive lines blank out, they don't collapse).
+        src = HEADER + """
+#ifdef NOPE
+junk line
+junk line
+#endif
+void main() {
+    vec4 c = ;
+}
+"""
+        with pytest.raises(GlslError) as ei:
+            translate_shader(src, "pp6")
+        assert ei.value.line == src[: src.index("vec4 c = ;")].count("\n") + 1
