@@ -65,7 +65,8 @@ _PP_OCTAL_RE = re.compile(r"\b0([0-7]+)\b")
 _PP_SAFE_RE = re.compile(r"^[\s0-9()+\-*/%<>=!&|^~]*$")
 
 
-def _pp_eval(expr: str, macros: dict[str, str], line: int) -> int:
+def _pp_eval(expr: str, macros: dict[str, str], line: int,
+             fnames=frozenset()) -> int:
     """Evaluate a preprocessor ``#if``/``#elif`` integer expression.
 
     C semantics on the subset real shaders use: ``defined(X)``, macro
@@ -74,14 +75,14 @@ def _pp_eval(expr: str, macros: dict[str, str], line: int) -> int:
     and logical operators.  The sanitized expression is evaluated in a
     bare namespace; anything outside the subset is rejected with a
     diagnostic rather than mis-evaluated."""
-    e = _PP_DEFINED_RE.sub(
-        lambda m: "1" if (m.group(1) or m.group(2)) in macros else "0", expr
-    )
+    def is_def(m):
+        nm = m.group(1) or m.group(2)
+        return "1" if (nm in macros or nm in fnames) else "0"
+
+    e = _PP_DEFINED_RE.sub(is_def, expr)
     for _ in range(16):  # expand object-like macros to fixpoint
         e2 = _PP_ID_RE.sub(lambda m: macros.get(m.group(0), m.group(0)), e)
-        e2 = _PP_DEFINED_RE.sub(
-            lambda m: "1" if (m.group(1) or m.group(2)) in macros else "0", e2
-        )
+        e2 = _PP_DEFINED_RE.sub(is_def, e2)
         if e2 == e:
             break
         e = e2
@@ -113,6 +114,10 @@ def _pp_eval(expr: str, macros: dict[str, str], line: int) -> int:
 def tokenize(src: str) -> list[Tok]:
     # Pass 1: strip comments, run the preprocessor (macros, conditionals).
     macros: dict[str, str] = {}
+    # Function-like macros: name -> (params, body).  Expanded at token
+    # level with single-pass parameter substitution (no # / ## operators
+    # — GLSL has no strings to stringize).
+    fmacros: dict[str, tuple[list[str], str]] = {}
     # Conditional stack entries: [branch_active, any_branch_taken, saw_else].
     cond_stack: list[list[bool]] = []
     lines_out: list[str] = []
@@ -154,11 +159,13 @@ def tokenize(src: str) -> list[Tok]:
             if directive in ("ifdef", "ifndef"):
                 if len(parts) < 2:
                     raise GlslError(f"#{directive} needs a name", lineno)
-                t = (parts[1] in macros) == (directive == "ifdef")
+                t = ((parts[1] in macros or parts[1] in fmacros)
+                     == (directive == "ifdef"))
                 cond_stack.append([here and t, t or not here, False])
             elif directive == "if":
                 expr = stripped[1:].split(None, 1)[1] if len(parts) > 1 else ""
-                t = bool(_pp_eval(expr, macros, lineno)) if here else False
+                t = (bool(_pp_eval(expr, macros, lineno, fmacros.keys()))
+                     if here else False)
                 cond_stack.append([t, t or not here, False])
             elif directive == "elif":
                 if not cond_stack or cond_stack[-1][2]:
@@ -166,7 +173,8 @@ def tokenize(src: str) -> list[Tok]:
                 top = cond_stack[-1]
                 expr = stripped[1:].split(None, 1)[1] if len(parts) > 1 else ""
                 t = (outer and not top[1]
-                     and bool(_pp_eval(expr, macros, lineno)))
+                     and bool(_pp_eval(expr, macros, lineno,
+                                       fmacros.keys())))
                 top[0] = t
                 top[1] = top[1] or t
             elif directive == "else":
@@ -183,15 +191,28 @@ def tokenize(src: str) -> list[Tok]:
             elif not here:
                 pass  # other directives in inactive regions are skipped
             elif directive == "define":
-                if len(parts) == 2:
-                    macros[parts[1]] = ""
-                elif len(parts) == 3 and "(" not in parts[1]:
-                    macros[parts[1]] = parts[2]
-                # Function-like macros unsupported: leave uses to fail
-                # at parse with a clear message.
+                rest = stripped[1:].split(None, 1)[1] if len(parts) > 1 else ""
+                mo = re.match(r"([A-Za-z_]\w*)", rest)
+                if not mo:
+                    raise GlslError("#define needs a macro name", lineno)
+                nm = mo.group(1)
+                after = rest[mo.end():]
+                if after.startswith("("):
+                    # Function-like: '(' must touch the name (C rule).
+                    close = after.find(")")
+                    if close < 0:
+                        raise GlslError(
+                            "unterminated macro parameter list", lineno
+                        )
+                    pl = [p.strip() for p in after[1:close].split(",")
+                          if p.strip()]
+                    fmacros[nm] = (pl, after[close + 1:].strip())
+                else:
+                    macros[nm] = after.strip()
             elif directive == "undef":
                 if len(parts) >= 2:
                     macros.pop(parts[1], None)
+                    fmacros.pop(parts[1], None)
             elif directive == "error":
                 msg = stripped[1:].split(None, 1)[1] if len(parts) > 1 else ""
                 raise GlslError(f"#error {msg}", lineno)
@@ -204,6 +225,37 @@ def tokenize(src: str) -> list[Tok]:
         raise GlslError("unterminated #if/#ifdef block", len(src.split("\n")))
 
     toks: list[Tok] = []
+    depth = [0]  # macro expansion depth (recursive macros are an error)
+
+    def _macro_args(text: str, k: int, line: int) -> tuple[list[str], int]:
+        """Parse '(a, f(b, c), d)' starting at the '('; returns
+        (top-level-comma-split args, index past the ')')."""
+        assert text[k] == "("
+        d = 0
+        args: list[str] = []
+        cur: list[str] = []
+        j = k
+        while j < len(text):
+            c = text[j]
+            if c == "(":
+                d += 1
+                if d > 1:
+                    cur.append(c)
+            elif c == ")":
+                d -= 1
+                if d == 0:
+                    args.append("".join(cur).strip())
+                    return args, j + 1
+                cur.append(c)
+            elif c == "," and d == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+            j += 1
+        raise GlslError(
+            "macro arguments must close on the same line", line
+        )
 
     def emit_text(text: str, line: int) -> None:
         """Tokenize a chunk (used for macro bodies too)."""
@@ -235,8 +287,59 @@ def tokenize(src: str) -> list[Tok]:
                 while j < m and (text[j].isalnum() or text[j] == "_"):
                     j += 1
                 word = text[k:j]
+                if word in fmacros:
+                    jj = j
+                    while jj < m and text[jj] in " \t":
+                        jj += 1
+                    if jj < m and text[jj] == "(":
+                        args, end = _macro_args(text, jj, line)
+                        params, body = fmacros[word]
+                        if args == [""] and not params:
+                            args = []
+                        if len(args) != len(params):
+                            raise GlslError(
+                                f"macro {word} expects {len(params)} "
+                                f"argument(s), got {len(args)}", line
+                            )
+                        if params:
+                            # Single pass over all parameters at once so
+                            # an argument's text is never re-scanned for
+                            # other parameter names.
+                            amap = dict(zip(params, args))
+                            pat = re.compile(
+                                r"\b(?:"
+                                + "|".join(map(re.escape, params)) + r")\b"
+                            )
+                            body = pat.sub(lambda mo: amap[mo.group(0)], body)
+                        depth[0] += 1
+                        if depth[0] > 64:
+                            raise GlslError(
+                                f"recursive macro expansion: {word}", line
+                            )
+                        emit_text(body, line)
+                        depth[0] -= 1
+                        k = end
+                        continue
+                if word == "__LINE__":
+                    toks.append(Tok("int", str(line), line))
+                    k = j
+                    continue
+                if word == "__VERSION__":
+                    toks.append(Tok("int", "450", line))
+                    k = j
+                    continue
+                if word == "__FILE__":
+                    toks.append(Tok("int", "0", line))
+                    k = j
+                    continue
                 if word in macros and macros[word] != "":
+                    depth[0] += 1
+                    if depth[0] > 64:
+                        raise GlslError(
+                            f"recursive macro expansion: {word}", line
+                        )
                     emit_text(macros[word], line)
+                    depth[0] -= 1
                 else:
                     toks.append(Tok("id", word, line))
                 k = j

@@ -3389,3 +3389,41 @@ void main() {
         with pytest.raises(GlslError) as ei:
             translate_shader(src, "pp6")
         assert ei.value.line == src[: src.index("vec4 c = ;")].count("\n") + 1
+
+    def test_function_like_macros(self):
+        src = HEADER + """
+#define SAT(x) clamp(x, 0.0, 1.0)
+#define SCALE(v, k) ((v) * (k))
+#define LUMA(c) dot((c).rgb, vec3(0.2126, 0.7152, 0.0722))
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    float y = LUMA(c);
+    float s = SAT(SCALE(y, 2.0) - 0.25);
+    imageStore(output_image, pos, vec4(s, float(__VERSION__ == 450),
+                                       SAT(c.b), 1.0));
+}
+"""
+        spec = translate_shader(src, "fmac")
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((4, 8, 8), dtype=np.float32))
+        out = spec(KernelContext(width=8, height=8), {"input_image": img}, {})
+        a = np.asarray(img)
+        y = 0.2126 * a[0] + 0.7152 * a[1] + 0.0722 * a[2]
+        got = np.asarray(out["output_image"])
+        np.testing.assert_allclose(got[0], np.clip(y * 2 - 0.25, 0, 1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(got[1], 1.0)
+        np.testing.assert_allclose(got[2], np.clip(a[2], 0, 1), atol=1e-6)
+
+    def test_function_like_macro_errors(self):
+        with pytest.raises(GlslError, match="expects 2"):
+            translate_shader(
+                HEADER + "#define H(a, b) a+b\n"
+                "void main() { float r = H(1.0); }\n", "fm1"
+            )
+        with pytest.raises(GlslError, match="recursive"):
+            translate_shader(
+                HEADER + "#define R(x) R(x)\n"
+                "void main() { float r = R(1.0); }\n", "fm2"
+            )
