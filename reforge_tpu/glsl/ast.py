@@ -105,6 +105,15 @@ class Decl:
 
 
 @dataclasses.dataclass
+class DeclList:
+    """`float a = 1.0, b, c = a;` — one Decl per declarator, executed in
+    order in the CURRENT scope (no block scope, unlike ast.Block)."""
+
+    decls: list
+    line: int = 0
+
+
+@dataclasses.dataclass
 class ExprStmt:
     expr: Any
     line: int = 0

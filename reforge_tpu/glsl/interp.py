@@ -419,6 +419,10 @@ class Interp:
             self.exec_stmt(s, inner)
 
     def exec_stmt(self, s: Any, scope: "_Scope") -> None:
+        if isinstance(s, ast.DeclList):
+            for d in s.decls:
+                self.exec_stmt(d, scope)
+            return
         if isinstance(s, ast.Decl):
             if s.array_size is not None:
                 size_v = self.eval_expr(s.array_size, scope)

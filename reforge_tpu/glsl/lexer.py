@@ -124,7 +124,23 @@ def tokenize(src: str) -> list[Tok]:
     i = 0
     n = len(src)
     in_block_comment = False
-    for lineno, raw in enumerate(src.split("\n"), start=1):
+    # Backslash line continuations splice BEFORE comment/directive
+    # processing (the C phase order), attributing the merged text to the
+    # first physical line and blanking the absorbed ones so diagnostic
+    # line numbers stay true.
+    raw_lines = src.split("\n")
+    spliced: list[str] = []
+    li = 0
+    while li < len(raw_lines):
+        cur = raw_lines[li]
+        absorbed = 0
+        while cur.rstrip().endswith("\\") and li + absorbed + 1 < len(raw_lines):
+            cur = cur.rstrip()[:-1] + " " + raw_lines[li + absorbed + 1]
+            absorbed += 1
+        spliced.append(cur)
+        spliced.extend([""] * absorbed)
+        li += absorbed + 1
+    for lineno, raw in enumerate(spliced, start=1):
         line = raw
         if in_block_comment:
             end = line.find("*/")

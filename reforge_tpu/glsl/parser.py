@@ -191,6 +191,20 @@ class Parser:
             if ftype not in TYPE_NAMES and ftype not in self.structs:
                 raise GlslError(f"unknown type '{ftype}' in struct", self.peek().line)
             fname = self.expect_ident().text
+            if self.accept("["):
+                # Array member: sized by an integer literal (the GLSL
+                # constant-expression subset the type string can carry);
+                # encoded as "elem[n]", which convert()/_zero_of already
+                # understand (array return types use the same encoding).
+                t = self.peek()
+                if t.kind != "int":
+                    raise GlslError(
+                        "struct array member size must be an integer "
+                        "literal", t.line,
+                    )
+                self.next()
+                self.expect("]")
+                ftype = f"{ftype}[{int(t.text.rstrip('uU'), 0)}]"
             self.expect(";")
             fields.append((ftype, fname))
         self.expect(";")
@@ -337,19 +351,36 @@ class Parser:
         body = self.parse_block()
         return ast.FuncDecl(return_type, name, params, body, line)
 
-    def finish_var_decl(self, type_name: str, var_name: str, is_const: bool) -> ast.Decl:
-        """Parse the remainder of `type name ...;` (array suffix, init)."""
+    def finish_var_decl(self, type_name: str, var_name: str, is_const: bool):
+        """Parse the remainder of `type name ...;`: array suffix, init,
+        and further comma-separated declarators (`float a = 1.0, b;`).
+        Returns one ast.Decl, or an ast.DeclList for multi-declarator
+        statements (executed in order in the current scope)."""
         line = self.peek().line
-        array_size = None
-        if self.accept("["):
-            if not self.at("]"):
-                array_size = self.parse_expr()
-            self.expect("]")
-        init = None
-        if self.accept("="):
-            init = self.parse_expr()
+        decls = []
+        name = var_name
+        while True:
+            array_size = None
+            if self.accept("["):
+                if not self.at("]"):
+                    array_size = self.parse_expr()
+                self.expect("]")
+                if self.at("["):
+                    raise GlslError(
+                        "arrays of arrays are not supported (use a "
+                        "flattened 1-D array)", self.peek().line,
+                    )
+            init = None
+            if self.accept("="):
+                init = self.parse_expr()
+            decls.append(
+                ast.Decl(type_name, name, init, array_size, is_const, line)
+            )
+            if not self.accept(","):
+                break
+            name = self.expect_ident().text
         self.expect(";")
-        return ast.Decl(type_name, var_name, init, array_size, is_const, line)
+        return decls[0] if len(decls) == 1 else ast.DeclList(decls, line)
 
     # ---- statements -----------------------------------------------------
 

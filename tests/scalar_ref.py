@@ -317,6 +317,9 @@ class ScalarRef:
             return [[0.0] * n for _ in range(n)]
         if tname in self.shader.structs:
             return {f: self._zero(t) for t, f in self.shader.structs[tname]}
+        if tname.endswith("]") and "[" in tname:
+            elem, n = tname[:-1].split("[")
+            return [self._zero(elem)] * int(n)
         raise RefUnsupported(f"zero of {tname}")
 
     def _convert(self, v, tname):
@@ -430,6 +433,10 @@ class ScalarRef:
                 self._path.pop()
 
     def exec_stmt(self, s, scopes):
+        if isinstance(s, ast.DeclList):
+            for d in s.decls:
+                self.exec_stmt(d, scopes)
+            return
         if isinstance(s, ast.Decl):
             if s.array_size is not None:
                 if s.init is not None:

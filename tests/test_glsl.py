@@ -3427,3 +3427,71 @@ void main() {
                 HEADER + "#define R(x) R(x)\n"
                 "void main() { float r = R(1.0); }\n", "fm2"
             )
+
+
+class TestDeclarationsAndStructArrays:
+    """Multi-declarator statements, backslash line continuations, and
+    struct array members (all shaderc-conforming GLSL the parser
+    previously rejected)."""
+
+    def test_multi_declarator_statement(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float a = c.r, b = a * 2.0, s = 0.0;
+            for (int i = 0, n = 3; i < n; i++) { s += b; }
+            imageStore(output_image, pos, vec4(s, a, b, 1.0));
+        """)
+        a = np.asarray(img)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got[0], a[0] * 6.0, atol=1e-6)
+        np.testing.assert_allclose(got[2], a[0] * 2.0, atol=1e-6)
+
+    def test_line_continuation_in_macro_and_code(self):
+        src = HEADER + """
+#define SOFT(x) \\
+    clamp((x) * 1.5 - \\
+          0.25, 0.0, 1.0)
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    float v = SOFT(c.r) + \\
+              0.0;
+    imageStore(output_image, pos, vec4(v, 0.0, 0.0, 1.0));
+}
+"""
+        spec = translate_shader(src, "cont")
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.random((4, 8, 8), dtype=np.float32))
+        out = spec(KernelContext(width=8, height=8), {"input_image": img}, {})
+        a = np.asarray(img)
+        np.testing.assert_allclose(
+            np.asarray(out["output_image"])[0],
+            np.clip(a[0] * 1.5 - 0.25, 0, 1), atol=1e-6,
+        )
+
+    def test_struct_array_member(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            Ball b;
+            b.pos = vec2(c.r, c.r * 2.0);
+            b.w[0] = c.r; b.w[1] = c.r + 1.0; b.w[2] = c.r * c.r;
+            float s = b.w[0] + b.w[1] + b.w[2] + b.pos.y;
+            Ball q = Ball(vec2(0.5), float[](0.1, 0.2, 0.3));
+            if (c.g > 0.5) { q.w[1] = 9.0; }
+            imageStore(output_image, pos, vec4(s, q.w[1], q.w[2], 1.0));
+        """, extra_decls="struct Ball { vec2 pos; float w[3]; };")
+        a = np.asarray(img)
+        got = np.asarray(out)
+        want_s = a[0] + (a[0] + 1.0) + a[0] * a[0] + a[0] * 2.0
+        np.testing.assert_allclose(got[0], want_s, atol=1e-5)
+        np.testing.assert_allclose(got[1], np.where(a[1] > 0.5, 9.0, 0.2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(got[2], 0.3, atol=1e-6)
+
+    def test_array_of_arrays_diagnostic(self):
+        with pytest.raises(GlslError, match="arrays of arrays"):
+            translate_shader(
+                HEADER + "void main() { float a[2][3]; }", "aoa"
+            )
