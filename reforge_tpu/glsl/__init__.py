@@ -59,7 +59,7 @@ def _walk_image_usage(shader: ast.Shader) -> tuple[set, set]:
 
 
 def _walk_ssbo_usage(shader: ast.Shader) -> tuple[set, set]:
-    """Which SSBO blocks are read / written (stores or atomicAdd)."""
+    """Which SSBO blocks are read / written (stores or atomic RMW ops)."""
     member_to_block = {}
     instance_to_block = {}
     for ssbo in shader.ssbos:
@@ -97,7 +97,7 @@ def _walk_ssbo_usage(shader: ast.Shader) -> tuple[set, set]:
                     read.add(b)  # compound assignment reads too
         if (
             isinstance(node, ast.Call)
-            and node.name == "atomicAdd"
+            and node.name in ("atomicAdd", "atomicMin", "atomicMax")
             and node.args
             and isinstance(node.args[0], ast.Index)
         ):

@@ -46,6 +46,10 @@ from .lexer import GlslError
 
 SCALAR_TYPES = {"float", "int", "uint", "bool"}
 MAT_TYPES = {"mat2": 2, "mat3": 3, "mat4": 4}
+# SSBO/shared read-modify-write atomics lowered to one masked
+# segment-reduction per call site (add/min/max are associative and
+# commutative, so the vectorized lockstep order is immaterial).
+ATOMIC_FUNCS = ("atomicAdd", "atomicMin", "atomicMax")
 VEC_TYPES = {
     "vec2": ("float", 2), "vec3": ("float", 3), "vec4": ("float", 4),
     "ivec2": ("int", 2), "ivec3": ("int", 3), "ivec4": ("int", 4),
@@ -1321,8 +1325,8 @@ class Interp:
                 reject("discard")
                 return
             if isinstance(node, ast.Call):
-                if node.name == "atomicAdd" and not allow_break:
-                    reject("atomicAdd")  # fori path: no buffer carry
+                if node.name in ATOMIC_FUNCS and not allow_break:
+                    reject(node.name)  # fori path: no buffer carry
                     return
                 if node.name == "barrier" and allow_break:
                     # A barrier under divergent per-pixel control flow is
@@ -1454,7 +1458,7 @@ class Interp:
                     )
                     if nm not in imgs:
                         imgs.append(nm)
-                elif node.name == "atomicAdd":
+                elif node.name in ATOMIC_FUNCS:
                     atomic[0] = True
                 elif node.name in self.shader.functions:
                     ci, ca, cg = self._callee_effect_summary(node.name, seen)
@@ -1524,7 +1528,7 @@ class Interp:
                 return
             if not hasattr(node, "__dataclass_fields__"):
                 return
-            if isinstance(node, ast.Call) and node.name == "atomicAdd":
+            if isinstance(node, ast.Call) and node.name in ATOMIC_FUNCS:
                 found = True
                 return
             if (
@@ -2874,8 +2878,8 @@ class Interp:
             return self._texture(arg_exprs[:2], scope, line)
         if name == "texelFetch":
             return self._image_load(arg_exprs[:2], scope, line)
-        if name == "atomicAdd":
-            return self._atomic_add(arg_exprs, scope, line)
+        if name in ATOMIC_FUNCS:
+            return self._atomic_rmw(name, arg_exprs, scope, line)
         if name in (
             "barrier", "memoryBarrier", "memoryBarrierShared",
             "memoryBarrierBuffer", "memoryBarrierImage", "groupMemoryBarrier",
@@ -3311,35 +3315,50 @@ class Interp:
             vv.ravel(), mode="drop"
         )
 
-    def _shared_atomic_add(self, name: str, idx: "Val", val: Val, scope, line: int) -> Val:
+    # Per-op (identity, at[]-method) for the masked segment reduction:
+    # inactive/out-of-bounds lanes contribute the identity element.
+    _RMW = {
+        "atomicAdd": (0.0, "add"),
+        "atomicMin": (float("inf"), "min"),
+        "atomicMax": (float("-inf"), "max"),
+    }
+
+    def _shared_atomic_rmw(self, op: str, name: str, idx: "Val", val: Val,
+                           scope, line: int) -> Val:
         self.stats["gather"] = True
         fid, inb = self._shared_fid(name, idx)
         vv = self._as_array(self.convert(val, "float", line).data, "float")
         vv = jnp.broadcast_to(vv, (self.h, self.w))
         mask = self._effective_mask(scope)
         keep = inb if mask is None else jnp.logical_and(inb, mask)
-        contrib = jnp.where(keep, vv, 0.0)
-        self.shared_state[name] = self.shared_state[name].at[fid.ravel()].add(
-            contrib.ravel()
-        )
+        ident, meth = self._RMW[op]
+        contrib = jnp.where(keep, vv, ident)
+        ref = self.shared_state[name].at[fid.ravel()]
+        self.shared_state[name] = getattr(ref, meth)(contrib.ravel())
         return Val("float", 0.0)
 
-    def _atomic_add(self, arg_exprs: list, scope, line: int) -> Val:
-        """atomicAdd(buffer.member[idx] | shared[idx], val): scatter-add.
+    def _atomic_rmw(self, op: str, arg_exprs: list, scope, line: int) -> Val:
+        """atomicAdd/Min/Max(buffer.member[idx] | shared[idx], val).
 
-        Compiles to one segment-sum over the pixel grid per call site;
-        masked lanes contribute zero.  Returns 0 (the pre-add value is
+        Compiles to one masked segment reduction over the pixel grid per
+        call site (the three ops are associative and commutative, so the
+        lockstep execution order is immaterial); masked lanes contribute
+        the op's identity.  Returns 0 (the pre-op value is
         execution-order-defined on a GPU and meaningless here).
         """
         if len(arg_exprs) != 2 or not isinstance(arg_exprs[0], ast.Index):
-            raise GlslError("atomicAdd(ssbo_member[index], value)", line)
+            raise GlslError(f"{op}(ssbo_member[index], value)", line)
         target = self.eval_expr(arg_exprs[0].expr, scope)
         if target.type == "shared":
             idx = self.eval_expr(arg_exprs[0].index, scope)
             val = self.eval_expr(arg_exprs[1], scope)
-            return self._shared_atomic_add(target.data, idx, val, scope, line)
+            return self._shared_atomic_rmw(
+                op, target.data, idx, val, scope, line
+            )
         if target.type != "ssbo":
-            raise GlslError("atomicAdd target must be an SSBO member element", line)
+            raise GlslError(
+                f"{op} target must be an SSBO member element", line
+            )
         block, member = target.data
         size = self.ssbo_members[member][1]
         idx = self.eval_expr(arg_exprs[0].index, scope)
@@ -3353,11 +3372,11 @@ class Interp:
         mask = self._effective_mask(scope)
         inb = (ii >= 0) & (ii < size)
         keep = inb if mask is None else jnp.logical_and(inb, mask)
-        contrib = jnp.where(keep, vv, 0.0)
+        ident, meth = self._RMW[op]
+        contrib = jnp.where(keep, vv, ident)
         ii = jnp.clip(ii, 0, size - 1)
-        self.buffers[block] = (
-            self.buffers[block].at[ii.ravel()].add(contrib.ravel())
-        )
+        ref = self.buffers[block].at[ii.ravel()]
+        self.buffers[block] = getattr(ref, meth)(contrib.ravel())
         return Val("float", 0.0)
 
     def _call_user(self, fn: ast.FuncDecl, arg_exprs: list, scope: "_Scope", line: int) -> Val:

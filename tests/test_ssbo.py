@@ -187,3 +187,81 @@ class TestSharded:
         sharded = HaloShardedProgram(prog, mesh)
         got = np.asarray(sharded(sharded.shard_input(img), 0.0))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestAtomicMinMax:
+    def test_atomic_max_min_reduction(self):
+        # The auto-exposure idiom: every pixel atomicMax-es its luma into
+        # one cell; a second cell collects atomicMin of (luma - 1).
+        # SSBO storage zero-fills (reference semantics), so the max
+        # starts at 0 (luma >= 0) and the min cell uses negative values.
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer Stats { float cells[4]; } stats;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    float y = dot(c.rgb, vec3(0.2126, 0.7152, 0.0722));
+    atomicMax(stats.cells[0], y);
+    atomicMin(stats.cells[1], y - 1.0);
+    if (c.a > 0.5) { atomicMax(stats.cells[2], y); }  // masked lanes
+    imageStore(output_image, pos, c);
+}
+"""
+        spec = translate_shader(src, "minmax")
+        img = rand_image(12, 16, seed=11)
+        ctx = KernelContext(width=16, height=12)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        cells = np.asarray(out["Stats"])
+        i = np.asarray(img)
+        y = 0.2126 * i[0] + 0.7152 * i[1] + 0.0722 * i[2]
+        np.testing.assert_allclose(cells[0], y.max(), atol=1e-6)
+        np.testing.assert_allclose(cells[1], (y - 1.0).min(), atol=1e-6)
+        sel = y[i[3] > 0.5]
+        want = sel.max() if sel.size else 0.0
+        np.testing.assert_allclose(cells[2], max(want, 0.0), atol=1e-6)
+        np.testing.assert_allclose(cells[3], 0.0)
+
+    def test_atomic_max_inside_loop_carry(self):
+        # atomicMax inside a data-dependent loop rides the same buffer
+        # carry as atomicAdd: the final cell equals the max over every
+        # (lane, iteration) value visited.
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer S { float peak[2]; } s;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    float v = imageLoad(input_image, pos).r;
+    int n = 0;
+    while (v < 1.2 && n < 12) {
+        atomicMax(s.peak[0], v);
+        v = v * 1.3 + 0.02;
+        n++;
+    }
+    imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+}
+"""
+        spec = translate_shader(src, "loop_max")
+        img = rand_image(10, 16, seed=13)
+        ctx = KernelContext(width=16, height=10)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        peak = np.asarray(out["S"])[0]
+        v = np.asarray(img, np.float64)[0].copy()
+        best = 0.0
+        n = np.zeros_like(v)
+        for _ in range(12):
+            live = (v < 1.2) & (n < 12)
+            if not live.any():
+                break
+            best = max(best, float(np.float32(v[live]).max()))
+            v = np.where(live, np.float32(np.float32(v * 1.3) + 0.02), v)
+            n = np.where(live, n + 1, n)
+        np.testing.assert_allclose(peak, best, atol=1e-6)
