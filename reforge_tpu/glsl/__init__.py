@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from . import ast
 from .lexer import GlslError
 from .parser import parse_shader_source
-from .interp import Interp
+from .interp import ATOMIC_FUNCS, Interp
 from ..kernels.base import KernelContext, KernelSpec, ParamDecl, ParamKind
 
 __all__ = ["translate_shader", "GlslError", "reflect_bindings"]
@@ -97,7 +97,7 @@ def _walk_ssbo_usage(shader: ast.Shader) -> tuple[set, set]:
                     read.add(b)  # compound assignment reads too
         if (
             isinstance(node, ast.Call)
-            and node.name in ("atomicAdd", "atomicMin", "atomicMax")
+            and node.name in ATOMIC_FUNCS
             and node.args
             and isinstance(node.args[0], ast.Index)
         ):

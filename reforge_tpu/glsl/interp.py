@@ -47,9 +47,15 @@ from .lexer import GlslError
 SCALAR_TYPES = {"float", "int", "uint", "bool"}
 MAT_TYPES = {"mat2": 2, "mat3": 3, "mat4": 4}
 # SSBO/shared read-modify-write atomics lowered to one masked
-# segment-reduction per call site (add/min/max are associative and
-# commutative, so the vectorized lockstep order is immaterial).
-ATOMIC_FUNCS = ("atomicAdd", "atomicMin", "atomicMax")
+# segment-reduction per call site (add/min/max/and/or/xor are
+# associative and commutative, so the vectorized lockstep order is
+# immaterial; exchange/compSwap pick one arbitrary active lane, the
+# same undefined-order freedom a real GPU has).
+ATOMIC_FUNCS = (
+    "atomicAdd", "atomicMin", "atomicMax",
+    "atomicAnd", "atomicOr", "atomicXor",
+    "atomicExchange", "atomicCompSwap",
+)
 VEC_TYPES = {
     "vec2": ("float", 2), "vec3": ("float", 3), "vec4": ("float", 4),
     "ivec2": ("int", 2), "ivec3": ("int", 3), "ivec4": ("int", 4),
@@ -153,6 +159,7 @@ class Interp:
         # plus member-name lookup tables.
         self.buffers: dict[str, Any] = {}
         self.ssbo_members: dict[str, tuple[str, int]] = {}  # member -> (block, size)
+        self.ssbo_elem: dict[str, str] = {}  # member -> element type
         self.ssbo_instances: dict[str, str] = {}  # instance name -> block
         for ssbo in shader.ssbos:
             if len(ssbo.members) != 1 or ssbo.members[0].array_size is None:
@@ -168,6 +175,7 @@ class Interp:
                 )
             size = int(m.array_size)
             self.ssbo_members[m.name] = (ssbo.block_name, size)
+            self.ssbo_elem[m.name] = m.type
             if ssbo.instance_name:
                 self.ssbo_instances[ssbo.instance_name] = ssbo.block_name
             init = (buffers_in or {}).get(ssbo.block_name)
@@ -3229,17 +3237,22 @@ class Interp:
     def _ssbo_read(self, ref: tuple, idx: Val, line: int) -> Val:
         block, member = ref
         size = self.ssbo_members[member][1]
+        elem = self.ssbo_elem.get(member, "float")
         buf = self.buffers[block]
         if is_static(idx.data):
             i = int(idx.data)
             if not 0 <= i < size:
-                return Val("float", 0.0)  # robust OOB
-            return Val("float", buf[i])
-        self.stats["gather"] = True
-        ii = self._as_i32(idx.data)
-        inb = (ii >= 0) & (ii < size)
-        v = buf[jnp.clip(ii, 0, size - 1)]
-        return Val("float", jnp.where(inb, v, 0.0))
+                return self._zero_of(elem, line)  # robust OOB
+            v = buf[i]
+        else:
+            self.stats["gather"] = True
+            ii = self._as_i32(idx.data)
+            inb = (ii >= 0) & (ii < size)
+            v = jnp.where(inb, buf[jnp.clip(ii, 0, size - 1)], 0.0)
+        if elem != "float":
+            # Storage is f32 (value view); surface the declared int type.
+            v = v.astype(jnp.int32 if elem == "int" else jnp.uint32)
+        return Val(elem, v)
 
     def _ssbo_write(self, ref: tuple, idx: Val, value: Val, scope, line: int) -> None:
         """Plain indexed store: uniform index + uniform value only (a
@@ -3322,61 +3335,141 @@ class Interp:
         "atomicMin": (float("inf"), "min"),
         "atomicMax": (float("-inf"), "max"),
     }
+    _BITWISE = ("atomicAnd", "atomicOr", "atomicXor")
 
-    def _shared_atomic_rmw(self, op: str, name: str, idx: "Val", val: Val,
-                           scope, line: int) -> Val:
-        self.stats["gather"] = True
-        fid, inb = self._shared_fid(name, idx)
-        vv = self._as_array(self.convert(val, "float", line).data, "float")
-        vv = jnp.broadcast_to(vv, (self.h, self.w))
-        mask = self._effective_mask(scope)
-        keep = inb if mask is None else jnp.logical_and(inb, mask)
-        ident, meth = self._RMW[op]
-        contrib = jnp.where(keep, vv, ident)
-        ref = self.shared_state[name].at[fid.ravel()]
-        self.shared_state[name] = getattr(ref, meth)(contrib.ravel())
-        return Val("float", 0.0)
+    def _lanes_i32(self, val: Val, line: int):
+        """(H, W) int32 plane of a scalar operand's 32-bit
+        two's-complement value (uint wraps; float truncates)."""
+        if val.is_vector() or val.type.startswith(("mat", "struct:")):
+            raise GlslError("atomic operand must be a scalar int/uint", line)
+        v = val.data
+        if is_static(v):
+            return jnp.full(
+                (self.h, self.w),
+                self._wrap_static_int(int(v), "int"),
+                jnp.int32,
+            )
+        v = jnp.asarray(v)
+        if v.dtype != jnp.int32:
+            v = v.astype(jnp.int32)  # uint32 wraps; float truncates
+        return jnp.broadcast_to(v, (self.h, self.w))
+
+    def _atomic_apply(self, buf, fid, keep, op, vv_f, vv_i):
+        """One vectorized atomic over a flat f32 buffer.
+
+        ``fid`` is the (H, W) int32 slot per lane (already clipped
+        in-bounds), ``keep`` the (H, W) active-lane mask, ``vv_f``/
+        ``vv_i`` the operand as f32 / two's-complement i32 planes.
+
+        add/min/max: masked segment reduction — inactive lanes
+        contribute the op's identity.  and/or/xor: exact 32-bitplane
+        reduction on the buffer's integer value view (bit b of a slot
+        combines its initial bit with the count of active contributions
+        carrying bit b — or: any, xor: parity, and: all); the result is
+        stored back as f32, exact whenever its two's-complement value
+        fits a float (<= 24 significand bits — flags, masks, counters;
+        all-ones and sign-bit patterns are exact).  exchange: one
+        arbitrary active lane wins (XLA scatter tie-break — execution
+        order is undefined on a real GPU too, so any winner is a
+        conforming serialization).
+        """
+        total = buf.shape[0]
+        if op in self._RMW:
+            ident, meth = self._RMW[op]
+            contrib = jnp.where(keep, vv_f, ident)
+            return getattr(buf.at[fid.ravel()], meth)(contrib.ravel())
+        fk = jnp.where(keep, fid, total).ravel()  # masked -> dropped
+        if op == "atomicExchange":
+            return buf.at[fk].set(
+                jnp.where(keep, vv_f, 0.0).ravel(), mode="drop"
+            )
+        cur = buf.astype(jnp.int32)
+        cnt = jnp.zeros((total,), jnp.int32).at[fk].add(
+            keep.ravel().astype(jnp.int32), mode="drop"
+        )
+        res = jnp.zeros((total,), jnp.int32)
+        one = jnp.int32(1)
+        for b in range(32):
+            bits = jnp.where(keep, (vv_i >> b) & one, 0)
+            cb = jnp.zeros((total,), jnp.int32).at[fk].add(
+                bits.ravel(), mode="drop"
+            )
+            ib = (cur >> b) & one
+            if op == "atomicOr":
+                nb = ib | (cb > 0).astype(jnp.int32)
+            elif op == "atomicXor":
+                nb = ib ^ (cb & one)
+            else:  # atomicAnd
+                nb = ib & jnp.where(cnt > 0, (cb == cnt), True).astype(
+                    jnp.int32
+                )
+            res = res | (nb << b)
+        return res.astype(jnp.float32)
 
     def _atomic_rmw(self, op: str, arg_exprs: list, scope, line: int) -> Val:
-        """atomicAdd/Min/Max(buffer.member[idx] | shared[idx], val).
+        """atomicAdd/Min/Max/And/Or/Xor/Exchange(mem[idx], value) and
+        atomicCompSwap(mem[idx], compare, data) on SSBO members and
+        shared arrays.
 
-        Compiles to one masked segment reduction over the pixel grid per
-        call site (the three ops are associative and commutative, so the
-        lockstep execution order is immaterial); masked lanes contribute
-        the op's identity.  Returns 0 (the pre-op value is
-        execution-order-defined on a GPU and meaningless here).
+        Each call site compiles to one masked scatter over the pixel
+        grid (see `_atomic_apply` for the per-op semantics).  compSwap
+        compares every lane against the PRE-call buffer value and lets
+        one arbitrary matching lane write — a realizable serialization
+        (schedule that lane first; every later compare that then fails
+        is a conforming outcome of some real execution order).  Returns
+        0, as all atomics here do (the pre-op value is execution-order-
+        defined on a GPU and meaningless in the lockstep model).
         """
-        if len(arg_exprs) != 2 or not isinstance(arg_exprs[0], ast.Index):
-            raise GlslError(f"{op}(ssbo_member[index], value)", line)
+        nargs = 3 if op == "atomicCompSwap" else 2
+        shape = "compare, data" if nargs == 3 else "value"
+        if len(arg_exprs) != nargs or not isinstance(arg_exprs[0], ast.Index):
+            raise GlslError(f"{op}(ssbo_member[index], {shape})", line)
         target = self.eval_expr(arg_exprs[0].expr, scope)
-        if target.type == "shared":
-            idx = self.eval_expr(arg_exprs[0].index, scope)
-            val = self.eval_expr(arg_exprs[1], scope)
-            return self._shared_atomic_rmw(
-                op, target.data, idx, val, scope, line
-            )
-        if target.type != "ssbo":
-            raise GlslError(
-                f"{op} target must be an SSBO member element", line
-            )
-        block, member = target.data
-        size = self.ssbo_members[member][1]
         idx = self.eval_expr(arg_exprs[0].index, scope)
-        val = self.convert(self.eval_expr(arg_exprs[1], scope), "float", line)
-        ii = self._as_i32(idx.data)
-        vv = self._as_array(val.data, "float")
-        if is_static(idx.data):
-            ii = jnp.full((self.h, self.w), int(idx.data), jnp.int32)
+        vals = [self.eval_expr(a, scope) for a in arg_exprs[1:]]
+        if target.type == "shared":
+            name = target.data
+            fid, inb = self._shared_fid(name, idx)
+            buf = self.shared_state[name]
+        elif target.type == "ssbo":
+            block, member = target.data
+            size = self.ssbo_members[member][1]
+            ii = self._as_i32(idx.data)
+            if is_static(idx.data):
+                ii = jnp.full((self.h, self.w), int(idx.data), jnp.int32)
+            else:
+                ii = jnp.broadcast_to(ii, (self.h, self.w))
+            inb = (ii >= 0) & (ii < size)
+            fid = jnp.clip(ii, 0, size - 1)
+            buf = self.buffers[block]
         else:
-            ii = jnp.broadcast_to(ii, (self.h, self.w))
+            raise GlslError(
+                f"{op} target must be an SSBO member or shared array "
+                f"element",
+                line,
+            )
+        self.stats["gather"] = True
         mask = self._effective_mask(scope)
-        inb = (ii >= 0) & (ii < size)
         keep = inb if mask is None else jnp.logical_and(inb, mask)
-        ident, meth = self._RMW[op]
-        contrib = jnp.where(keep, vv, ident)
-        ii = jnp.clip(ii, 0, size - 1)
-        ref = self.buffers[block].at[ii.ravel()]
-        self.buffers[block] = getattr(ref, meth)(contrib.ravel())
+        data = vals[-1]
+        vv_f = jnp.broadcast_to(
+            self._as_array(self.convert(data, "float", line).data, "float"),
+            (self.h, self.w),
+        )
+        vv_i = self._lanes_i32(data, line) if (
+            op in self._BITWISE or op == "atomicCompSwap"
+        ) else None
+        if op == "atomicCompSwap":
+            cur_lane = buf[fid].astype(jnp.int32)
+            keep = jnp.logical_and(keep, cur_lane == self._lanes_i32(
+                vals[0], line
+            ))
+            op = "atomicExchange"
+        new = self._atomic_apply(buf, fid, keep, op, vv_f, vv_i)
+        if target.type == "shared":
+            self.shared_state[name] = new
+        else:
+            self.buffers[block] = new
         return Val("float", 0.0)
 
     def _call_user(self, fn: ast.FuncDecl, arg_exprs: list, scope: "_Scope", line: int) -> Val:

@@ -91,9 +91,16 @@ def build_graph(config: Config) -> Optional[BuiltGraph]:
 
         # Every declared input binding must be wired or the kernel would read
         # undefined memory (the reference leaves such descriptors unbound and
-        # relies on validation-layer noise; we reject up front).
+        # relies on validation-layer noise; we reject up front).  Exception:
+        # an SSBO the SAME shader also writes (the single-node meter /
+        # flag-mask idiom — atomics plus a read-back) self-initializes to
+        # zeros when no upstream edge feeds it, exactly as a written-only
+        # buffer does.
         wired = {d.descriptor_name for d in gp.inputs}
-        missing = [d for d in spec.inputs_all if d not in wired]
+        missing = [
+            d for d in spec.inputs_all
+            if d not in wired and d not in spec.ssbos_out
+        ]
         if missing:
             warnln(
                 f"Input binding(s) {', '.join(repr(m) for m in missing)} of node "

@@ -265,3 +265,255 @@ void main() {
             v = np.where(live, np.float32(np.float32(v * 1.3) + 0.02), v)
             n = np.where(live, n + 1, n)
         np.testing.assert_allclose(peak, best, atol=1e-6)
+
+
+class TestAtomicBitwiseExchange:
+    """atomicAnd/Or/Xor (exact 32-bitplane reductions), atomicExchange,
+    and atomicCompSwap — the flag-mask / voting / lock idioms.
+
+    Reference: shaderc compiles every GLSL atomic builtin
+    (src/vulkan/shader.rs:73-93); execution order across invocations is
+    undefined on a real GPU, so any conforming serialization is legal.
+    """
+
+    BITWISE_SRC = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer B { int bits[4]; } b;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    int v = int(c.r * 255.0);
+    b.bits[2] = 255;                    // seed the AND cell (uniform store)
+    atomicOr(b.bits[0], 1 << (v & 7));
+    atomicXor(b.bits[1], v - 128);      // negatives: two's complement
+    atomicAnd(b.bits[2], v | 240);
+    if (c.a > 0.5) { atomicOr(b.bits[3], 1 << (v & 3)); }
+    imageStore(output_image, pos, c);
+}
+"""
+
+    def test_atomic_or_xor_and_reduction(self):
+        spec = translate_shader(self.BITWISE_SRC, "bitwise")
+        img = rand_image(12, 16, seed=21)
+        ctx = KernelContext(width=16, height=12)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        cells = np.asarray(out["B"]).astype(np.int64)
+        i = np.asarray(img)
+        v = (i[0] * 255.0).astype(np.int32)
+        want_or = np.bitwise_or.reduce(1 << (v & 7), axis=None)
+        want_xor = np.bitwise_xor.reduce((v - 128).ravel())
+        want_and = np.bitwise_and.reduce((v | 240).ravel()) & 255
+        sel = v[i[3] > 0.5]
+        want_masked = (
+            np.bitwise_or.reduce(1 << (sel & 3), axis=None)
+            if sel.size else 0
+        )
+        assert cells[0] == want_or
+        assert cells[1] == want_xor
+        assert cells[2] == want_and
+        assert cells[3] == want_masked
+
+    def test_atomic_and_empty_mask_keeps_initial(self):
+        # No lane passes the mask: AND must leave the seeded value alone
+        # (cnt == 0 slots keep their bits).
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer B { int m[2]; } b;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    b.m[0] = 77;
+    if (c.a > 2.0) { atomicAnd(b.m[0], 1); }
+    imageStore(output_image, pos, c);
+}
+"""
+        spec = translate_shader(src, "and_empty")
+        img = rand_image(8, 8, seed=3)
+        ctx = KernelContext(width=8, height=8)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        assert np.asarray(out["B"])[0] == 77.0
+
+    def test_atomic_exchange(self):
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer B { float cells[3]; } b;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    atomicExchange(b.cells[0], 7.25);          // uniform value: any winner
+    atomicExchange(b.cells[1], c.r);           // varying: one lane's value
+    if (c.a > 2.0) { atomicExchange(b.cells[2], 99.0); }  // no lane
+    imageStore(output_image, pos, c);
+}
+"""
+        spec = translate_shader(src, "exchange")
+        img = rand_image(8, 12, seed=5)
+        ctx = KernelContext(width=12, height=8)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        cells = np.asarray(out["B"])
+        assert cells[0] == 7.25
+        assert np.isin(cells[1], np.asarray(img)[0]).item()
+        assert cells[2] == 0.0
+
+    def test_atomic_compswap_sequences(self):
+        # Two sequential compSwaps: the second compares against the
+        # first's result (statement-by-statement lockstep), and a failing
+        # compare leaves the cell alone.
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer B { int cells[3]; } b;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    atomicCompSwap(b.cells[0], 0, 3);   // 0 -> 3
+    atomicCompSwap(b.cells[0], 3, 9);   // sees 3 -> 9
+    atomicCompSwap(b.cells[1], 1, 5);   // never matches: stays 0
+    atomicCompSwap(b.cells[2], 0, int(c.g * 100.0) + 1);  // varying data
+    imageStore(output_image, pos, c);
+}
+"""
+        spec = translate_shader(src, "compswap")
+        img = rand_image(8, 8, seed=7)
+        ctx = KernelContext(width=8, height=8)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        cells = np.asarray(out["B"])
+        assert cells[0] == 9.0
+        assert cells[1] == 0.0
+        vals = (np.asarray(img)[1] * 100.0).astype(np.int32) + 1
+        assert np.isin(cells[2], vals.astype(np.float32)).item()
+
+    def test_atomic_or_on_shared_array(self):
+        # Per-workgroup flag mask: every invocation ORs a bit in, the
+        # post-barrier read sees the group's combined mask.
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+shared int flags[2];
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    int v = int(c.r * 255.0);
+    atomicOr(flags[0], 1 << (v & 7));
+    barrier();
+    imageStore(output_image, pos, vec4(float(flags[0]), 0.0, 0.0, 1.0));
+}
+"""
+        spec = translate_shader(src, "shared_or")
+        img = rand_image(12, 16, seed=9)
+        ctx = KernelContext(width=16, height=12)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        v = (np.asarray(img)[0] * 255.0).astype(np.int32)
+        want = np.bitwise_or.reduce(1 << (v & 7), axis=None)
+        np.testing.assert_array_equal(
+            np.asarray(out["output_image"])[0], float(want)
+        )
+
+    def test_atomic_or_inside_loop_carry(self):
+        # atomicOr inside a data-dependent loop rides the buffer carry:
+        # the cell collects OR over every (lane, iteration) bit.
+        src = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer B { int m[1]; } b;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    float v = imageLoad(input_image, pos).r;
+    int n = 0;
+    while (v < 1.0 && n < 8) {
+        atomicOr(b.m[0], 1 << n);
+        v = v * 1.4 + 0.05;
+        n++;
+    }
+    imageStore(output_image, pos, vec4(v, float(n), 0.0, 1.0));
+}
+"""
+        spec = translate_shader(src, "loop_or")
+        img = rand_image(8, 12, seed=15)
+        ctx = KernelContext(width=12, height=8)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        got = np.asarray(out["B"])[0]
+        v = np.asarray(img, np.float64)[0].copy()
+        n = np.zeros(v.shape, np.int64)
+        want = 0
+        for it in range(8):
+            live = (v < 1.0) & (n < 8)
+            if not live.any():
+                break
+            want |= 1 << it
+            v = np.where(live, np.float32(np.float32(v * 1.4) + 0.05), v)
+            n = np.where(live, n + 1, n)
+        assert got == want
+
+
+class TestSelfOwnedBuffer:
+    """A buffer the SAME shader writes (atomics) and reads back needs no
+    upstream edge: it self-initializes to zeros, like a written-only
+    buffer (a Vulkan SSBO is just bound storage for the dispatch)."""
+
+    SRC = """
+#version 450
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer Flags { int mask[2]; } f;
+
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec4 c = imageLoad(input_image, pos);
+    int band = int(c.r * 7.99);
+    atomicOr(f.mask[0], 1 << band);
+    float occupancy = float(bitCount(f.mask[0])) / 8.0;
+    imageStore(output_image, pos, vec4(c.rgb * occupancy, c.a));
+}
+"""
+
+    def test_reflection_keeps_block_as_in_and_out(self):
+        spec = translate_shader(self.SRC, "flagmeter")
+        assert "Flags" in spec.ssbos_in  # read back via bitCount
+        assert "Flags" in spec.ssbos_out
+
+    def test_unwired_read_write_buffer_builds_and_runs(self, tmp_path):
+        shader = tmp_path / "flagmeter.comp"
+        shader.write_text(self.SRC)
+        cfg = parse_file(
+            "input -> flagmeter -> output\n",
+            expects_input=True,
+            shader_path=str(tmp_path),
+        )
+        graph = build_graph(cfg)
+        assert graph is not None
+        prog = make_program(graph, 16, 8, "rgba32f")
+        img = rand_image(8, 16, seed=33)
+        out = np.asarray(prog(img, 0.0))
+        v = (np.asarray(img)[0] * 7.99).astype(np.int32)
+        occ = len(np.unique(v)) / 8.0
+        np.testing.assert_allclose(
+            out[:3], np.asarray(img)[:3] * occ, atol=1e-6
+        )
+
+    def test_int_member_read_type(self):
+        # SSBO reads surface the declared element type (bitCount on an
+        # int member must trace; storage stays f32 underneath).
+        spec = translate_shader(self.SRC, "flagmeter")
+        ctx = KernelContext(width=16, height=8)
+        out = spec(ctx, {"input_image": rand_image(8, 16, seed=34),
+                         "Flags": jnp.zeros((2,), jnp.float32)},
+                   spec.resolve_params({}))
+        assert out["output_image"].shape == (4, 8, 16)
