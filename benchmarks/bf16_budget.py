@@ -4,20 +4,25 @@
 The rgba32f budget was closed by `strip_ablation.py` (the VPU tap
 schedule is at its issue floor — BENCH.md "definitive budget").  The
 bf16 kernel's costs are different: both flagship convs ride the MXU as
-single-product band matmuls, so the frame decomposes as
-MXU band stages + epilogue + structure (strip DMA at HALF the f32
-traffic + grid + stores).  Graph-substitution variants, one process,
-one tunnel window (deltas are window-comparable):
+single-product band matmuls.  Graph-substitution variants, one
+process, one tunnel window (deltas are window-comparable):
 
   full        : the shipped 5-node flagship (two MXU conv stages)
   light-convs : same graph, sigmas shrunk so both convs fall below the
-                24-tap MXU threshold (tiny VPU taps) — isolates the
-                combined MXU stage cost
+                24-tap MXU threshold (tiny VPU taps)
   conv-only   : input -> gaussian s4 -> output — one MXU stage +
                 structure, no epilogue
   floor       : input -> gaussian s0.8 -> output — structure + 6 r2
-                VPU passes (the bf16 analog of the f32 ablation's
-                "ONE r1 conv" floor variant)
+                VPU passes
+
+Measured finding (BENCH.md "rgba16f frame budget"): light-convs is
+SLOWER than full — in bf16 storage the MXU band stages cost less than
+even tiny VPU tap substitutes, so "full - light-convs" does NOT
+isolate an MXU stage cost (it comes out negative) and the naive
+decomposition fails.  The useful numbers are the variants themselves:
+conv-only-s4 is the structural+one-stage floor of the mode, and a
+REFORGE_MC_MXU_BF16_MIN_TAPS=4 vs 24 A/B measured neutral within
+window noise, so the 24-tap default stands.
 
 Usage: python benchmarks/bf16_budget.py [--frames 72] [--reps 2]
 """
@@ -85,12 +90,12 @@ def main() -> int:
             f"({best['fps']:.1f} fps)", flush=True,
         )
     if all(k in results for k, _ in VARIANTS):
-        mxu = results["full"] - results["light-convs"]
-        one = results["conv-only-s4"] - results["floor-s0.8"]
         print(
-            f"# attribution: both MXU stages ~{mxu:.3f} ms "
-            f"(one s4 stage ~{one:.3f}); epilogue+structure "
-            f"~{results['light-convs']:.3f}; floor ~{results['floor-s0.8']:.3f}",
+            f"# mode floor (structure + one MXU stage): "
+            f"{results['conv-only-s4']:.3f} ms; epilogue+fan-in+2nd stage: "
+            f"{results['full'] - results['conv-only-s4']:.3f} ms; "
+            f"light-convs vs full: {results['light-convs'] - results['full']:+.3f} ms "
+            f"(positive = VPU substitutes lose to the MXU stages)",
             flush=True,
         )
     return 0
