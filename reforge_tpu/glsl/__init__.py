@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from . import ast
 from .lexer import GlslError
 from .parser import parse_shader_source
-from .interp import ATOMIC_FUNCS, Interp
+from .interp import ATOMIC_FUNCS, IMAGE_ATOMIC_FUNCS, Interp
 from ..kernels.base import KernelContext, KernelSpec, ParamDecl, ParamKind
 
 __all__ = ["translate_shader", "GlslError", "reflect_bindings"]
@@ -47,7 +47,11 @@ def _walk_image_usage(shader: ast.Shader) -> tuple[set, set]:
         if isinstance(node, ast.Call) and node.args and isinstance(node.args[0], ast.Ident):
             if node.name == "imageLoad":
                 loaded.add(node.args[0].name)
-            elif node.name == "imageStore":
+            elif node.name == "imageStore" or node.name in IMAGE_ATOMIC_FUNCS:
+                # Image atomics RMW the target, but direction-wise the
+                # target is an output (the splat idiom accumulates into a
+                # fresh image); an explicit imageLoad elsewhere still
+                # makes it an input too.
                 stored.add(node.args[0].name)
         for field in node.__dataclass_fields__:
             walk(getattr(node, field))

@@ -56,6 +56,10 @@ ATOMIC_FUNCS = (
     "atomicAnd", "atomicOr", "atomicXor",
     "atomicExchange", "atomicCompSwap",
 )
+# Image atomics: the same ops, on plane 0 of an image at a computed
+# coordinate (the splat / voting idiom; GLSL requires single-channel
+# r32i/r32ui/r32f formats for these).
+IMAGE_ATOMIC_FUNCS = tuple("image" + n[0].upper() + n[1:] for n in ATOMIC_FUNCS)
 VEC_TYPES = {
     "vec2": ("float", 2), "vec3": ("float", 3), "vec4": ("float", 4),
     "ivec2": ("int", 2), "ivec3": ("int", 3), "ivec4": ("int", 4),
@@ -1342,13 +1346,13 @@ class Interp:
                     # resync point inside the while body either.
                     reject("barrier() (UB under divergent control flow)")
                     return
-                if node.name == "imageStore":
+                if node.name == "imageStore" or node.name in IMAGE_ATOMIC_FUNCS:
                     if not allow_break:
-                        reject("imageStore")  # fori path: no image carry
+                        reject(node.name)  # fori path: no image carry
                         return
                     # Vectorized while path: the written planes ride the
                     # loop carry (see the image-carry block in the while
-                    # lowering), so direct stores are fine.
+                    # lowering), so direct stores/atomics are fine.
                 if node.name in (
                     "imageLoad", "texture", "textureLod", "texelFetch",
                 ):
@@ -1460,7 +1464,10 @@ class Interp:
             if isinstance(node, ast.Decl):
                 local.add(node.name)
             if isinstance(node, ast.Call):
-                if node.name == "imageStore" and node.args:
+                if (
+                    node.name == "imageStore"
+                    or node.name in IMAGE_ATOMIC_FUNCS
+                ) and node.args:
                     nm = self._get_image(
                         node.args[0], getattr(node, "line", fn.line)
                     )
@@ -1567,7 +1574,10 @@ class Interp:
                 return
             if (
                 isinstance(node, ast.Call)
-                and node.name == "imageStore"
+                and (
+                    node.name == "imageStore"
+                    or node.name in IMAGE_ATOMIC_FUNCS
+                )
                 and node.args
             ):
                 nm = self._get_image(
@@ -2888,6 +2898,8 @@ class Interp:
             return self._image_load(arg_exprs[:2], scope, line)
         if name in ATOMIC_FUNCS:
             return self._atomic_rmw(name, arg_exprs, scope, line)
+        if name in IMAGE_ATOMIC_FUNCS:
+            return self._image_atomic(name, arg_exprs, scope, line)
         if name in (
             "barrier", "memoryBarrier", "memoryBarrierShared",
             "memoryBarrierBuffer", "memoryBarrierImage", "groupMemoryBarrier",
@@ -3470,6 +3482,74 @@ class Interp:
             self.shared_state[name] = new
         else:
             self.buffers[block] = new
+        return Val("float", 0.0)
+
+    def _image_atomic(self, op: str, arg_exprs: list, scope, line: int) -> Val:
+        """imageAtomicAdd/Min/Max/And/Or/Xor/Exchange(image, ivec2, data)
+        and imageAtomicCompSwap(image, ivec2, compare, data): atomic RMW
+        on CHANNEL 0 of a storage image (GLSL restricts image atomics to
+        single-channel r32i/r32ui/r32f formats; the value view here is
+        the image's red plane, matching the SSBO f32 value view).
+
+        Lowered exactly like the SSBO/shared atomics: the image plane is
+        a flat (h*w) buffer and each call site is one masked scatter-
+        reduction over the pixel grid (`_atomic_apply` for per-op
+        semantics; compSwap serializes as in `_atomic_rmw`).  Returns 0,
+        as all atomics here do.  Out-of-bounds coordinates drop (GL
+        robust access).  The splat/voting idiom this enables — point
+        scatter-accumulation, depth-buffer max, pixel claiming — is what
+        shaderc-compiled compute shaders use it for (the reference
+        compiles any conforming GLSL, shader.rs:73-93).
+        """
+        base = "atomic" + op[len("imageAtomic"):]
+        nargs = 4 if base == "atomicCompSwap" else 3
+        shape = "compare, data" if nargs == 4 else "data"
+        if len(arg_exprs) != nargs:
+            raise GlslError(f"{op}(image, ivec2, {shape})", line)
+        name = self._get_image(arg_exprs[0], line)
+        coord = self.eval_expr(arg_exprs[1], scope)
+        if not coord.is_vector() or coord.size != 2:
+            raise GlslError(f"{op} coordinate must be ivec2", line)
+        vals = [self.eval_expr(a, scope) for a in arg_exprs[2:]]
+        self.stats["gather"] = True
+        hw = (self.h, self.w)
+        xs = jnp.broadcast_to(self._as_i32(coord.data[0]), hw)
+        ys = jnp.broadcast_to(self._as_i32(coord.data[1]), hw)
+        if not (isinstance(self.row_offset, int) and self.row_offset == 0):
+            ys = ys - jnp.asarray(self.row_offset, jnp.int32)
+        inb = (xs >= 0) & (xs < self.w) & (ys >= 0) & (ys < self.h)
+        mask = self._effective_mask(scope)
+        keep = inb if mask is None else jnp.logical_and(inb, mask)
+        fid = (
+            jnp.clip(ys, 0, self.h - 1) * self.w
+            + jnp.clip(xs, 0, self.w - 1)
+        )
+        planes = self._image_current(name)
+        buf = (
+            jnp.broadcast_to(self._as_array(planes[0], "float"), hw)
+            .astype(jnp.float32)
+            .ravel()
+        )
+        data = vals[-1]
+        vv_f = jnp.broadcast_to(
+            self._as_array(self.convert(data, "float", line).data, "float"),
+            hw,
+        )
+        vv_i = self._lanes_i32(data, line) if (
+            base in self._BITWISE or base == "atomicCompSwap"
+        ) else None
+        if base == "atomicCompSwap":
+            cur_lane = buf[fid.ravel()].reshape(hw).astype(jnp.int32)
+            keep = jnp.logical_and(
+                keep, cur_lane == self._lanes_i32(vals[0], line)
+            )
+            base = "atomicExchange"
+        new = self._atomic_apply(buf, fid, keep, base, vv_f, vv_i)
+        rest = [
+            jnp.broadcast_to(self._as_array(p, "float"), hw)
+            for p in planes[1:]
+        ]
+        self.stores[name] = [new.reshape(hw)] + rest
         return Val("float", 0.0)
 
     def _call_user(self, fn: ast.FuncDecl, arg_exprs: list, scope: "_Scope", line: int) -> Val:
