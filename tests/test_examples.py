@@ -2,9 +2,9 @@
 
 The reference ships a single demo config implicitly (the default
 ``input -> passthrough -> output``, render.rs:115); this framework ships
-15 example ``.rf`` configs under ``examples/`` exercising builtin
+21 example ``.rf`` configs under ``examples/`` exercising builtin
 kernels, ``.comp``/``.frag`` GLSL shaders, fan-in blends, SSBO
-pipelines, and data-dependent-loop shaders.  A shipped example that no
+pipelines, image-atomic splats, and data-dependent-loop shaders.  A shipped example that no
 longer builds is a release regression, so each one is held to the full
 parse -> graph -> program path (``make_program`` runs eval_shape
 build-time validation, which traces every kernel).

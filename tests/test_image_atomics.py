@@ -234,6 +234,83 @@ void main() {
         np.testing.assert_array_equal(got[:10].astype(int), counts)
 
 
+class TestWaveformScope:
+    """The shipped waveform-monitor pair (shaders/waveform.comp +
+    shaders/scope_overlay.comp): the first real imageAtomicAdd consumer."""
+
+    SHADER_DIR = __file__.rsplit("/", 2)[0] + "/shaders"
+
+    def _luma_rows(self, img, h):
+        # f32 arithmetic mirrors the interpreter exactly.
+        i = np.asarray(img, np.float32)
+        luma = np.clip(
+            np.float32(0.2126) * i[0]
+            + np.float32(0.7152) * i[1]
+            + np.float32(0.0722) * i[2],
+            0.0,
+            1.0,
+        ).astype(np.float32)
+        rows = (
+            (np.float32(1.0) - luma) * np.float32(h - 1) + np.float32(0.5)
+        ).astype(np.int32)
+        return np.clip(rows, 0, h - 1)
+
+    def test_meter_matches_2d_histogram(self):
+        src = open(self.SHADER_DIR + "/waveform.comp").read()
+        h, w = 24, 32
+        img = rand_image(h, w, seed=11)
+        spec = translate_shader(src, "waveform")
+        ctx = KernelContext(width=w, height=h)
+        out = spec(ctx, {"input_image": img}, spec.resolve_params({}))
+        got = np.asarray(out["output_image"])[0]
+        rows = self._luma_rows(img, h)
+        want = np.zeros((h, w), np.int64)
+        for x in range(w):
+            want[:, x] = np.bincount(rows[:, x], minlength=h)
+        np.testing.assert_array_equal(got.astype(np.int64), want)
+
+    def test_pipeline_end_to_end(self):
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph, make_program
+
+        wiring = (
+            "input -> meter\n"
+            "meter -> scope:scope_image\n"
+            "input -> scope -> output\n"
+            "meter: waveform {}\n"
+            "scope: scope_overlay { scale: 0.4, gain: 0.12 }\n"
+        )
+        cfg = parse_file(wiring, True, self.SHADER_DIR)
+        assert cfg is not None
+        h, w = 40, 60
+        prog = make_program(build_graph(cfg), w, h)
+        img = rand_image(h, w, seed=12)
+        out = np.asarray(prog(img, 0.0))
+        # Exact numpy oracle of both passes.
+        rows = self._luma_rows(img, h)
+        scope = np.zeros((h, w), np.float32)
+        for x in range(w):
+            scope[:, x] = np.bincount(rows[:, x], minlength=h)
+        s, g = np.float32(0.4), np.float32(0.12)
+        panel_w = int(np.float32(w) * s)
+        panel_h = int(np.float32(h) * s)
+        cx, cy = w - panel_w, h - panel_h
+        i = np.asarray(img, np.float32)
+        want = i.copy()
+        for y in range(cy, h):
+            for x in range(cx, w):
+                sx = int(np.float32(x - cx) / s)
+                sy = int(np.float32(y - cy) / s)
+                n = scope[sy, sx]
+                trace = 1.0 - np.exp(-n * g)
+                bg = i[:3, y, x] * np.float32(0.25)
+                fg = np.asarray([0.2, 1.0, 0.35], np.float32)
+                want[:3, y, x] = bg + (fg - bg) * trace
+        np.testing.assert_allclose(out, want, atol=1e-5)
+        # The panel region visibly differs from the passthrough source.
+        assert np.abs(out[:3, cy:, cx:] - i[:3, cy:, cx:]).max() > 0.05
+
+
 class TestReflectionAndErrors:
     def test_atomic_target_is_output(self):
         src = HEADER + """
