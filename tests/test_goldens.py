@@ -98,12 +98,18 @@ GENERIC_PARAMS = {
 def shader_names():
     import glob as _glob
 
+    from reforge_tpu.kernels.loader import load_kernel_file
+
     names = []
     for p in sorted(_glob.glob(os.path.join(SHADER_DIR, "*.comp"))
                     + _glob.glob(os.path.join(SHADER_DIR, "*.frag"))):
         stem = os.path.splitext(os.path.basename(p))[0]
-        if stem in ("histogram", "equalize", "blend"):
-            continue  # multi-binding wiring; covered by pipeline goldens/tests
+        spec = load_kernel_file(p)
+        # Structural exclusions: shaders whose wiring isn't image→image
+        # (SSBO producers/consumers like histogram/equalize/expose_meter)
+        # are covered by the pipeline-level example goldens instead.
+        if spec is None or spec.ssbos_in or "output_image" not in spec.images_out:
+            continue
         names.append((stem, p))
     return names
 
