@@ -66,9 +66,12 @@ def _walk_ssbo_usage(shader: ast.Shader) -> tuple[set, set]:
     """Which SSBO blocks are read / written (stores or atomic RMW ops)."""
     member_to_block = {}
     instance_to_block = {}
+    scalar_members = set()  # non-array members: bare-name access
     for ssbo in shader.ssbos:
         for m in ssbo.members:
             member_to_block[m.name] = ssbo.block_name
+            if m.array_size is None and not m.runtime_array:
+                scalar_members.add(m.name)
         if ssbo.instance_name:
             instance_to_block[ssbo.instance_name] = ssbo.block_name
 
@@ -99,18 +102,41 @@ def _walk_ssbo_usage(shader: ast.Shader) -> tuple[set, set]:
                 write_targets.add(id(node.target))
                 if node.op != "=":
                     read.add(b)  # compound assignment reads too
+        if isinstance(node, ast.Assign) and not isinstance(node.target, ast.Index):
+            # Scalar member store: `count = 0u;` / `inst.count += 1u;`.
+            b = block_of(node.target)
+            if b is not None:
+                written.add(b)
+                write_targets.add(id(node.target))
+                if node.op != "=":
+                    read.add(b)
         if (
             isinstance(node, ast.Call)
             and node.name in ATOMIC_FUNCS
             and node.args
-            and isinstance(node.args[0], ast.Index)
         ):
-            b = block_of(node.args[0].expr)
+            tgt = node.args[0]
+            b = block_of(tgt.expr) if isinstance(tgt, ast.Index) else (
+                block_of(tgt)
+                if (isinstance(tgt, ast.Ident) and tgt.name in scalar_members)
+                or isinstance(tgt, ast.Member)
+                else None
+            )
             if b is not None:
                 written.add(b)
-                write_targets.add(id(node.args[0]))
+                write_targets.add(id(tgt))
         if isinstance(node, ast.Index) and id(node) not in write_targets:
             b = block_of(node.expr)
+            if b is not None:
+                read.add(b)
+        if (
+            isinstance(node, (ast.Ident, ast.Member))
+            and id(node) not in write_targets
+            and getattr(node, "name", None) in scalar_members
+        ):
+            # Bare scalar-member reads (conservative: a shadowing local of
+            # the same name still marks the block read).
+            b = block_of(node)
             if b is not None:
                 read.add(b)
         for field in node.__dataclass_fields__:
@@ -155,8 +181,23 @@ def reflect_bindings(shader: ast.Shader) -> dict:
     ssbo_sizes: dict[str, int] = {}
     for ssbo in sorted(shader.ssbos, key=lambda d: d.binding):
         name_ = ssbo.block_name
-        if ssbo.members and ssbo.members[0].array_size:
-            ssbo_sizes[name_] = int(ssbo.members[0].array_size)
+        if ssbo.members:
+            # Block size = summed member element counts (the reference
+            # sizes SSBOs by summed reflected member sizes,
+            # pipeline_graph.rs:161-170); a runtime-sized trailing array
+            # contributes the documented default so single-shader graphs
+            # get a usable allocation (interp.DEFAULT_RUNTIME_SSBO_ELEMS).
+            from .interp import DEFAULT_RUNTIME_SSBO_ELEMS
+
+            total = 0
+            for m in ssbo.members:
+                if m.runtime_array:
+                    total += DEFAULT_RUNTIME_SSBO_ELEMS
+                elif m.array_size is not None:
+                    total += int(m.array_size)
+                else:
+                    total += 1
+            ssbo_sizes[name_] = total
         is_written = name_ in ssbo_written or (
             ssbo.writeonly and name_ not in ssbo_read
         )
@@ -170,12 +211,20 @@ def reflect_bindings(shader: ast.Shader) -> dict:
         if not is_read and not is_written:
             ssbos_in.append(name_)
     params: dict[str, ParamDecl] = {}
+    param_aliases: dict[str, str] = {}
     _SCALAR_KINDS = {
         "float": ParamKind.FLOAT,
         "int": ParamKind.INT,
         "uint": ParamKind.INT,
         "bool": ParamKind.BOOL,
     }
+    _VEC_KINDS = {  # vecN family -> (component kind, count)
+        **{f"vec{n}": (ParamKind.FLOAT, n) for n in (2, 3, 4)},
+        **{f"ivec{n}": (ParamKind.INT, n) for n in (2, 3, 4)},
+        **{f"uvec{n}": (ParamKind.INT, n) for n in (2, 3, 4)},
+        **{f"bvec{n}": (ParamKind.BOOL, n) for n in (2, 3, 4)},
+    }
+    _MATS = {"mat2", "mat3", "mat4"}
 
     def add_param(name: str, type_name: str) -> None:
         if name == "_rf_time" or name.endswith("_rf_time"):
@@ -186,11 +235,30 @@ def reflect_bindings(shader: ast.Shader) -> dict:
             for ftype, fname in shader.structs[type_name]:
                 add_param(f"{name}.{fname}", ftype)
             return
+        if type_name in _VEC_KINDS:
+            # Vector members: one parameter per component, canonical
+            # ".x/.y/.z/.w", with ".rgba"/".stpq" accepted as aliases.
+            kind, n = _VEC_KINDS[type_name]
+            default = {
+                ParamKind.FLOAT: 0.0, ParamKind.INT: 0, ParamKind.BOOL: False,
+            }[kind]
+            for i in range(n):
+                canon = f"{name}.{'xyzw'[i]}"
+                params[canon] = ParamDecl(canon, kind, default)
+                param_aliases[f"{name}.{'rgba'[i]}"] = canon
+                param_aliases[f"{name}.{'stpq'[i]}"] = canon
+            return
+        if type_name in _MATS:
+            # Matrix members declare fine but aren't settable from the
+            # config (values are scalars); they read as zeros — the
+            # reference's zero-fill of unset UBO memory.
+            return
         kind = _SCALAR_KINDS.get(type_name)
         if kind is None:
             raise GlslError(
                 f"UBO member '{name}': only scalar float/int/bool "
-                f"parameters (or structs of them) are supported (got {type_name})"
+                f"parameters (or vectors, matrices, arrays, structs of "
+                f"them) are supported (got {type_name})"
             )
         # Unspecified parameters default to zero, matching the reference's
         # zero-fill of unset UBO members (render.rs:187-193).
@@ -199,12 +267,36 @@ def reflect_bindings(shader: ast.Shader) -> dict:
 
     for ubo in shader.ubos:
         for m in ubo.members:
-            if m.array_size is not None:
+            if m.array_size is not None or m.runtime_array:
                 # Array members declare fine but aren't settable from the
                 # config (values are scalars); they read as zeros — the
                 # reference's zero-fill of unset UBO memory.
                 continue
             add_param(m.name, m.type)
+    for g in shader.globals:
+        if getattr(g, "spec_id", None) is None:
+            continue
+        # Specialization constants surface as config-settable parameters
+        # defaulting to their GLSL initializer (the value the reference
+        # always uses, since it passes no VkSpecializationInfo —
+        # pipeline.rs:44-88).  Changing one retraces, as any param does.
+        kind = _SCALAR_KINDS[g.type]
+        init = g.init
+        neg = False
+        if isinstance(init, ast.Unary) and init.op == "-":
+            neg, init = True, init.expr
+        if isinstance(init, ast.Num):
+            default = -init.value if neg else init.value
+            default = float(default) if g.type == "float" else int(default)
+        elif isinstance(init, ast.BoolLit) and not neg:
+            default = bool(init.value)
+        else:
+            raise GlslError(
+                f"specialization constant '{g.name}' initializer must be "
+                f"a literal",
+                g.line,
+            )
+        params[g.name] = ParamDecl(g.name, kind, default)
     return {
         "images_in": images_in,
         "images_out": images_out,
@@ -212,6 +304,7 @@ def reflect_bindings(shader: ast.Shader) -> dict:
         "ssbos_out": ssbos_out,
         "ssbo_sizes": ssbo_sizes,
         "params": params,
+        "param_aliases": param_aliases,
     }
 
 
@@ -318,6 +411,7 @@ def translate_shader(
         ssbos_out=tuple(bindings["ssbos_out"]),
         ssbo_sizes=bindings["ssbo_sizes"],
         params=bindings["params"],
+        param_aliases=bindings["param_aliases"],
         halo=lambda params: halo_of(tuple(sorted(params.items()))),
         border=lambda params: _reflect_spatial(tuple(sorted(params.items())))[1],
         source_path=path,

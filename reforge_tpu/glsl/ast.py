@@ -102,6 +102,12 @@ class Decl:
     array_size: Optional[Any] = None  # expression or None
     is_const: bool = False
     line: int = 0
+    # Vulkan specialization constant id (`layout(constant_id = N) const ...`).
+    # The reference creates pipelines with no VkSpecializationInfo
+    # (pipeline.rs:44-88), so the GLSL default initializer always applies;
+    # here the default additionally surfaces as a config-settable parameter
+    # (static at trace time, like every UBO param in this framework).
+    spec_id: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -212,6 +218,9 @@ class UboMember:
     type: str
     name: str
     array_size: Optional[int] = None
+    # `float data[];` — a runtime-sized trailing array (std430).  Sized by
+    # the allocated buffer at run time; see docs/glsl.md "SSBO blocks".
+    runtime_array: bool = False
 
 
 @dataclasses.dataclass

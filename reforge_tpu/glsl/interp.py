@@ -132,6 +132,13 @@ class _ReturnSignal(Exception):
 
 _MAX_UNROLL = 65536
 
+# Elements a runtime-sized SSBO trailing array (`float data[];`) gets when
+# no allocated buffer pins its size (single-shader use, or the first
+# reflection pass).  Overridable for tests/benchmarks.
+DEFAULT_RUNTIME_SSBO_ELEMS = int(
+    os.environ.get("REFORGE_SSBO_RUNTIME_ELEMS", 65536)
+)
+
 
 class Interp:
     """One shader execution over a (height, width) pixel grid."""
@@ -163,28 +170,62 @@ class Interp:
         # plus member-name lookup tables.
         self.buffers: dict[str, Any] = {}
         self.ssbo_members: dict[str, tuple[str, int]] = {}  # member -> (block, size)
+        self.ssbo_offsets: dict[str, int] = {}  # member -> element offset in block
+        self.ssbo_scalar: set[str] = set()  # non-array members (one element)
         self.ssbo_elem: dict[str, str] = {}  # member -> element type
         self.ssbo_instances: dict[str, str] = {}  # instance name -> block
         for ssbo in shader.ssbos:
-            if len(ssbo.members) != 1 or ssbo.members[0].array_size is None:
+            # Blocks hold any number of scalar / sized-array members plus an
+            # optional runtime-sized trailing array (std430 layout over
+            # 4-byte elements); each member maps to an element range of one
+            # flat f32 buffer per block.  shaderc compiles all of these
+            # (reference: src/vulkan/shader.rs:73-93); the reference sizes
+            # buffers by summed reflected member sizes
+            # (pipeline_graph.rs:161-170).
+            if not ssbo.members:
                 raise GlslError(
-                    f"SSBO block '{ssbo.block_name}' must contain exactly one "
-                    f"sized array member (e.g. float data[256];)",
-                    ssbo.line,
+                    f"SSBO block '{ssbo.block_name}' has no members", ssbo.line
                 )
-            m = ssbo.members[0]
-            if m.type not in ("float", "int", "uint"):
-                raise GlslError(
-                    f"SSBO member '{m.name}' must be a float/int array", ssbo.line
-                )
-            size = int(m.array_size)
-            self.ssbo_members[m.name] = (ssbo.block_name, size)
-            self.ssbo_elem[m.name] = m.type
+            init = (buffers_in or {}).get(ssbo.block_name)
+            fixed = sum(
+                int(m.array_size) if m.array_size is not None else 1
+                for m in ssbo.members
+                if not m.runtime_array
+            )
+            off = 0
+            for j, m in enumerate(ssbo.members):
+                if m.type not in ("float", "int", "uint"):
+                    raise GlslError(
+                        f"SSBO member '{m.name}' must be float/int/uint "
+                        f"(scalar or array)",
+                        ssbo.line,
+                    )
+                if m.runtime_array:
+                    if j != len(ssbo.members) - 1:
+                        raise GlslError(
+                            f"runtime-sized array '{m.name}[]' must be the "
+                            f"last member of its block (std430)",
+                            ssbo.line,
+                        )
+                    # Size from the allocated buffer when one is bound,
+                    # else the default (see reflect_bindings).
+                    if init is not None:
+                        size = max(int(init.shape[0]) - fixed, 0)
+                    else:
+                        size = DEFAULT_RUNTIME_SSBO_ELEMS
+                elif m.array_size is not None:
+                    size = int(m.array_size)
+                else:
+                    size = 1
+                    self.ssbo_scalar.add(m.name)
+                self.ssbo_members[m.name] = (ssbo.block_name, size)
+                self.ssbo_offsets[m.name] = off
+                self.ssbo_elem[m.name] = m.type
+                off += size
             if ssbo.instance_name:
                 self.ssbo_instances[ssbo.instance_name] = ssbo.block_name
-            init = (buffers_in or {}).get(ssbo.block_name)
             if init is None:
-                init = jnp.zeros((size,), jnp.float32)
+                init = jnp.zeros((off,), jnp.float32)
             self.buffers[ssbo.block_name] = init
         # Workgroup-shared arrays, lowered to per-workgroup planes: one
         # flattened (n_groups * size,) f32 array per declaration, indexed
@@ -229,6 +270,14 @@ class Interp:
 
         self._install_builtin_idents()
         for decl in shader.globals:
+            if decl.spec_id is not None and decl.name in self.params:
+                # Specialization constant overridden from the config: the
+                # value is static at trace time (like every UBO param
+                # here), so loops bounded by it still unroll.
+                raw = self.params[decl.name]
+                cast = {"float": float, "bool": bool}.get(decl.type, int)
+                self.globals[decl.name] = Val(decl.type, cast(raw))
+                continue
             self.globals[decl.name] = (
                 self.eval_expr(decl.init, self.globals)
                 if decl.init is not None
@@ -317,10 +366,34 @@ class Interp:
                 f"array:{m.type}",
                 [self._zero_of(m.type, 0) for _ in range(m.array_size)],
             )
+        if m.type in VEC_TYPES:
+            # Vector members are settable per component from the config as
+            # `name.x` (any swizzle alias: .r/.s accepted); unset
+            # components read as zero — the reference zero-fills unset UBO
+            # memory (render.rs:187-193) and its config grammar has no
+            # vector literals, so this is a strict superset.
+            elem, n = VEC_TYPES[m.type]
+            cast = {"float": float, "bool": bool}.get(elem, int)
+            comps = []
+            for i in range(n):
+                raw = 0
+                for alias in SWIZZLE_SETS:
+                    got = self.params.get(f"{m.name}.{alias[i]}")
+                    if got is not None:
+                        raw = got
+                        break
+                comps.append(cast(raw))
+            return Val(m.type, comps)
+        if m.type in MAT_TYPES:
+            # Matrix members declare fine but aren't settable from the
+            # config (scalar values only); they read as zeros, the
+            # reference's zero-fill of unset UBO memory.
+            return self._zero_of(m.type, 0)
         if m.type not in ("float", "int", "uint", "bool"):
             raise GlslError(
                 f"UBO member '{m.name}' has type {m.type}; only scalar "
-                f"float/int/bool parameters are supported"
+                f"float/int/bool parameters (or vectors, matrices, arrays, "
+                f"structs of them) are supported"
             )
         raw = self.params.get(m.name, 0)
         if m.type == "float":
@@ -345,6 +418,20 @@ class Interp:
                     fields[fname] = Val("bool", bool(raw))
                 else:
                     fields[fname] = Val(ftype, int(raw))
+            elif ftype in VEC_TYPES:
+                # Vector fields: components settable as "outer.field.x".
+                elem, n = VEC_TYPES[ftype]
+                cast = {"float": float, "bool": bool}.get(elem, int)
+                comps = []
+                for i in range(n):
+                    raw = 0
+                    for alias in SWIZZLE_SETS:
+                        got = self.params.get(f"{dotted}.{alias[i]}")
+                        if got is not None:
+                            raw = got
+                            break
+                    comps.append(cast(raw))
+                fields[fname] = Val(ftype, comps)
             else:
                 fields[fname] = self._zero_of(ftype, 0)
         return Val(f"struct:{struct_name}", fields)
@@ -2084,6 +2171,10 @@ class Interp:
         if v is None:
             if e.name in self.ssbo_members:
                 block, _ = self.ssbo_members[e.name]
+                if e.name in self.ssbo_scalar:
+                    # Scalar block member: reading the bare name yields
+                    # its value (element 0 of its range).
+                    return self._ssbo_read((block, e.name), Val("int", 0), e.line)
                 return Val("ssbo", (block, e.name))
             if e.name in self.ssbo_instances:
                 return Val("ssbo_block", self.ssbo_instances[e.name])
@@ -2091,6 +2182,25 @@ class Interp:
                 return Val("shared", e.name)
             raise GlslError(f"undeclared identifier '{e.name}'", e.line)
         return v
+
+    def _ssbo_ref_of(self, expr: Any, scope) -> Optional[Val]:
+        """Resolve `member` / `instance.member` to a Val("ssbo", (block,
+        member)) reference without reading the value (atomic/store
+        targets)."""
+        if isinstance(expr, ast.Ident) and expr.name in self.ssbo_members:
+            if scope.lookup(expr.name) is not None:
+                return None  # shadowed by a local
+            return Val("ssbo", (self.ssbo_members[expr.name][0], expr.name))
+        if (
+            isinstance(expr, ast.Member)
+            and isinstance(expr.expr, ast.Ident)
+            and expr.expr.name in self.ssbo_instances
+        ):
+            block = self.ssbo_instances[expr.expr.name]
+            got = self.ssbo_members.get(expr.name)
+            if got is not None and got[0] == block:
+                return Val("ssbo", (block, expr.name))
+        return None
 
     def _eval_Member(self, e: ast.Member, scope) -> Val:
         # Special-case gl_GlobalInvocationID components to keep origins.
@@ -2108,12 +2218,12 @@ class Interp:
             return field
         if base.type == "ssbo_block":
             block = base.data
-            member = next(
-                m for m, (b, _) in self.ssbo_members.items() if b == block
-            )
-            if e.name != member:
+            got = self.ssbo_members.get(e.name)
+            if got is None or got[0] != block:
                 raise GlslError(f"SSBO block has no member '{e.name}'", e.line)
-            return Val("ssbo", (block, member))
+            if e.name in self.ssbo_scalar:
+                return self._ssbo_read((block, e.name), Val("int", 0), e.line)
+            return Val("ssbo", (block, e.name))
         return self._swizzle(base, e.name, e.line)
 
     def _swizzle_gid(self, name: str, line: int) -> Val:
@@ -2374,6 +2484,12 @@ class Interp:
     def _assign_to(self, target: Any, value: Val, scope: "_Scope", line: int) -> None:
         if isinstance(target, ast.Ident):
             old = scope.lookup(target.name)
+            if old is None and target.name in self.ssbo_scalar:
+                # Scalar SSBO member: `count = 0u;` writes element 0 of
+                # its range (uniform value required, like any SSBO store).
+                ref = (self.ssbo_members[target.name][0], target.name)
+                self._ssbo_write(ref, Val("int", 0), value, scope, line)
+                return
             if old is None:
                 raise GlslError(f"assignment to undeclared '{target.name}'", line)
             value = self.convert(value, old.type, line)
@@ -2408,6 +2524,17 @@ class Interp:
             scope.assign(target.name, merged)
             return
         if isinstance(target, ast.Member):
+            if (
+                isinstance(target.expr, ast.Ident)
+                and target.expr.name in self.ssbo_instances
+                and target.name in self.ssbo_scalar
+            ):
+                block = self.ssbo_instances[target.expr.name]
+                if self.ssbo_members[target.name][0] == block:
+                    self._ssbo_write(
+                        (block, target.name), Val("int", 0), value, scope, line
+                    )
+                    return
             base_old = self.eval_expr(target.expr, scope)
             if base_old.type.startswith("struct:"):
                 sname = base_old.type.split(":", 1)[1]
@@ -3249,18 +3376,19 @@ class Interp:
     def _ssbo_read(self, ref: tuple, idx: Val, line: int) -> Val:
         block, member = ref
         size = self.ssbo_members[member][1]
+        off = self.ssbo_offsets[member]
         elem = self.ssbo_elem.get(member, "float")
         buf = self.buffers[block]
         if is_static(idx.data):
             i = int(idx.data)
             if not 0 <= i < size:
                 return self._zero_of(elem, line)  # robust OOB
-            v = buf[i]
+            v = buf[off + i]
         else:
             self.stats["gather"] = True
             ii = self._as_i32(idx.data)
             inb = (ii >= 0) & (ii < size)
-            v = jnp.where(inb, buf[jnp.clip(ii, 0, size - 1)], 0.0)
+            v = jnp.where(inb, buf[off + jnp.clip(ii, 0, size - 1)], 0.0)
         if elem != "float":
             # Storage is f32 (value view); surface the declared int type.
             v = v.astype(jnp.int32 if elem == "int" else jnp.uint32)
@@ -3284,7 +3412,8 @@ class Interp:
             raise GlslError("SSBO stores need a uniform value", line)
         i = int(idx.data)
         if 0 <= i < size:
-            self.buffers[block] = self.buffers[block].at[i].set(v)
+            off = self.ssbo_offsets[member]
+            self.buffers[block] = self.buffers[block].at[off + i].set(v)
 
     # ---- workgroup-shared arrays ----------------------------------------
 
@@ -3434,10 +3563,18 @@ class Interp:
         """
         nargs = 3 if op == "atomicCompSwap" else 2
         shape = "compare, data" if nargs == 3 else "value"
-        if len(arg_exprs) != nargs or not isinstance(arg_exprs[0], ast.Index):
+        if len(arg_exprs) != nargs:
             raise GlslError(f"{op}(ssbo_member[index], {shape})", line)
-        target = self.eval_expr(arg_exprs[0].expr, scope)
-        idx = self.eval_expr(arg_exprs[0].index, scope)
+        if isinstance(arg_exprs[0], ast.Index):
+            target = self.eval_expr(arg_exprs[0].expr, scope)
+            idx = self.eval_expr(arg_exprs[0].index, scope)
+        else:
+            # Scalar SSBO member target: atomicAdd(count, 1u) — the bare
+            # member is element 0 of its range.
+            target = self._ssbo_ref_of(arg_exprs[0], scope)
+            if target is None or self.ssbo_members[target.data[1]][1] != 1:
+                raise GlslError(f"{op}(ssbo_member[index], {shape})", line)
+            idx = Val("int", 0)
         vals = [self.eval_expr(a, scope) for a in arg_exprs[1:]]
         if target.type == "shared":
             name = target.data
@@ -3446,13 +3583,14 @@ class Interp:
         elif target.type == "ssbo":
             block, member = target.data
             size = self.ssbo_members[member][1]
+            off = self.ssbo_offsets[member]
             ii = self._as_i32(idx.data)
             if is_static(idx.data):
                 ii = jnp.full((self.h, self.w), int(idx.data), jnp.int32)
             else:
                 ii = jnp.broadcast_to(ii, (self.h, self.w))
             inb = (ii >= 0) & (ii < size)
-            fid = jnp.clip(ii, 0, size - 1)
+            fid = off + jnp.clip(ii, 0, size - 1)
             buf = self.buffers[block]
         else:
             raise GlslError(

@@ -100,6 +100,8 @@ class Parser:
                     ubos.append(result)
                 elif isinstance(result, ast.SsboDecl):
                     ssbos.append(result)
+                elif isinstance(result, ast.Decl):
+                    globals_.append(result)  # specialization constant
                 continue
             if t.text == "precision":
                 while not self.accept(";"):
@@ -248,6 +250,42 @@ class Parser:
     def parse_layout_decl(self):
         items = self.parse_layout_qualifier()
 
+        # layout(constant_id = N) const TYPE NAME = literal;
+        # Specialization constant: shaderc compiles these and the reference
+        # never passes VkSpecializationInfo (pipeline.rs:44-88), so the
+        # default initializer is the value.  Parsed as a const global whose
+        # spec_id marks it config-settable (reflected as a parameter).
+        if "constant_id" in items:
+            t = self.peek()
+            if not self.accept("const"):
+                raise GlslError(
+                    "layout(constant_id=N) must declare a 'const' scalar",
+                    t.line,
+                )
+            type_tok = self.expect_ident()
+            if type_tok.text not in ("int", "uint", "float", "bool"):
+                raise GlslError(
+                    f"specialization constants must be scalar int/uint/"
+                    f"float/bool (got '{type_tok.text}')",
+                    type_tok.line,
+                )
+            name_tok = self.expect_ident()
+            decl = self.finish_var_decl(type_tok.text, name_tok.text, True)
+            if not isinstance(decl, ast.Decl):
+                raise GlslError(
+                    "one specialization constant per layout(constant_id=N) "
+                    "declaration",
+                    name_tok.line,
+                )
+            if decl.init is None:
+                raise GlslError(
+                    f"specialization constant '{name_tok.text}' needs a "
+                    f"default initializer",
+                    name_tok.line,
+                )
+            decl.spec_id = int(items["constant_id"])
+            return decl
+
         # layout(local_size_x = N, ...) in;  — or a layout-qualified
         # interface variable: layout(location=0) in/out TYPE NAME;
         if self.at("in") and self.peek(1).text == ";":
@@ -304,14 +342,17 @@ class Parser:
                 raise GlslError(f"unknown type '{mtype}' in block", self.peek().line)
             mname = self.expect_ident().text
             array_size = None
+            runtime = False
             if self.accept("["):
-                # Runtime-sized arrays (`float data[];`) parse with size
-                # None; the interpreter rejects them with a clear message.
+                # `float data[];` — runtime-sized trailing array (std430):
+                # size resolves from the allocated buffer (interp.py).
                 if not self.at("]"):
                     array_size = int(self.next().text)
+                else:
+                    runtime = True
                 self.expect("]")
             self.expect(";")
-            members.append(ast.UboMember(mtype, mname, array_size))
+            members.append(ast.UboMember(mtype, mname, array_size, runtime))
         instance = None
         if self.peek().kind == "id":
             instance = self.next().text

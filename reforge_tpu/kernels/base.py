@@ -150,6 +150,9 @@ class KernelSpec:
     ssbos_out: tuple[str, ...] = ()
     ssbo_sizes: dict[str, int] = dataclasses.field(default_factory=dict)
     params: dict[str, ParamDecl] = dataclasses.field(default_factory=dict)
+    # Alternate config spellings for declared params (e.g. GLSL vector
+    # UBO members accept "tint.r" for the canonical "tint.x").
+    param_aliases: dict[str, str] = dataclasses.field(default_factory=dict)
     # Spatial support radius as a function of (static) params; drives halo
     # exchange in row-sharded execution.  None means data-dependent access
     # (gather kernels) that cannot be halo-sharded.
@@ -233,6 +236,7 @@ class KernelSpec:
         for key, raw in config_params.items():
             if key == "_rf_time":
                 continue
+            key = self.param_aliases.get(key, key)
             decl = self.params.get(key)
             if decl is None:
                 warnln(

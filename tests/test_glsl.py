@@ -2428,6 +2428,118 @@ layout (binding = 2) uniform U { float gain; float weightsy[4]; };
         np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
 
 
+class TestVecMatUboMembers:
+    def test_vec3_member_settable_per_component(self):
+        # Vector UBO members compile (shaderc does; the reference's config
+        # grammar has only scalar values, so per-component set is a strict
+        # superset; unset components read 0 = reference zero-fill).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            imageStore(output_image, pos, vec4(c.rgb * tint + vec3(offs, 0.0), gain));
+        """, extra_decls="""
+layout (binding = 2) uniform U { vec3 tint; float gain; vec2 offs; };
+""", params={"tint.x": 0.5, "gain": 2.0, "offs.y": 0.25})
+        o = np.asarray(out)
+        i = np.asarray(img)
+        np.testing.assert_allclose(o[0], i[0] * 0.5, rtol=1e-6)
+        np.testing.assert_array_equal(o[1], 0.25)  # tint.y unset=0 + offs.y
+        np.testing.assert_array_equal(o[3], 2.0)
+
+    def test_vec_member_rgba_alias(self):
+        # ".r" aliases ".x" through resolve_params.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            imageStore(output_image, pos, vec4(tint, 1.0));
+        """, extra_decls="""
+layout (binding = 2) uniform U { vec3 tint; };
+""", params={"tint.r": 0.25, "tint.g": 0.5, "tint.z": 0.75})
+        o = np.asarray(out)
+        np.testing.assert_array_equal(o[0], 0.25)
+        np.testing.assert_array_equal(o[1], 0.5)
+        np.testing.assert_array_equal(o[2], 0.75)
+
+    def test_mat_member_reads_zero(self):
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            imageStore(output_image, pos, vec4(c.rgb + color_mat * c.rgb, 1.0));
+        """, extra_decls="""
+layout (binding = 2) uniform U { mat3 color_mat; };
+""")
+        np.testing.assert_allclose(
+            np.asarray(out)[:3], np.asarray(img)[:3], rtol=1e-6
+        )
+
+    def test_struct_vec_field(self):
+        out, _ = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            imageStore(output_image, pos, vec4(look.shift, look.amt, 0.0));
+        """, extra_decls="""
+struct Look { vec2 shift; float amt; };
+layout (binding = 2) uniform U { Look look; };
+""", params={"look.shift.x": 0.5, "look.amt": 0.75})
+        o = np.asarray(out)
+        np.testing.assert_array_equal(o[0], 0.5)
+        np.testing.assert_array_equal(o[1], 0.0)
+        np.testing.assert_array_equal(o[2], 0.75)
+
+
+class TestSpecConstants:
+    DECL = """
+layout (constant_id = 0) const int RADIUS = 2;
+layout (constant_id = 1) const float GAIN = 1.5;
+"""
+
+    BODY = """
+        ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+        float acc = 0.0;
+        for (int i = -RADIUS; i <= RADIUS; i++)
+            acc += imageLoad(input_image, pos + ivec2(i, 0)).r;
+        imageStore(output_image, pos, vec4(acc * GAIN / float(2 * RADIUS + 1)));
+    """
+
+    def test_defaults_apply(self):
+        # The reference creates pipelines with no VkSpecializationInfo
+        # (pipeline.rs:44-88): the GLSL default initializer is the value.
+        out, img = run_shader(self.BODY, extra_decls=self.DECL)
+        i = np.asarray(img)[0]
+        pad = np.pad(i, ((0, 0), (2, 2)))  # OOB imageLoad reads zero
+        want = sum(pad[:, k:k + i.shape[1]] for k in range(5)) * 1.5 / 5.0
+        np.testing.assert_allclose(np.asarray(out)[0], want, rtol=1e-5)
+
+    def test_config_override(self):
+        # Beyond the reference: spec constants surface as config params
+        # (static at trace time, so the loop still unrolls).
+        out, img = run_shader(
+            self.BODY, extra_decls=self.DECL,
+            params={"RADIUS": 0, "GAIN": 2.0},
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[0], np.asarray(img)[0] * 2.0, rtol=1e-6
+        )
+
+    def test_reflection_defaults(self):
+        spec = translate_shader(
+            HEADER + self.DECL + "\nvoid main() {\n" + self.BODY + "\n}\n",
+            "spec",
+        )
+        assert spec.params["RADIUS"].default == 2
+        assert spec.params["GAIN"].default == 1.5
+
+    def test_non_literal_initializer_rejected(self):
+        from reforge_tpu.glsl import GlslError
+
+        with pytest.raises(GlslError, match="literal"):
+            translate_shader(
+                HEADER
+                + "layout (constant_id = 0) const int N = 1 + 1;\n"
+                + "void main() { imageStore(output_image, "
+                + "ivec2(gl_GlobalInvocationID.xy), vec4(float(N))); }\n",
+                "specbad",
+            )
+
+
 class TestNonUniformBreak:
     """break/continue under per-pixel conditions inside the vectorized
     while_loop: break kills the lane for good, continue skips to the

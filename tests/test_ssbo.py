@@ -44,19 +44,139 @@ class TestReflection:
         assert spec.ssbos_out == ()
         assert spec.images_out == ("output_image",)
 
-    def test_unsized_ssbo_rejected(self):
+    def test_runtime_sized_array_defaults(self):
+        # `float data[];` — std430 runtime-sized trailing array.  shaderc
+        # compiles these (reference shader.rs:73-93); with no allocated
+        # buffer bound, the documented default size applies.
+        from reforge_tpu.glsl.interp import DEFAULT_RUNTIME_SSBO_ELEMS
+
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer B { float data[]; };
+void main() {
+    ivec2 p = ivec2(gl_GlobalInvocationID.xy);
+    atomicAdd(data[0], 1.0);
+    imageStore(output_image, p, vec4(float(data.length())));
+}
+"""
+        spec = translate_shader(src, "runtime")
+        assert spec.ssbo_sizes == {"B": DEFAULT_RUNTIME_SSBO_ELEMS}
+        ctx = KernelContext(width=8, height=8)
+        out = spec(ctx, {"input_image": jnp.zeros((4, 8, 8))}, {})
+        assert float(out["B"][0]) == 64.0  # one atomicAdd per pixel
+        np.testing.assert_allclose(
+            np.asarray(out["output_image"][0]), DEFAULT_RUNTIME_SSBO_ELEMS
+        )
+
+    def test_runtime_array_sizes_from_bound_buffer(self):
+        # When a buffer IS bound (graph execution), the runtime array's
+        # length resolves from the allocation minus the fixed prefix.
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) readonly buffer B { float head[8]; float data[]; };
+void main() {
+    ivec2 p = ivec2(gl_GlobalInvocationID.xy);
+    imageStore(output_image, p, vec4(float(data.length()), data[1], head[2], 0.0));
+}
+"""
+        spec = translate_shader(src, "runtime_bound")
+        ctx = KernelContext(width=4, height=4)
+        buf = jnp.arange(40, dtype=jnp.float32)
+        out = spec(ctx, {"input_image": jnp.zeros((4, 4, 4)), "B": buf}, {})
+        o = np.asarray(out["output_image"])
+        np.testing.assert_allclose(o[0], 32.0)  # 40 total - 8 prefix
+        np.testing.assert_allclose(o[1], 9.0)   # data[1] = buf[8 + 1]
+        np.testing.assert_allclose(o[2], 2.0)   # head[2]
+
+    def test_runtime_array_must_be_last(self):
+        from reforge_tpu.glsl import GlslError
+
         src = """
 #version 450
 layout (binding = 0, rgba32f) uniform readonly image2D input_image;
-layout (binding = 1) buffer B { float data[]; };
-void main() { atomicAdd(data[0], 1.0); }
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer B { float data[]; float tail; };
+void main() {
+    ivec2 p = ivec2(gl_GlobalInvocationID.xy);
+    atomicAdd(data[0], 1.0);
+    imageStore(output_image, p, vec4(0.0));
+}
 """
-        from reforge_tpu.glsl import GlslError
-
-        with pytest.raises(GlslError, match="sized array"):
+        with pytest.raises(GlslError, match="last member"):
             spec = translate_shader(src, "bad")
             ctx = KernelContext(width=8, height=8)
             spec(ctx, {"input_image": jnp.zeros((4, 8, 8))}, {})
+
+
+class TestMultiMemberBlocks:
+    """std430 blocks with several scalar/array members (summed element
+    offsets — the reference sizes by summed reflected member sizes,
+    pipeline_graph.rs:161-170)."""
+
+    SRC = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer Stats { uint count; float lo[2]; float sums[4]; };
+void main() {
+    ivec2 p = ivec2(gl_GlobalInvocationID.xy);
+    float v = imageLoad(input_image, p).r;
+    atomicAdd(count, 1u);
+    int bin = clamp(int(v * 4.0), 0, 3);
+    atomicAdd(sums[bin], 1.0);
+    imageStore(output_image, p, vec4(v));
+}
+"""
+
+    def test_reflection_total_size(self):
+        spec = translate_shader(self.SRC, "stats")
+        assert spec.ssbo_sizes == {"Stats": 7}  # 1 + 2 + 4
+        assert spec.ssbos_out == ("Stats",)
+
+    def test_offsets_do_not_alias(self):
+        spec = translate_shader(self.SRC, "stats")
+        ctx = KernelContext(width=8, height=8)
+        img = rand_image(8, 8)
+        out = spec(ctx, {"input_image": img}, {})
+        buf = np.asarray(out["Stats"])
+        assert buf[0] == 64.0  # count: one per pixel
+        np.testing.assert_array_equal(buf[1:3], 0.0)  # lo[] untouched
+        assert buf[3:7].sum() == 64.0  # sums histogram
+        # histogram matches numpy
+        v = np.asarray(img[0]).ravel()
+        want = np.bincount(np.clip((v * 4).astype(int), 0, 3), minlength=4)
+        np.testing.assert_array_equal(buf[3:7], want)
+
+    def test_scalar_member_assign_and_read(self):
+        src = """
+#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) buffer B { float bias; float data[4]; } blk;
+void main() {
+    ivec2 p = ivec2(gl_GlobalInvocationID.xy);
+    bias = 2.5;
+    blk.data[1] = 7.0;
+    imageStore(output_image, p, vec4(bias + blk.data[1], blk.bias, 0.0, 1.0));
+}
+"""
+        spec = translate_shader(src, "scalar_member")
+        ctx = KernelContext(width=4, height=4)
+        out = spec(ctx, {"input_image": jnp.zeros((4, 4, 4))}, {})
+        o = np.asarray(out["output_image"])
+        np.testing.assert_allclose(o[0], 9.5)
+        np.testing.assert_allclose(o[1], 2.5)
+        buf = np.asarray(out["B"])
+        np.testing.assert_allclose(buf[0], 2.5)
+        np.testing.assert_allclose(buf[2], 7.0)
 
 
 class TestExecution:
