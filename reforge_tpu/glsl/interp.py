@@ -973,7 +973,19 @@ class Interp:
         # carried contents).
         has_atomic = self._body_has_atomic(effect_stmts)
         buf_keys = list(self.buffers) if has_atomic else []
-        shm_keys = list(self.shared_state) if has_atomic else []
+        # Plain (non-atomic) shared-array stores thread the same carry as
+        # atomics: the write mutates self.shared_state, which body_fn
+        # swaps in from / out to the carry each round.
+        shm_keys = (
+            list(self.shared_state)
+            if has_atomic or self._body_has_shared_write(effect_stmts)
+            else []
+        )
+        if shm_keys:
+            # Materialize the lazily-cached workgroup-id plane OUTSIDE
+            # the while trace: a first use inside body_fn would cache a
+            # tracer that leaks into the post-loop shared reads.
+            self._group_ids()
         assigned, declared = self._collect_assigned(effect_stmts)
         carried = [
             n for n in assigned
@@ -1463,16 +1475,24 @@ class Interp:
                         )
                         if (
                             imgs or atomic or globs
+                            or self._body_has_shared_write([node])
                             or not self._loop_callable(node.name)
                         ):
                             reject(f"the call to {node.name}()")
                             return
             if isinstance(node, ast.Assign) and shared_root(node.target):
-                reject("a non-atomic shared-memory write")
-                return
+                if not allow_break:
+                    # fori path: no shared-state carry.
+                    reject("a non-atomic shared-memory write")
+                    return
+                # Vectorized while path: the shared arrays ride the loop
+                # carry (shm_keys includes them whenever the body writes
+                # one), so a plain store lands in the carried buffer
+                # exactly like an atomic — writes in round k are visible
+                # to every lane's reads in round k+1.
             if isinstance(node, ast.Unary) and node.op in (
                 "++pre", "--pre", "++post", "--post"
-            ) and shared_root(node.expr):
+            ) and shared_root(node.expr) and not allow_break:
                 reject("a non-atomic shared-memory write")
                 return
             if isinstance(node, ast.Index) and not allow_break:
@@ -1646,6 +1666,56 @@ class Interp:
         walk(stmts)
         return found
 
+    def _body_has_shared_write(self, stmts, _seen: Optional[set] = None) -> bool:
+        """True when a loop body performs a plain (non-atomic) store or
+        ++/-- on a workgroup-shared array, directly or inside a called
+        user function (transitively).  Such writes require the shared
+        state to ride the vectorized loop carry (shm_keys)."""
+        seen = _seen if _seen is not None else set()
+        found = False
+
+        def shared_root(t):
+            while isinstance(t, (ast.Member, ast.Index)):
+                t = t.expr
+            return (
+                isinstance(t, ast.Ident) and t.name in self.shared_members
+            )
+
+        def walk(node):
+            nonlocal found
+            if found:
+                return
+            if isinstance(node, (list, tuple)):
+                for x in node:
+                    walk(x)
+                return
+            if not hasattr(node, "__dataclass_fields__"):
+                return
+            if isinstance(node, ast.Assign) and shared_root(node.target):
+                found = True
+                return
+            if isinstance(node, ast.Unary) and node.op in (
+                "++pre", "--pre", "++post", "--post"
+            ) and shared_root(node.expr):
+                found = True
+                return
+            if (
+                isinstance(node, ast.Call)
+                and node.name in self.shader.functions
+                and node.name not in seen
+            ):
+                seen.add(node.name)
+                if self._body_has_shared_write(
+                    self.shader.functions[node.name].body, seen
+                ):
+                    found = True
+                    return
+            for f in node.__dataclass_fields__:
+                walk(getattr(node, f))
+
+        walk(stmts)
+        return found
+
     def _stored_images(self, stmts, line: int) -> list:
         """Image names a loop body stores to, directly or inside called
         user functions (carried through the vectorized while_loop; see
@@ -1685,12 +1755,12 @@ class Interp:
     def _loop_callable(self, name: str, _seen: Optional[set] = None) -> bool:
         """True when a user function may be called inside a vectorized
         loop body.  Callees may do anything the loop body itself may do —
-        gathers, ``imageStore``, ``atomicAdd``, writes to globals (the
-        stored images / SSBO buffers / written globals are discovered
-        transitively by _callee_effect_summary and threaded through the
-        loop carry) — but not ``barrier`` (divergent barriers are UB in
-        GLSL), recursion, or non-atomic writes to shared arrays (the
-        carry threads shared state only for atomics).  Loops in callees
+        gathers, ``imageStore``, ``atomicAdd``, plain shared-array
+        stores, writes to globals (the stored images / SSBO buffers /
+        shared arrays / written globals are discovered transitively by
+        _callee_effect_summary / _body_has_shared_write and threaded
+        through the loop carry) — but not ``barrier`` (divergent
+        barriers are UB in GLSL) or recursion.  Loops in callees
         compose like loops in the body: static ones unroll during the
         body trace, per-pixel ones lower to their own nested
         lax.while_loop (the call machinery swaps the loop stack out, so
@@ -1706,13 +1776,6 @@ class Interp:
             seen.discard(name)
             return False
         ok = True
-
-        def shared_root(t):
-            while isinstance(t, (ast.Member, ast.Index)):
-                t = t.expr
-            return (
-                isinstance(t, ast.Ident) and t.name in self.shared_members
-            )
 
         def walk(node):
             nonlocal ok
@@ -1733,14 +1796,6 @@ class Interp:
                 ):
                     ok = False
                     return
-            if isinstance(node, ast.Assign) and shared_root(node.target):
-                ok = False  # non-atomic shared write: carry cannot see it
-                return
-            if isinstance(node, ast.Unary) and node.op in (
-                "++pre", "--pre", "++post", "--post"
-            ) and shared_root(node.expr):
-                ok = False
-                return
             for field in node.__dataclass_fields__:
                 walk(getattr(node, field))
 

@@ -1387,6 +1387,154 @@ void main() {
             spec(ctx, {"input_image": img}, {})
 
 
+class TestSharedWriteInLoop:
+    """Plain (non-atomic) shared-array stores inside data-dependent
+    loops: the shared state rides the vectorized while carry exactly
+    like atomics, so writes in round k are visible in round k+1 and
+    after the loop."""
+
+    HDR = """
+#version 450
+layout (local_size_x = 4, local_size_y = 4) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+"""
+
+    @staticmethod
+    def _run(src, h=8, w=8, seed=0):
+        spec = translate_shader(src, "shm_loop")
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+        ctx = KernelContext(width=w, height=h)
+        out = spec(ctx, {"input_image": img}, {})["output_image"]
+        return np.asarray(out), np.asarray(img)
+
+    @staticmethod
+    def _trips(img):
+        # int(r * 4.0) + 1 per pixel, matching the shader sources.
+        return (img[0] * 4.0).astype(np.int32) + 1
+
+    def test_own_slot_store(self):
+        # Each lane writes ONLY its own slot each round; the final value
+        # is the lane's own (data-dependent) trip count.
+        out, img = self._run(self.HDR + """
+shared float mine[16];
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    uint lid = gl_LocalInvocationIndex;
+    int n = int(imageLoad(input_image, pos).r * 4.0) + 1;
+    int i = 0;
+    while (i < n) {
+        mine[lid] = float(i + 1);
+        i++;
+    }
+    imageStore(output_image, pos, vec4(mine[lid], 0.0, 0.0, 1.0));
+}
+""")
+        np.testing.assert_allclose(out[0], self._trips(img), atol=1e-6)
+
+    def test_single_writer_cross_lane_read(self):
+        # Only the group's lane 0 accumulates (plain read-modify-write,
+        # masked by lid == 0 AND its loop activation); every lane in the
+        # group reads the result after the loop.
+        out, img = self._run(self.HDR + """
+shared float cnt[1];
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    uint lid = gl_LocalInvocationIndex;
+    int n = int(imageLoad(input_image, pos).r * 4.0) + 1;
+    int i = 0;
+    while (i < n) {
+        if (lid == 0u) {
+            cnt[0] = cnt[0] + 1.0;
+        }
+        i++;
+    }
+    barrier();
+    imageStore(output_image, pos, vec4(cnt[0], 0.0, 0.0, 1.0));
+}
+""")
+        trips = self._trips(img)
+        # Each group's value = the trip count of its top-left lane.
+        for ty in range(2):
+            for tx in range(2):
+                np.testing.assert_allclose(
+                    out[0, ty*4:(ty+1)*4, tx*4:(tx+1)*4],
+                    float(trips[ty*4, tx*4]), atol=1e-6,
+                )
+
+    def test_callee_store(self):
+        # The write happens inside a called user function: discovered
+        # transitively, same carry.
+        out, img = self._run(self.HDR + """
+shared float mine[16];
+void mark(uint i, float v) {
+    mine[i] = v;
+}
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    uint lid = gl_LocalInvocationIndex;
+    int n = int(imageLoad(input_image, pos).r * 4.0) + 1;
+    int i = 0;
+    while (i < n) {
+        mark(lid, float(i + 1));
+        i++;
+    }
+    imageStore(output_image, pos, vec4(mine[lid], 0.0, 0.0, 1.0));
+}
+""", seed=1)
+        np.testing.assert_allclose(out[0], self._trips(img), atol=1e-6)
+
+    def test_compound_store(self):
+        # `+=` on the lane's own slot accumulates across rounds (shared
+        # arrays zero-initialize).
+        out, img = self._run(self.HDR + """
+shared float acc[16];
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    uint lid = gl_LocalInvocationIndex;
+    int n = int(imageLoad(input_image, pos).r * 4.0) + 1;
+    int i = 0;
+    while (i < n) {
+        acc[lid] += 2.0;
+        i++;
+    }
+    imageStore(output_image, pos, vec4(acc[lid], 0.0, 0.0, 1.0));
+}
+""", seed=2)
+        np.testing.assert_allclose(out[0], 2.0 * self._trips(img), atol=1e-6)
+
+    def test_mixed_with_atomic(self):
+        # A plain store and an atomicAdd on DIFFERENT shared arrays in
+        # the same loop body share one carry.
+        out, img = self._run(self.HDR + """
+shared float mine[16];
+shared float total[1];
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    uint lid = gl_LocalInvocationIndex;
+    int n = int(imageLoad(input_image, pos).r * 4.0) + 1;
+    int i = 0;
+    while (i < n) {
+        mine[lid] = float(i + 1);
+        atomicAdd(total[0], 1.0);
+        i++;
+    }
+    imageStore(output_image, pos, vec4(mine[lid], total[0], 0.0, 1.0));
+}
+""", seed=3)
+        trips = self._trips(img)
+        np.testing.assert_allclose(out[0], trips, atol=1e-6)
+        # total[0] per group = sum of the group's trip counts.
+        for ty in range(2):
+            for tx in range(2):
+                np.testing.assert_allclose(
+                    out[1, ty*4:(ty+1)*4, tx*4:(tx+1)*4],
+                    float(trips[ty*4:(ty+1)*4, tx*4:(tx+1)*4].sum()),
+                    atol=1e-6,
+                )
+
+
 class TestScatterImageStore:
     """imageStore at computed coordinates: per-pixel scatter."""
 
