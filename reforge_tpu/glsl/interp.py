@@ -262,6 +262,10 @@ class Interp:
         # Vectorized-loop contexts: (activation, break_box) per nesting
         # level; Break/Continue under a mask lower to lane kills here.
         self._vec_loop_stack: list = []
+        # Masked-switch regions: (activation, len(_vec_loop_stack) at
+        # entry).  A `break` binds to the innermost of switch vs loop —
+        # the switch wins when its token >= the current loop depth.
+        self._switch_stack: list = []
         self.globals: dict[str, Val] = {}
         # Compilation statistics for halo reflection: max static shift and
         # whether any general gather was emitted.
@@ -599,7 +603,11 @@ class Interp:
                     boxes[2] = bv if old is None else self._blend_val(
                         m, bv, old
                     )
-                act.note_return(m, None)
+                # Note through scope.activation: a masked switch between
+                # here and the round forwards the kill up to the round's
+                # activation while also excluding the lane from the
+                # switch's remaining statements.
+                scope.activation.note_return(m, None)
                 return
             # Non-uniform return: deactivate these lanes for the remainder
             # of the activation.
@@ -626,6 +634,19 @@ class Interp:
             return
         if isinstance(s, ast.Break):
             if self.mask is not None:
+                if self._switch_stack and (
+                    self._switch_stack[-1][1] >= len(self._vec_loop_stack)
+                ):
+                    # The innermost breakable construct is a vectorized
+                    # switch: kill the lane for the switch's remainder
+                    # only (it resumes after the switch ends).
+                    live = scope.activation.live_mask()
+                    m = (
+                        self.mask if live is None
+                        else jnp.logical_and(self.mask, live)
+                    )
+                    self._switch_stack[-1][0].note_break(m)
+                    return
                 if self._vec_loop_stack:
                     # Vectorized loop: break = kill the lane for the rest
                     # of this iteration AND all later rounds.
@@ -642,9 +663,16 @@ class Interp:
             if self.mask is not None:
                 if self._vec_loop_stack:
                     # continue = kill the lane for the rest of this
-                    # iteration only.
-                    act, _ = self._vec_loop_stack[-1]
-                    act.note_return(self.mask, None)
+                    # iteration only.  Note it through scope.activation:
+                    # inside a masked switch that forwards up to the
+                    # round's activation while also excluding the lane
+                    # from the switch's remaining statements.
+                    live = scope.activation.live_mask()
+                    m = (
+                        self.mask if live is None
+                        else jnp.logical_and(self.mask, live)
+                    )
+                    scope.activation.note_return(m, None)
                     return
                 raise GlslError("continue under non-uniform condition is not supported", s.line)
             raise _ContinueSignal()
@@ -692,11 +720,37 @@ class Interp:
     def _body_has_masked_jump(self, body: list) -> bool:
         """True when the loop body contains a break/continue/return nested
         under an if — potentially per-pixel, so the vectorized lowering
-        should be tried first.  Nested loops/switches bind their own jumps
-        and are not descended into."""
+        should be tried first.  Nested loops bind their own jumps and are
+        not descended into.  A nested switch binds its own BREAKS, but a
+        continue/return inside its cases still jumps THIS loop's round —
+        and runs masked whenever the selector is per-pixel, so any counts
+        as a masked jump."""
+        def has_cont_ret(stmts):
+            for t in stmts:
+                if isinstance(t, (ast.For, ast.While, ast.DoWhile)):
+                    continue
+                if isinstance(t, (ast.Continue, ast.Return)):
+                    return True
+                if isinstance(t, ast.If):
+                    if has_cont_ret(t.then):
+                        return True
+                    if t.other is not None and has_cont_ret(t.other):
+                        return True
+                if isinstance(t, ast.Block) and has_cont_ret(t.body):
+                    return True
+                if isinstance(t, ast.Switch) and any(
+                    has_cont_ret(cb) for _, cb in t.cases
+                ):
+                    return True
+            return False
+
         def walk(stmts, under_if):
             for s in stmts:
-                if isinstance(s, (ast.For, ast.While, ast.DoWhile, ast.Switch)):
+                if isinstance(s, (ast.For, ast.While, ast.DoWhile)):
+                    continue
+                if isinstance(s, ast.Switch):
+                    if any(has_cont_ret(cb) for _, cb in s.cases):
+                        return True
                     continue
                 if isinstance(s, (ast.Break, ast.Continue, ast.Return)) and under_if:
                     return True
@@ -751,16 +805,39 @@ class Interp:
 
     def _body_has_own_jump(self, body: list) -> bool:
         """True when the loop body contains a break/continue binding to
-        THIS loop (not one inside a nested loop/switch, and not return —
-        a return escapes every loop, which the enclosing-boxes path
-        already handles correctly).  Used to force the vectorized
-        lowering for a loop traced inside an enclosing vectorized loop:
-        the unrolled path would record these jumps into the ENCLOSING
-        loop's lane kills."""
+        THIS loop (not one inside a nested loop, and not return — a
+        return escapes every loop, which the enclosing-boxes path
+        already handles correctly).  A nested switch binds its own
+        breaks, but a `continue` inside its cases is this loop's.  Used
+        to force the vectorized lowering for a loop traced inside an
+        enclosing vectorized loop: the unrolled path would record these
+        jumps into the ENCLOSING loop's lane kills."""
+        def has_continue(stmts):
+            for t in stmts:
+                if isinstance(t, (ast.For, ast.While, ast.DoWhile)):
+                    continue
+                if isinstance(t, ast.Continue):
+                    return True
+                if isinstance(t, ast.If):
+                    if has_continue(t.then):
+                        return True
+                    if t.other is not None and has_continue(t.other):
+                        return True
+                if isinstance(t, ast.Block) and has_continue(t.body):
+                    return True
+                if isinstance(t, ast.Switch) and any(
+                    has_continue(cb) for _, cb in t.cases
+                ):
+                    return True
+            return False
+
         def walk(stmts):
             for s in stmts:
-                if isinstance(s, (ast.For, ast.While, ast.DoWhile,
-                                  ast.Switch)):
+                if isinstance(s, (ast.For, ast.While, ast.DoWhile)):
+                    continue
+                if isinstance(s, ast.Switch):
+                    if any(has_continue(cb) for _, cb in s.cases):
+                        return True
                     continue
                 if isinstance(s, (ast.Break, ast.Continue)):
                     return True
@@ -1279,7 +1356,10 @@ class Interp:
                     boxes[2] = bv if boxes[2] is None else self._blend_val(
                         m, bv, boxes[2]
                     )
-                act.note_return(m, None)
+                # Through scope.activation: a masked switch between this
+                # loop and the enclosing round forwards the kill up while
+                # excluding the lane from the switch's remainder.
+                loop_scope.activation.note_return(m, None)
             else:
                 loop_scope.activation.note_return(final["_returned"], rv)
         self.stats["while_loop"] = True
@@ -1339,8 +1419,12 @@ class Interp:
         while_loop lowers them to lane kills) and — because that lowering
         executes the body under a lane mask with a proper carry — pure
         GATHERS (imageLoad/texture/texelFetch: the raymarch and
-        iterative-warp idioms) plus calls to qualifying user functions
-        (see _loop_callable); return is never allowed.
+        iterative-warp idioms), stores/atomics/shared writes (threaded
+        through the carry), `return` (void or valued — it rides the
+        carry), nested loops and switches of any case shape, plus calls
+        to qualifying user functions (see _loop_callable).  Without
+        ``allow_break`` (the fori path, which has no carry), none of
+        those side effects or escapes are admitted.
 
         On rejection, ``self._scan_reject_reason`` names the offending
         construct so the caller's diagnostic states the real cause."""
@@ -1405,16 +1489,9 @@ class Interp:
             if allow_break and isinstance(node, ast.Switch):
                 # A switch inside the vectorized body executes via the
                 # masked lowering (exec_switch routes there whenever a
-                # mask or the loop stack is live), which binds the
-                # case-terminal breaks to the SWITCH.  Vet the case shape
-                # it requires here so the diagnostic names the loop.
-                for _vals, cbody in node.cases:
-                    if not self._switch_case_body_ok(cbody):
-                        reject(
-                            "a switch whose cases have a non-tail 'break' "
-                            "or a 'return'"
-                        )
-                        return
+                # mask or the loop stack is live), which binds breaks to
+                # the SWITCH via its own activation region — any case
+                # shape works.  Walk the contents for other constructs.
                 walk(node.selector)
                 for _vals, cbody in node.cases:
                     walk(cbody)
@@ -2046,29 +2123,19 @@ class Interp:
             return
         if self._vec_loop_stack or self.mask is not None:
             # Inside a vectorized loop round (or any lane-masked region)
-            # a case-terminal `break` must bind to the SWITCH — the
-            # unrolled executor would record it as a loop lane-kill (or
-            # reject it under a plain mask).  The masked lowering strips
-            # tail breaks itself, so route uniform selectors through it
-            # as a broadcast plane whenever the cases fit its shape.
-            if all(self._switch_case_body_ok(b) for _, b in s.cases):
-                if sel.type not in ("int", "uint"):
-                    raise GlslError(
-                        "switch selector must be an integer", s.line
-                    )
-                plane = Val(sel.type, self._as_array(sel.data, "int"))
-                self._exec_switch_masked(s, scope, plane)
-                return
-            if self._vec_loop_stack:
+            # a `break` must bind to the SWITCH — the unrolled executor
+            # would record it as a loop lane-kill (or reject it under a
+            # plain mask).  Route uniform selectors through the masked
+            # lowering as a broadcast plane; it handles any case shape
+            # (non-tail breaks and returns become switch-region lane
+            # kills via _SwitchActivation).
+            if sel.type not in ("int", "uint"):
                 raise GlslError(
-                    "switch inside a data-dependent loop requires 'break' "
-                    "only at the end of a case and no 'return' inside it",
-                    s.line,
+                    "switch selector must be an integer", s.line
                 )
-            # Plain masked region, shape the masked lowering can't take
-            # (e.g. a `return` in a case): the unrolled path below still
-            # handles it — returns lower to lane kills; a non-tail break
-            # is rejected by exec_stmt with its own diagnostic.
+            plane = Val(sel.type, self._as_array(sel.data, "int"))
+            self._exec_switch_masked(s, scope, plane)
+            return
         sel_v = int(sel.data)
         start = None
         for i, (values, _body) in enumerate(s.cases):
@@ -2095,49 +2162,6 @@ class Interp:
         except _BreakSignal:
             pass
 
-    @staticmethod
-    def _switch_case_body_ok(body: list) -> bool:
-        """Masked-switch restrictions: `break` only as the last top-level
-        statement of a case; no `return`; no `continue` outside nested loops
-        (a nested loop's break/continue belongs to that loop)."""
-        ok = True
-
-        def check_return(node):
-            nonlocal ok
-            if isinstance(node, (list, tuple)):
-                for x in node:
-                    check_return(x)
-                return
-            if not hasattr(node, "__dataclass_fields__"):
-                return
-            if isinstance(node, ast.Return):
-                ok = False
-                return
-            for field in node.__dataclass_fields__:
-                check_return(getattr(node, field))
-
-        def walk(stmts, top):
-            nonlocal ok
-            for idx, st in enumerate(stmts):
-                if isinstance(st, ast.Break):
-                    if not (top and idx == len(stmts) - 1):
-                        ok = False
-                elif isinstance(st, ast.Continue):
-                    ok = False
-                elif isinstance(st, ast.If):
-                    walk(st.then, False)
-                    if st.other:
-                        walk(st.other, False)
-                elif isinstance(st, ast.Block):
-                    walk(st.body, False)
-                elif isinstance(st, (ast.For, ast.While, ast.DoWhile, ast.Switch)):
-                    check_return(st)  # their break/continue is theirs
-                else:
-                    check_return(st)
-
-        walk(body, True)
-        return ok
-
     def _exec_switch_masked(self, s: ast.Switch, scope: "_Scope", sel: Val) -> None:
         if sel.type not in ("int", "uint"):
             raise GlslError("switch selector must be an integer", s.line)
@@ -2146,12 +2170,6 @@ class Interp:
         default_idx = None
         any_match = None
         for i, (values, body) in enumerate(s.cases):
-            if not self._switch_case_body_ok(body):
-                raise GlslError(
-                    "per-pixel switch requires 'break' only at the end of a "
-                    "case and no 'return' inside it",
-                    s.line,
-                )
             m = None
             for v in values:
                 if v is None:
@@ -2176,32 +2194,48 @@ class Interp:
                 no_match if m is None else jnp.logical_or(m, no_match)
             )
         # Fall-through: the carry mask accumulates entries until a trailing
-        # break retires every active pixel.
+        # break retires every active pixel.  The switch body runs in its
+        # own activation region so a NON-tail `break` (e.g. under a
+        # per-pixel `if`) kills the lane for the switch's remainder only,
+        # and a `return`/`discard` forwards through to the enclosing
+        # activation (see _SwitchActivation).  Case statements execute in
+        # one shared child scope: a declaration in one case is visible to
+        # later fall-through cases but not after the switch (GLSL switch
+        # body scoping).
         outer = self.mask
+        act = _SwitchActivation(
+            self, scope.activation, scope.activation.live_mask()
+        )
+        inner = _Scope(scope.globals, act, scope)
+        self._switch_stack.append((act, len(self._vec_loop_stack)))
         carry = None
-        for i, (values, body) in enumerate(s.cases):
-            if match[i] is not None:
-                carry = (
-                    match[i] if carry is None
-                    else jnp.logical_or(carry, match[i])
-                )
-            if carry is None:
-                continue
-            stmts = body
-            has_break = bool(stmts) and isinstance(stmts[-1], ast.Break)
-            if has_break:
-                stmts = stmts[:-1]
-            if stmts:
-                self.mask = (
-                    carry if outer is None else jnp.logical_and(outer, carry)
-                )
-                try:
-                    for st in stmts:
-                        self.exec_stmt(st, scope)
-                finally:
-                    self.mask = outer
-            if has_break:
-                carry = None
+        try:
+            for i, (values, body) in enumerate(s.cases):
+                if match[i] is not None:
+                    carry = (
+                        match[i] if carry is None
+                        else jnp.logical_or(carry, match[i])
+                    )
+                if carry is None:
+                    continue
+                stmts = body
+                has_break = bool(stmts) and isinstance(stmts[-1], ast.Break)
+                if has_break:
+                    stmts = stmts[:-1]
+                if stmts:
+                    self.mask = (
+                        carry if outer is None
+                        else jnp.logical_and(outer, carry)
+                    )
+                    try:
+                        for st in stmts:
+                            self.exec_stmt(st, inner)
+                    finally:
+                        self.mask = outer
+                if has_break:
+                    carry = None
+        finally:
+            self._switch_stack.pop()
 
     # ---- expression evaluation -----------------------------------------
 
@@ -3763,13 +3797,16 @@ class Interp:
         # a return (or break in its own loops) must bind to the function,
         # not kill the caller's loop lanes.
         prev_stack = self._vec_loop_stack
+        prev_switch = self._switch_stack
         self._vec_loop_stack = []
+        self._switch_stack = []
         try:
             self.exec_block(fn.body, fscope)
         except _ReturnSignal as r:
             ret = r.value
         finally:
             self._vec_loop_stack = prev_stack
+            self._switch_stack = prev_switch
         # Copy back out/inout parameters.
         for p, a_expr in zip(fn.params, arg_exprs):
             if p.qualifier in ("out", "inout"):
@@ -3831,6 +3868,27 @@ class _Activation:
 
     def merged_return(self) -> Optional[Val]:
         return self.return_value
+
+
+class _SwitchActivation(_Activation):
+    """Per-masked-switch lane-kill region.
+
+    ``break`` inside a vectorized switch kills a lane for the REMAINDER
+    of the switch only (``note_break`` — the lane resumes after the
+    switch ends).  ``return``/``discard`` kills forward through to the
+    enclosing activation (``note_return``), so a lane leaving the
+    function does not resume after the switch; nested switches chain."""
+
+    def __init__(self, interp, outer: _Activation, parent_live=None):
+        super().__init__(interp=interp, parent_live=parent_live)
+        self.outer = outer
+
+    def note_break(self, mask) -> None:
+        _Activation.note_return(self, mask, None)
+
+    def note_return(self, mask, value) -> None:
+        _Activation.note_return(self, mask, value)
+        self.outer.note_return(mask, value)
 
 
 class _Scope:

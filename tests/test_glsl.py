@@ -794,20 +794,81 @@ class TestSwitchAndDoWhile:
         )
         np.testing.assert_allclose(np.asarray(out)[0], ref, atol=1e-6)
 
-    def test_nonuniform_switch_midcase_break_rejected(self):
-        with pytest.raises(GlslError, match="per-pixel switch"):
-            run_shader("""
-                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
-                vec4 c = imageLoad(input_image, pos);
-                float v = 0.0;
-                switch (int(c.r * 2.0)) {
+    def test_nonuniform_switch_midcase_break(self):
+        # A non-tail `break` under a per-pixel `if` kills the lane for
+        # the switch's remainder only.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = 0.0;
+            switch (int(c.r * 2.0)) {
+                case 0:
+                    if (c.g > 0.5) { break; }
+                    v = 1.0;
+                    break;
+                default:
+                    v = 2.0;
+                    break;
+            }
+            imageStore(output_image, pos, vec4(v, c.gba));
+        """)
+        a = np.asarray(img)
+        case0 = (a[0] * 2.0).astype(np.int32) == 0
+        want = np.where(case0, np.where(a[1] > 0.5, 0.0, 1.0), 2.0)
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_nonuniform_switch_midcase_break_fallthrough(self):
+        # Broken lanes must not fall through; unbroken lanes of case 0
+        # fall into case 1.
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = 0.0;
+            switch (int(c.r * 2.0)) {
+                case 0:
+                    if (c.g > 0.5) { break; }
+                    v = 1.0;
+                case 1:
+                    v += 4.0;
+                    break;
+            }
+            imageStore(output_image, pos, vec4(v, c.gba));
+        """)
+        a = np.asarray(img)
+        sel = (a[0] * 2.0).astype(np.int32)
+        broke = (sel == 0) & (a[1] > 0.5)
+        want = np.where(
+            broke, 0.0,
+            np.where(sel == 0, 5.0, np.where(sel == 1, 4.0, 0.0)),
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_nonuniform_switch_return_in_case(self):
+        # `return` inside a per-pixel switch case exits the function for
+        # those lanes (forwarded through the switch region).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            imageStore(output_image, pos, classify(c));
+        """, extra_decls="""
+            vec4 classify(vec4 c) {
+                switch (int(c.r * 3.0)) {
                     case 0:
-                        if (c.g > 0.5) { break; }
-                        v = 1.0;
+                        if (c.g > 0.5) { return vec4(9.0); }
                         break;
+                    case 1:
+                        return vec4(7.0);
                 }
-                imageStore(output_image, pos, vec4(v, c.gba));
-            """)
+                return vec4(c.r, 0.0, 0.0, 1.0);
+            }
+        """)
+        a = np.asarray(img)
+        sel = (a[0] * 3.0).astype(np.int32)
+        want = np.where(
+            (sel == 0) & (a[1] > 0.5), 9.0,
+            np.where(sel == 1, 7.0, a[0]),
+        )
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
 
     def test_do_while(self):
         out, _ = run_shader("""
@@ -3137,27 +3198,83 @@ float grow(float x) {
                     )
         np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
 
-    def test_switch_midcase_break_in_loop_rejected(self):
-        """A non-tail break inside a switch case can't lower (it would
-        need lane kills scoped to the switch); the diagnostic names the
-        construct rather than silently binding it to the loop."""
-        with pytest.raises(GlslError, match="switch"):
-            run_shader("""
-                ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
-                float v = imageLoad(input_image, pos).r;
-                int n = 0;
-                while (v < 1.0 && n < 10) {
-                    switch (n) {
-                    case 0:
-                        if (v > 0.5) { break; }
-                        v += 0.1;
-                        break;
-                    default: v += 0.2; break;
-                    }
-                    n++;
+    def test_switch_midcase_break_in_loop(self):
+        """A non-tail break inside a switch case, inside a data-dependent
+        loop: the break binds to the SWITCH (lane kills scoped to the
+        switch's activation region), not the loop."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            int n = 0;
+            while (v < 1.0 && n < 10) {
+                switch (n) {
+                case 0:
+                    if (v > 0.5) { break; }
+                    v += 0.1;
+                    break;
+                default: v += 0.2; break;
                 }
-                imageStore(output_image, pos, vec4(v));
-            """)
+                n++;
+            }
+            imageStore(output_image, pos, vec4(v));
+        """)
+        a = np.asarray(img)[0]
+        want = np.zeros_like(a)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                v, n = float(a[i, j]), 0
+                while v < 1.0 and n < 10:
+                    if n == 0:
+                        if not v > 0.5:
+                            v += 0.1
+                    else:
+                        v += 0.2
+                    n += 1
+                want[i, j] = v
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-5)
+
+    def test_continue_through_switch_in_loop(self):
+        """`continue` inside a switch case binds to the enclosing
+        data-dependent loop (skipping the rest of the switch AND the
+        iteration remainder)."""
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            float v = imageLoad(input_image, pos).r;
+            float acc = 0.0;
+            int n = 0;
+            while (n < 6 && acc < 2.0) {
+                n++;
+                switch (n % 2) {
+                case 0:
+                    if (v > 0.5) { continue; }
+                    acc += 0.125;
+                default:
+                    acc += 0.25;
+                    break;
+                }
+                acc += 0.5;
+            }
+            imageStore(output_image, pos, vec4(acc));
+        """)
+        a = np.asarray(img)[0]
+        want = np.zeros_like(a)
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                v, acc, n = float(a[i, j]), 0.0, 0
+                while n < 6 and acc < 2.0:
+                    n += 1
+                    skip = False
+                    if n % 2 == 0:
+                        if v > 0.5:
+                            continue
+                        acc += 0.125
+                        acc += 0.25  # fall through into default
+                    else:
+                        acc += 0.25
+                    if not skip:
+                        acc += 0.5
+                want[i, j] = acc
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-5)
 
     def test_uniform_switch_with_break_under_divergent_if(self):
         """A uniform-selector switch whose cases end in `break` works
