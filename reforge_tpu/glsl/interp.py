@@ -2121,7 +2121,10 @@ class Interp:
         if not is_static(sel.data):
             self._exec_switch_masked(s, scope, sel)
             return
-        if self._vec_loop_stack or self.mask is not None:
+        if (
+            self._vec_loop_stack or self.mask is not None
+            or self._switch_needs_masked(s)
+        ):
             # Inside a vectorized loop round (or any lane-masked region)
             # a `break` must bind to the SWITCH — the unrolled executor
             # would record it as a loop lane-kill (or reject it under a
@@ -2133,7 +2136,12 @@ class Interp:
                 raise GlslError(
                     "switch selector must be an integer", s.line
                 )
-            plane = Val(sel.type, self._as_array(sel.data, "int"))
+            plane = Val(
+                sel.type,
+                jnp.broadcast_to(
+                    self._as_array(sel.data, "int"), (self.h, self.w)
+                ),
+            )
             self._exec_switch_masked(s, scope, plane)
             return
         sel_v = int(sel.data)
@@ -2161,6 +2169,37 @@ class Interp:
                 self.exec_block(s.cases[i][1], scope)
         except _BreakSignal:
             pass
+
+    @staticmethod
+    def _switch_needs_masked(s: ast.Switch) -> bool:
+        """True when a case body contains a jump that may execute under a
+        per-pixel mask — break/continue/return nested under an `if`, or
+        anywhere inside a nested switch (whose selector may be
+        per-pixel).  The Python-unrolled static-selector executor cannot
+        lane-mask those, so such switches route through the masked
+        lowering even with a uniform selector.  Jumps inside nested
+        loops bind to (or are carried by) those loops and don't count."""
+        def walk(stmts, under_if):
+            for t in stmts:
+                if isinstance(t, (ast.For, ast.While, ast.DoWhile)):
+                    continue
+                if isinstance(t, (ast.Break, ast.Continue, ast.Return)):
+                    if under_if:
+                        return True
+                elif isinstance(t, ast.If):
+                    if walk(t.then, True):
+                        return True
+                    if t.other is not None and walk(t.other, True):
+                        return True
+                elif isinstance(t, ast.Block):
+                    if walk(t.body, under_if):
+                        return True
+                elif isinstance(t, ast.Switch):
+                    if any(walk(cb, True) for _, cb in t.cases):
+                        return True
+            return False
+
+        return any(walk(cb, False) for _, cb in s.cases)
 
     def _exec_switch_masked(self, s: ast.Switch, scope: "_Scope", sel: Val) -> None:
         if sel.type not in ("int", "uint"):

@@ -506,14 +506,20 @@ def _stmt(rng, depth, vars_f, vars_v3, lines):
         v = rng.choice(vars_f)
         lines.append(f"{v} = helper({_expr(rng, 1, vars_f, vars_v3)}, {v});")
     elif k == 7:
-        # switch on a small per-pixel selector, with one fallthrough.
+        # switch on a small per-pixel selector, with one fallthrough and
+        # (sometimes) a NON-tail break under a per-pixel guard — the
+        # broken lanes must skip the fallthrough case.
         v = rng.choice(vars_f)
         sel = _expr(rng, 1, vars_f, vars_v3)
         e1 = _expr(rng, 1, vars_f, vars_v3)
         e2 = _expr(rng, 1, vars_f, vars_v3)
+        mid = ""
+        if rng.random() < 0.4:
+            g = _expr(rng, 1, vars_f, vars_v3)
+            mid = f"if ({g} > {rng.uniform(-0.3, 0.6):.3f}) {{ break; }}\n"
         lines.append(
             f"switch (int(clamp({sel}, 0.0, 1.0) * 2.9)) {{\n"
-            f"case 0: {v} += {e1};\n"
+            f"case 0: {v} += {e1};\n{mid}"
             f"case 1: {v} *= 0.75; break;\n"
             f"default: {v} = {e2};\n}}"
         )
