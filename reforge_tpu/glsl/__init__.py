@@ -329,13 +329,15 @@ def translate_shader(
         interp = Interp(
             shader,
             height=ctx.block_height,
-            width=ctx.width,
+            width=ctx.block_width,
             images_in=images,
             params=params,
             time=ctx.time,
             row_offset=ctx.row_offset,
             global_height=ctx.height,
             buffers_in=buffers,
+            col_offset=ctx.col_offset,
+            global_width=ctx.width,
         )
         outputs = interp.run_main()
         # Every declared output gets a value; unwritten ones pass through
@@ -343,7 +345,7 @@ def translate_shader(
         for out_name in bindings["images_out"]:
             if out_name not in outputs:
                 outputs[out_name] = jnp.zeros(
-                    (4, ctx.block_height, ctx.width), jnp.float32
+                    (4, ctx.block_height, ctx.block_width), jnp.float32
                 )
         for out_name in bindings["ssbos_out"]:
             outputs[out_name] = interp.buffers[out_name]
@@ -367,6 +369,7 @@ def translate_shader(
             stats = {
                 "max_shift": 0, "gather": False,
                 "edge_shift": False, "zero_shift": False,
+                "dyn_gather": False,
             }
 
             def dry(time):
@@ -386,18 +389,23 @@ def translate_shader(
             stats = dry_stats(64, 64)
             stats2 = dry_stats(96, 80)
         except Exception:
-            return (None, "edge")  # conservatively unshardable on dry failure
+            # conservatively unshardable on dry failure
+            return (None, "edge", False)
         keys = ("max_shift", "gather", "edge_shift", "zero_shift")
         if any(stats[k] != stats2[k] for k in keys):
-            return (None, "edge")  # extent-dependent halo: gather path
+            return (None, "edge", False)  # extent-dependent halo: gather path
+        # Pallas-block eligibility (mc megakernel point stages): the traced
+        # ops must all be Mosaic-compilable — per-lane local-array gathers
+        # (take_along_axis) and workgroup-shared lowerings are not.
+        block_ok = not stats["dyn_gather"] and not shader.shared
         if stats["gather"]:
-            return (None, "edge")
+            return (None, "edge", False)
         if stats["edge_shift"] and stats["zero_shift"]:
             # Mixed border conventions: one halo-pad mode can't represent
             # both, so fall back to the (always-correct) gather path.
-            return (None, "edge")
+            return (None, "edge", block_ok)
         border = "zero" if stats["zero_shift"] else "edge"
-        return (stats["max_shift"], border)
+        return (stats["max_shift"], border, block_ok)
 
     def halo_of(params_key: tuple) -> Optional[int]:
         return _reflect_spatial(params_key)[0]
@@ -414,6 +422,9 @@ def translate_shader(
         param_aliases=bindings["param_aliases"],
         halo=lambda params: halo_of(tuple(sorted(params.items()))),
         border=lambda params: _reflect_spatial(tuple(sorted(params.items())))[1],
+        mc_block_ok=lambda params: _reflect_spatial(
+            tuple(sorted(params.items()))
+        )[2],
         source_path=path,
         doc=f"GLSL kernel translated from {path or name}",
     )

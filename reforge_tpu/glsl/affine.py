@@ -1,0 +1,328 @@
+"""Separable-conv synthesis for GLSL tap-sum shaders.
+
+The reference gives user ``.comp`` files the same hot loop as everything
+else (src/vulkan/command.rs:166-242 dispatches every node identically).
+Our mc megakernel's conv stages (kernels/pallas_ops.py McStage) need a
+separable tap plan — builtins declare theirs (KernelSpec.conv_weights),
+but a user GLSL shader is an opaque program.  This module RECOVERS the
+plan from the compiled shader by probing it as a black-box function:
+
+  1. The halo reflection (glsl/__init__._reflect_spatial) has already
+     proven every image access is a STATIC shift with edge-clamp border
+     and radius ``r`` — so the shader's support is bounded by the
+     (2r+1)^2 window and it is a candidate tap-sum.
+  2. Probe the compiled function on a CPU device (cheap, no tunnel
+     round-trips): the zero image gives the affine offset ``b``; four
+     per-channel unit impulses at an interior pixel give the per-channel
+     impulse responses; a shifted impulse checks shift-invariance; and
+     the same probes at a second time value check time-independence.
+  3. Decompose each channel's response as  s_c * B + p_c * delta  (B =
+     the reference channel's kernel, delta = identity) — this captures
+     the universal alpha-passthrough idiom
+     ``imageStore(out, pos, vec4(acc/total, imageLoad(in, pos).a))``.
+  4. Factor B into separable (wh, ww) taps via SVD (reject rank > 1).
+  5. VERIFY the synthesized model  out_c = s_c*sepconv(x_c) + p_c*x_c
+     + b_c  against the real shader on random images at two extents and
+     two times.  Both sides are affine in the input (step 1-3 establish
+     the shader's behavior on a spanning probe set; the verification
+     random images make a nonlinear impostor astronomically unlikely),
+     so agreement here is decisive, not anecdotal.
+
+On success the mc planner runs the shader as a conv stage — the same
+MXU band-matmul / VPU tap machinery builtins use; the interpreter path
+remains the source of truth everywhere else (per-node, sharded, CPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Mapping, Optional
+
+import numpy as np
+
+from ..utils import warnln
+
+# Probe tolerance: the shader computes f32 tap sums; the synthesized
+# model reassociates them (sepconv order), so exact equality is not
+# expected — but the mc megakernel applies the same reassociation to
+# builtin convs, so this tolerance class is already the fused path's
+# accepted contract.
+_VERIFY_ATOL = 3e-5
+_VERIFY_RTOL = 1e-4
+_DECOMP_ATOL = 1e-5
+
+MAX_SYNTH_RADIUS = 64
+
+# (id(spec), params_key) -> Optional[ConvSynth].  The kernel loader
+# returns the SAME spec object while the source file is unchanged, so a
+# live-reload rebuild with an untouched shader is a pure cache hit.
+_SYNTH_CACHE: dict[tuple, Optional["ConvSynth"]] = {}
+_SYNTH_CACHE_MAX = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSynth:
+    """A GLSL shader's recovered separable-conv structure."""
+
+    wh: tuple[float, ...]  # vertical taps (odd length, centered)
+    ww: tuple[float, ...]  # horizontal taps
+    scale: tuple[float, float, float, float]  # s_c: blur term per channel
+    passthrough: tuple[float, float, float, float]  # p_c: center-input term
+    offset: tuple[float, float, float, float]  # b_c: affine offset
+
+    @property
+    def identity(self) -> bool:
+        return (
+            all(s == 1.0 for s in self.scale)
+            and all(p == 0.0 for p in self.passthrough)
+            and all(b == 0.0 for b in self.offset)
+        )
+
+    @property
+    def needs_x(self) -> bool:
+        return any(p != 0.0 for p in self.passthrough)
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilSynth:
+    """A non-separable affine tap-sum (sharpen/emboss-style Laplacians):
+    runs as an mc STENCIL stage — out_c = s_c * sum(W * taps) + p_c * x_c
+    + b_c."""
+
+    w: tuple[tuple[float, ...], ...]  # (2r+1, 2r+1) kernel
+    scale: tuple[float, float, float, float]
+    passthrough: tuple[float, float, float, float]
+    offset: tuple[float, float, float, float]
+
+    @property
+    def radius(self) -> int:
+        return (len(self.w) - 1) // 2
+
+
+def _snap(v: float, *targets: float, tol: float = 1e-9) -> float:
+    """Collapse float-probe dust onto exact constants (0.0, 1.0)."""
+    for t in targets:
+        if abs(v - t) <= tol:
+            return t
+    return float(v)
+
+
+def _trim_taps(w: np.ndarray) -> np.ndarray:
+    """Strip symmetric all-but-zero edge taps, keeping the center fixed."""
+    w = np.asarray(w, np.float64)
+    tol = 1e-9 * max(float(np.abs(w).max()), 1.0)
+    while len(w) > 1 and abs(w[0]) <= tol and abs(w[-1]) <= tol:
+        w = w[1:-1]
+    return w
+
+
+def synthesize_conv(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
+    """Recover (wh, ww, scale, passthrough, offset) from a GLSL kernel
+    spec, or None when the shader is not an affine separable tap-sum.
+
+    Cached per (spec identity, params); probing runs on the CPU backend
+    so graph builds never wait on device tunnels.
+    """
+    if os.environ.get("REFORGE_GLSL_CONV_SYNTH", "1") == "0":
+        return None
+    key = (id(spec), tuple(sorted(params.items())))
+    if key in _SYNTH_CACHE:
+        return _SYNTH_CACHE[key]
+    if len(_SYNTH_CACHE) >= _SYNTH_CACHE_MAX:
+        _SYNTH_CACHE.clear()
+    got = None
+    try:
+        got = _synthesize(spec, params)
+    except Exception as e:  # probe failures are a planner miss, not an error
+        warnln(f"conv synthesis for '{spec.name}' failed: {e}")
+        got = None
+    _SYNTH_CACHE[key] = got
+    return got
+
+
+def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.base import KernelContext
+
+    r = spec.halo_for(params)
+    if r is None or not (1 <= r <= MAX_SYNTH_RADIUS):
+        return None
+    if spec.border_for(params) != "edge":
+        # The mc conv stages edge-replicate their halos; a zero-border
+        # shader would need a different pad mode.  (Builtin convs carry
+        # the same restriction — program.py _conv_plan_for.)
+        return None
+    if len(spec.images_in) != 1 or len(spec.images_out) != 1:
+        return None
+    if spec.ssbos_in or spec.ssbos_out:
+        return None
+
+    in_name = spec.images_in[0]
+    out_name = spec.images_out[0]
+    cpu = jax.devices("cpu")[0]
+
+    ha, wa = 4 * r + 8, 4 * r + 16  # primary probe extent
+    hb, wb = 4 * r + 16, 4 * r + 8  # second extent (size-dependence seal)
+    cy, cx = ha // 2, wa // 2
+
+    def make_f(h, w):
+        def f(x, t):
+            ctx = KernelContext(width=w, height=h, time=t)
+            return spec(ctx, {in_name: x}, dict(params))[out_name]
+
+        # One jitted executable per probe extent: the 7 extent-A probes
+        # share a single XLA CPU compile (eager probing measured 2x
+        # slower — hundreds of per-op mini-compiles).
+        return jax.jit(f, device=cpu)
+
+    with jax.default_device(cpu):
+        f_a = make_f(ha, wa)
+        f_b = make_f(hb, wb)
+        t1, t2 = jnp.float32(0.37), jnp.float32(1.91)
+
+        zero = jnp.zeros((4, ha, wa), jnp.float32)
+        b_img = np.asarray(f_a(zero, t1))
+        if not np.allclose(b_img, f_a(zero, t2), atol=0.0):
+            return None  # time-dependent
+        b = b_img[:, cy, cx]
+        if not np.allclose(b_img, b[:, None, None], atol=1e-7):
+            return None  # coordinate-dependent affine offset
+
+        # Per-channel impulse responses.
+        resp = []
+        for c in range(4):
+            imp = zero.at[c, cy, cx].set(1.0)
+            rc = np.asarray(f_a(imp, t1)) - b_img
+            resp.append(rc)
+        # Channel mixing (luma kernels etc.): not representable.
+        for c in range(4):
+            for d in range(4):
+                if d != c and np.abs(resp[c][d]).max() > _DECOMP_ATOL:
+                    return None
+        wins = [
+            resp[c][c, cy - r : cy + r + 1, cx - r : cx + r + 1].astype(
+                np.float64
+            )
+            for c in range(4)
+        ]
+        # Support must live inside the window (guaranteed by the halo
+        # bound; assert against reflection bugs).
+        for c in range(4):
+            outside = resp[c][c].copy()
+            outside[cy - r : cy + r + 1, cx - r : cx + r + 1] = 0.0
+            if np.abs(outside).max() > _DECOMP_ATOL:
+                return None
+
+        # Shift invariance: impulse at (cy+1, cx+2) must reproduce the
+        # same window translated.
+        imp_s = zero.at[0, cy + 1, cx + 2].set(1.0)
+        rs = np.asarray(f_a(imp_s, t1)) - b_img
+        win_s = rs[0, cy + 1 - r : cy + 1 + r + 1, cx + 2 - r : cx + 2 + r + 1]
+        if not np.allclose(win_s, wins[0], atol=_DECOMP_ATOL):
+            return None
+
+        # Decompose W_c = s_c * B + p_c * delta, with B the widest
+        # channel kernel (convention: that channel has s=1, p=0 — the
+        # delta split is not unique, so fold the center into B).
+        delta = np.zeros((2 * r + 1, 2 * r + 1))
+        delta[r, r] = 1.0
+        off_center = [
+            float(np.abs(w - w[r, r] * delta).sum()) for w in wins
+        ]
+        ref = int(np.argmax(off_center))
+        if off_center[ref] < 1e-7:
+            return None  # effectively pointwise; not a conv
+        B = wins[ref]
+        A = np.stack([B.ravel(), delta.ravel()], axis=1)  # (n, 2)
+        scale = [0.0] * 4
+        passthrough = [0.0] * 4
+        for c in range(4):
+            coef, *_ = np.linalg.lstsq(A, wins[c].ravel(), rcond=None)
+            res = A @ coef - wins[c].ravel()
+            if np.abs(res).max() > _DECOMP_ATOL:
+                return None
+            scale[c] = _snap(float(coef[0]), 0.0, 1.0)
+            passthrough[c] = _snap(float(coef[1]), 0.0, 1.0)
+        scale[ref], passthrough[ref] = 1.0, 0.0
+        b = [_snap(float(v), 0.0, 1.0, tol=1e-7) for v in b]
+
+        # Separability: rank-1 B factors into (wh, ww) tap vectors and
+        # runs as a conv stage; otherwise a small-radius kernel runs as
+        # a stencil stage (sharpen/emboss-style Laplacians).
+        u, s, vt = np.linalg.svd(B)
+        separable = len(s) == 1 or s[1] <= 1e-6 * max(s[0], 1e-12)
+        if separable:
+            wh = u[:, 0] * np.sqrt(s[0])
+            ww = vt[0, :] * np.sqrt(s[0])
+            if wh.sum() < 0:  # fix the sign split
+                wh, ww = -wh, -ww
+            wh, ww = _trim_taps(wh), _trim_taps(ww)
+            synth: Any = ConvSynth(
+                wh=tuple(float(v) for v in wh),
+                ww=tuple(float(v) for v in ww),
+                scale=tuple(scale),
+                passthrough=tuple(passthrough),
+                offset=tuple(b),
+            )
+        else:
+            if r > 16:  # planner's stencil-radius cap
+                return None
+            synth = StencilSynth(
+                w=tuple(tuple(float(v) for v in row) for row in B),
+                scale=tuple(scale),
+                passthrough=tuple(passthrough),
+                offset=tuple(b),
+            )
+
+        # Full-function verification: random images, two extents, two
+        # times.  Model and shader are both affine in x, so agreement on
+        # random x decides equality (up to f32 reassociation).
+        def model(x, h, w):
+            if separable:
+                rh, rw = len(wh) // 2, len(ww) // 2
+                xp = jnp.pad(x, ((0, 0), (rh, rh), (0, 0)), mode="edge")
+                acc = jnp.zeros_like(x)
+                for i, wv in enumerate(wh):
+                    acc = acc + jnp.float32(wv) * jax.lax.dynamic_slice(
+                        xp, (0, i, 0), (4, h, w)
+                    )
+                accp = jnp.pad(acc, ((0, 0), (0, 0), (rw, rw)), mode="edge")
+                out = jnp.zeros_like(x)
+                for j, wv in enumerate(ww):
+                    out = out + jnp.float32(wv) * jax.lax.dynamic_slice(
+                        accp, (0, 0, j), (4, h, w)
+                    )
+            else:
+                xp = jnp.pad(
+                    x, ((0, 0), (r, r), (r, r)), mode="edge"
+                )
+                out = jnp.zeros_like(x)
+                for dy in range(2 * r + 1):
+                    for dx in range(2 * r + 1):
+                        wv = B[dy, dx]
+                        if wv == 0.0:
+                            continue
+                        out = out + jnp.float32(wv) * jax.lax.dynamic_slice(
+                            xp, (0, dy, dx), (4, h, w)
+                        )
+            sc = jnp.asarray(scale, jnp.float32)[:, None, None]
+            pc = jnp.asarray(passthrough, jnp.float32)[:, None, None]
+            bc = jnp.asarray(b, jnp.float32)[:, None, None]
+            return sc * out + pc * x + bc
+
+        rng = np.random.default_rng(0xC0FFEE)
+        for (h, w), f in ((((ha, wa)), f_a), (((hb, wb)), f_b)):
+            x = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+            want_1 = np.asarray(f(x, t1))
+            if not np.allclose(want_1, f(x, t2), atol=0.0):
+                return None
+            got = np.asarray(model(x, h, w))
+            if not np.allclose(
+                got, want_1, atol=_VERIFY_ATOL, rtol=_VERIFY_RTOL
+            ):
+                return None
+
+    return synth

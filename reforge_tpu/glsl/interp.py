@@ -155,12 +155,21 @@ class Interp:
         row_offset: Any = 0,  # global row of local row 0 (may be traced)
         global_height: Optional[int] = None,  # imageSize/clamp extent
         buffers_in: Optional[dict[str, Any]] = None,  # block name -> (N,) f32
+        col_offset: int = 0,  # global column of local column 0 (static)
+        global_width: Optional[int] = None,  # imageSize/clamp extent
     ):
         self.shader = shader
         self.h = height  # local block height (array shapes)
         self.w = width
         self.row_offset = row_offset
         self.global_h = global_height if global_height is not None else height
+        # Column analog of row_offset/global_h, for the mc megakernel's
+        # block evaluation of pointwise GLSL nodes: blocks may extend past
+        # the image's left edge (downstream conv halos), so local column 0
+        # sits at a negative global column.  Columns are never sharded;
+        # the offset is always a static int.
+        self.col_offset = col_offset
+        self.global_w = global_width if global_width is not None else width
         self.images_in = images_in
         self.params = params
         self.time = time
@@ -299,10 +308,14 @@ class Interp:
         return got
 
     def _install_builtin_idents(self) -> None:
-        gx = Val("uint", self._iota("x"), Origin("x", 0))
-        # Globally correct row index on a sharded slab: local iota plus the
-        # slab's global row offset.  The Origin tag stays local-relative —
-        # shifted loads index the local block.
+        # Globally correct coordinates on a sharded slab / halo-extended
+        # block: local iota plus the global offset.  The Origin tags stay
+        # local-relative — shifted loads index the local block.
+        gx_data = self._iota("x")
+        coff = self.col_offset
+        if coff != 0:
+            gx_data = gx_data + jnp.int32(coff)
+        gx = Val("uint", gx_data, Origin("x", 0))
         gy_data = self._iota("y")
         off = self.row_offset
         if not (isinstance(off, int) and off == 0):
@@ -317,7 +330,7 @@ class Interp:
         self.globals["gl_WorkGroupSize"] = Val("uvec3", [lsx, lsy, lsz])
         self.globals["gl_NumWorkGroups"] = Val(
             "uvec3",
-            [-(-self.w // lsx), -(-self.h // lsy), 1],
+            [-(-self.global_w // lsx), -(-self.global_h // lsy), 1],
         )
         self.globals["gl_LocalInvocationID"] = Val(
             "uvec3", [gx.data % lsx, gy.data % lsy, 0]
@@ -335,7 +348,7 @@ class Interp:
         if self.shader.stage == "fragment":
             # gl_FragCoord: pixel centers. The .xy components keep pixel
             # origins so ivec2(gl_FragCoord.xy) still enables shifted loads.
-            fx = self._as_array(self._iota("x"), "float") + 0.5
+            fx = self._as_array(gx_data, "float") + 0.5
             fy = self._as_array(gy_data, "float") + 0.5
             fc = Val("vec4", [fx, fy, 0.0, 1.0])
             fc._comp_origins = [Origin("x", 0), Origin("y", 0), None, None]  # type: ignore[attr-defined]
@@ -343,7 +356,7 @@ class Interp:
             for vtype, vname in self.shader.frag_inputs:
                 if vtype == "vec2":
                     # Full-screen-pass uv varying: normalized coordinates.
-                    uv_x = (self._as_array(self._iota("x"), "float") + 0.5) / self.w
+                    uv_x = (self._as_array(gx_data, "float") + 0.5) / self.global_w
                     uv_y = (self._as_array(gy_data, "float") + 0.5) / self.global_h
                     self.globals[vname] = Val("vec2", [uv_x, uv_y])
                 else:
@@ -882,16 +895,21 @@ class Interp:
         loop_scope = scope.child()
         if s.init is not None:
             self.exec_stmt(s.init, loop_scope)
-        forced = bool(self._vec_loop_stack) and self._body_has_own_jump(s.body)
+        forced = bool(
+            self._vec_loop_stack or self._switch_stack
+        ) and self._body_has_own_jump(s.body)
         if forced or self._body_has_masked_jump(s.body):
             # A break/continue under an if may be per-pixel: the unrolled
             # path cannot mask it, so try the vectorized lowering first;
             # its gates (side effects, nesting) fall back to unrolling,
             # which is correct whenever the jump is actually uniform.
-            # Inside an enclosing vectorized loop (`forced`) there is no
-            # fallback: the unrolled path would record this loop's
-            # break/continue into the ENCLOSING loop's lane kills, so a
-            # lowering failure propagates as the diagnostic.
+            # Inside an enclosing vectorized loop OR masked switch
+            # (`forced`) there is no fallback: the unrolled path would
+            # record this loop's break/continue into the ENCLOSING
+            # construct's lane kills (a break in an unrolled loop under a
+            # masked switch would silently retire the lane for the case
+            # remainder), so a lowering failure propagates as the
+            # diagnostic.
             try:
                 self._exec_loop_vectorized(
                     s.cond, s.body, s.update, loop_scope, s.line
@@ -950,7 +968,9 @@ class Interp:
                 raise GlslError("loop exceeds unroll limit", s.line)
 
     def exec_while(self, s: ast.While, scope: "_Scope") -> None:
-        forced = bool(self._vec_loop_stack) and self._body_has_own_jump(s.body)
+        forced = bool(
+            self._vec_loop_stack or self._switch_stack
+        ) and self._body_has_own_jump(s.body)
         if forced or self._body_has_masked_jump(s.body):
             try:
                 self._exec_loop_vectorized(s.cond, s.body, None, scope, s.line)
@@ -1540,8 +1560,7 @@ class Interp:
                         if not self._loop_callable(node.name):
                             reject(
                                 f"the call to {node.name}() (callees must "
-                                "not use barrier(), plain shared-memory "
-                                "writes, or recursion)"
+                                "not use barrier() or recursion)"
                             )
                             return
                     else:
@@ -1776,17 +1795,22 @@ class Interp:
             ) and shared_root(node.expr):
                 found = True
                 return
-            if (
-                isinstance(node, ast.Call)
-                and node.name in self.shader.functions
-                and node.name not in seen
-            ):
-                seen.add(node.name)
-                if self._body_has_shared_write(
-                    self.shader.functions[node.name].body, seen
-                ):
-                    found = True
-                    return
+            if isinstance(node, ast.Call) and node.name in self.shader.functions:
+                # An argument rooted at a shared member bound to an
+                # out/inout parameter is written by the caller-side
+                # copy-back at THIS call site (`setv(mine[lid], v)` with
+                # `void setv(out float x, ...)`), even though the callee
+                # body only assigns a local param.
+                callee = self.shader.functions[node.name]
+                for p, a in zip(callee.params, node.args):
+                    if p.qualifier in ("out", "inout") and shared_root(a):
+                        found = True
+                        return
+                if node.name not in seen:
+                    seen.add(node.name)
+                    if self._body_has_shared_write(callee.body, seen):
+                        found = True
+                        return
             for f in node.__dataclass_fields__:
                 walk(getattr(node, f))
 
@@ -2076,7 +2100,9 @@ class Interp:
         return True
 
     def exec_do_while(self, s: ast.DoWhile, scope: "_Scope") -> None:
-        forced = bool(self._vec_loop_stack) and self._body_has_own_jump(s.body)
+        forced = bool(
+            self._vec_loop_stack or self._switch_stack
+        ) and self._body_has_own_jump(s.body)
         if forced or self._body_has_masked_jump(s.body):
             try:
                 # at_least_once: do-while runs the body before the first
@@ -2405,6 +2431,11 @@ class Interp:
         Leaves stack to one (n, h, w) array; a single take_along_axis
         resolves every lane (XLA lowers it to a vectorized select tree
         for small n)."""
+        # Recorded for the mc planner: take_along_axis lowers to a gather
+        # XLA op that Mosaic may refuse inside a Pallas kernel, so shaders
+        # using per-lane local-array gathers stay off the in-kernel
+        # block-evaluation path (they still run everywhere else).
+        self.stats["dyn_gather"] = True
         stacked = jnp.stack(
             [
                 jnp.broadcast_to(
@@ -3472,6 +3503,8 @@ class Interp:
         ys = jnp.broadcast_to(self._as_i32(coord.data[1]), hw)
         if not (isinstance(self.row_offset, int) and self.row_offset == 0):
             ys = ys - jnp.asarray(self.row_offset, jnp.int32)
+        if self.col_offset != 0:
+            xs = xs - jnp.int32(self.col_offset)
         inb = (xs >= 0) & (xs < self.w) & (ys >= 0) & (ys < self.h)
         mask = self._effective_mask(scope)
         keep = inb if mask is None else jnp.logical_and(inb, mask)
@@ -3493,9 +3526,9 @@ class Interp:
 
     def _image_size(self, arg_exprs: list, scope, line: int) -> Val:
         self._get_image(arg_exprs[0], line)
-        # Global extent: under row sharding a shader must see the whole
-        # image's size, not the local slab's.
-        v = Val("ivec2", [self.w, self.global_h])
+        # Global extent: under row sharding / block evaluation a shader
+        # must see the whole image's size, not the local slab's.
+        v = Val("ivec2", [self.global_w, self.global_h])
         v._comp_origins = [None, None]  # type: ignore[attr-defined]
         return v
 
@@ -3549,12 +3582,14 @@ class Interp:
         """(H, W) int32 plane of flattened workgroup ids (global coords)."""
         if self._gids is None:
             lsx, lsy, _ = self.shader.local_size
-            groups_x = -(-self.w // lsx)
+            groups_x = -(-self.global_w // lsx)
             ys = self._as_i32(self._iota("y"))
             off = self.row_offset
             if not (isinstance(off, int) and off == 0):
                 ys = ys + jnp.asarray(off, jnp.int32)
             xs = self._as_i32(self._iota("x"))
+            if self.col_offset != 0:
+                xs = xs + jnp.int32(self.col_offset)
             self._gids = (ys // lsy) * groups_x + xs // lsx
         return self._gids
 
@@ -3783,6 +3818,8 @@ class Interp:
         ys = jnp.broadcast_to(self._as_i32(coord.data[1]), hw)
         if not (isinstance(self.row_offset, int) and self.row_offset == 0):
             ys = ys - jnp.asarray(self.row_offset, jnp.int32)
+        if self.col_offset != 0:
+            xs = xs - jnp.int32(self.col_offset)
         inb = (xs >= 0) & (xs < self.w) & (ys >= 0) & (ys < self.h)
         mask = self._effective_mask(scope)
         keep = inb if mask is None else jnp.logical_and(inb, mask)

@@ -380,7 +380,11 @@ class GraphProgram:
 
         # ---- classify ----------------------------------------------------
         # entries: (kind, node, extra); kinds "conv" | "stencil" | "point"
+        # GLSL conv/stencil-idiom nodes carry their synthesized plan in
+        # ``synth_of`` (glsl/affine.py): the same stage machinery, with
+        # the epilogue built from the recovered scale/passthrough/offset.
         nodes: list = []
+        synth_of: dict[str, Any] = {}
         n_heavy = 0
         for layer in self.graph.layers:
             for node in layer:
@@ -388,6 +392,7 @@ class GraphProgram:
                 if len(node.outputs) != 1 or spec.ssbos_in or spec.ssbos_out:
                     return None
                 plan = None
+                synth = None
                 if spec.conv_epilogue is not None:
                     plan = self._conv_plan_for(node, max_taps=200)
                     if (
@@ -399,7 +404,40 @@ class GraphProgram:
                         # per-node's standalone x3 kernel wins — don't
                         # serialize ~100 taps on the mc VPU.
                         plan = None
+                elif (
+                    spec.source_path is not None
+                    and len(node.inputs) == 1
+                    and (spec.halo_for(node.params) or 0) >= 1
+                ):
+                    # User .comp shader with a static-shift halo: recover
+                    # its affine tap-sum structure (if it has one) so the
+                    # shader rides the same megakernel stages as builtins
+                    # — the reference runs user shaders in the very same
+                    # hot loop (src/vulkan/command.rs:166-242).
+                    from ..glsl.affine import (
+                        ConvSynth as _CS,
+                        StencilSynth as _SS,
+                        synthesize_conv as _synth_conv,
+                    )
+
+                    got = _synth_conv(spec, node.params)
+                    if isinstance(got, _CS):
+                        plan = (got.wh, got.ww)
+                        taps = len(plan[0]) + len(plan[1])
+                        if not 4 <= taps <= 200 or (
+                            taps >= _ops.X3_MIN_TAPS and not _conv_mxu(plan)
+                        ):
+                            plan = None
+                        else:
+                            synth = got
+                    elif isinstance(got, _SS):
+                        synth_of[node.name] = got
+                        nodes.append(("stencil", node, got.radius))
+                        n_heavy += 1
+                        continue
                 if plan is not None:
+                    if synth is not None:
+                        synth_of[node.name] = synth
                     nodes.append(("conv", node, plan))
                     n_heavy += 1
                     continue
@@ -412,7 +450,22 @@ class GraphProgram:
                     nodes.append(("stencil", node, r))
                     n_heavy += 1
                     continue
-                if r == 0 and spec.source_path is None and node.inputs:
+                if r == 0 and node.inputs and (
+                    spec.source_path is None
+                    or (
+                        spec.mc_block_ok is not None
+                        and spec.mc_block_ok(node.params)
+                    )
+                ):
+                    # Builtins run their full fn on channel-full blocks;
+                    # GLSL pointwise shaders (reflected halo 0 — no
+                    # gathers, no SSBOs, no shared memory) evaluate their
+                    # vectorized interpreter on the same blocks with the
+                    # block's coordinate origin threaded through ctx
+                    # (KernelContext.row_offset/col_offset).  One hot
+                    # loop for user shaders and builtins alike — the
+                    # reference dispatches both identically
+                    # (src/vulkan/command.rs:166-242).
                     nodes.append(("point", node, None))
                     continue
                 return None
@@ -520,6 +573,56 @@ class GraphProgram:
 
             return fn
 
+        def _identity_of(node):
+            """conv_epilogue_identity, honoring a GLSL synth override."""
+            s = synth_of.get(node.name)
+            if s is not None and hasattr(s, "identity"):
+                return s.identity
+            return node.spec.conv_epilogue_identity
+
+        def _affine_mix(synth, conv, x_block):
+            """out_c = s_c*conv_c + p_c*x_c + b_c, with Python-float
+            weights (a Pallas kernel body cannot capture array
+            constants; scalar literals fold into the trace)."""
+            chans = []
+            for c in range(4):
+                v = jnp.float32(synth.scale[c]) * conv[c]
+                if synth.passthrough[c] != 0.0 and x_block is not None:
+                    v = v + jnp.float32(synth.passthrough[c]) * x_block[c]
+                if synth.offset[c] != 0.0:
+                    v = v + jnp.float32(synth.offset[c])
+                chans.append(v)
+            return jnp.stack(chans)
+
+        def make_synth_epilogue(synth):
+            """Epilogue for a synthesized GLSL conv:
+            out_c = s_c*blur_c + p_c*x_c + b_c (glsl/affine.py)."""
+
+            def fn(row0, t, x_block, blur):
+                return store(_affine_mix(synth, blur, x_block))
+
+            return fn
+
+        def make_synth_stencil_fn(synth):
+            """Stencil form of a synthesized non-separable GLSL tap-sum."""
+            W = synth.w
+            r = synth.radius
+
+            def fn(row0, t, tap, rows, cols):
+                acc = None
+                for dy in range(2 * r + 1):
+                    for dx in range(2 * r + 1):
+                        wv = float(W[dy][dx])
+                        if wv == 0.0:
+                            continue
+                        term = jnp.float32(wv) * tap(dy, dx)
+                        acc = term if acc is None else acc + term
+                if acc is None:
+                    acc = jnp.zeros_like(tap(r, r))
+                return store(_affine_mix(synth, acc, tap(r, r)))
+
+            return fn
+
         def make_epilogue(node, s_ew):
             spec, params = node.spec, dict(node.params)
 
@@ -567,16 +670,22 @@ class GraphProgram:
                 )
                 reads_of.append([pre_res, in_res[0]])
             elif kind == "conv":
-                x_res = in_res[0] if not node.spec.conv_epilogue_identity else None
+                x_res = in_res[0] if not _identity_of(node) else None
                 stage_specs.append(
                     dict(kind="conv", node=node, out=out_res, ins=in_res,
                          plan=extra, x_res=x_res)
                 )
                 reads_of.append(list(in_res) + ([x_res] if x_res else []))
             elif kind == "stencil":
+                s = synth_of.get(node.name)
+                fn = (
+                    make_synth_stencil_fn(s)
+                    if s is not None and node.spec.mc_stencil_fn is None
+                    else make_stencil_fn(node, ew[out_res])
+                )
                 stage_specs.append(
                     dict(kind="stencil", node=node, out=out_res, ins=in_res,
-                         r=extra, fn=make_stencil_fn(node, ew[out_res]))
+                         r=extra, fn=fn)
                 )
                 reads_of.append(list(in_res))
             else:
@@ -595,7 +704,7 @@ class GraphProgram:
         carried_out: set = set()
         for ss in stage_specs:
             if (ss["kind"] == "conv" and eh[ss["out"]] > 0
-                    and ss["node"].spec.conv_epilogue_identity
+                    and _identity_of(ss["node"])
                     and not _conv_mxu(ss["plan"])):
                 carried_out.add(ss["out"])
         last_use: dict[str, int] = {}
@@ -626,7 +735,7 @@ class GraphProgram:
         blur_of: dict[int, int] = {}  # stage idx -> private blur slot
         for si, ss in enumerate(stage_specs):
             if (ss["kind"] == "conv"
-                    and not ss["node"].spec.conv_epilogue_identity):
+                    and not _identity_of(ss["node"])):
                 if eh[ss["out"]] > 0:
                     blur_of[si] = n_pool
                     n_pool += 1
@@ -651,14 +760,20 @@ class GraphProgram:
                 rh8, rw8 = _r8(rh), _r8(rw)
                 whp = (0.0,) * (rh8 - rh) + tuple(float(v) for v in wh)
                 wwp = (0.0,) * (rw8 - rw) + tuple(float(v) for v in ww)
-                identity = node.spec.conv_epilogue_identity
+                identity = _identity_of(node)
+                node_synth = synth_of.get(node.name)
                 mxu_terms = _conv_mxu_terms(ss["plan"])
                 use_mxu = mxu_terms > 0
                 stages.append(
                     McStage(
                         kind="conv", out_buf=out_buf, eh=s_eh, ew=s_ew,
                         in_bufs=in_bufs, wh=whp, ww=wwp, rh8=rh8, rw8=rw8,
-                        epilogue=None if identity else make_epilogue(node, s_ew),
+                        epilogue=(
+                            None if identity
+                            else make_synth_epilogue(node_synth)
+                            if node_synth is not None
+                            else make_epilogue(node, s_ew)
+                        ),
                         x_buf=(buf_of[ss["x_res"]] if ss["x_res"] else -3),
                         blur_buf=(-3 if identity else blur_of.get(si, blur_slot)),
                         carry=s_eh > 0 and not use_mxu,

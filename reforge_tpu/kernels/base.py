@@ -206,6 +206,11 @@ class KernelSpec:
     conv_pre: Optional[Callable[..., Any]] = None
     conv_epilogue_identity: bool = False
     mc_stencil_fn: Optional[Callable[..., Any]] = None
+    # File-loaded (GLSL) kernels: True when ``fn`` may be evaluated on
+    # halo-extended VMEM blocks INSIDE the mc megakernel (pointwise, no
+    # Mosaic-hostile ops).  None for builtins, whose planner eligibility
+    # is carried by the cw/stencil/conv forms above.
+    mc_block_ok: Optional[Callable[[Mapping[str, Any]], bool]] = None
 
     # ---- reflection (the SPIR-V descriptor-enumeration analog) ---------
 

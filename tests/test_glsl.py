@@ -883,6 +883,57 @@ class TestSwitchAndDoWhile:
         """)
         np.testing.assert_allclose(np.asarray(out)[0], 0.75, atol=1e-6)
 
+    def test_nested_loop_break_in_masked_switch_case(self):
+        # A `break` belonging to a nested static loop inside a per-pixel
+        # switch case must bind to the LOOP, not the switch (advisor
+        # round-4 high finding: the lane was silently killed for the case
+        # remainder, skipping `v += 10.0`).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = 0.0;
+            switch (int(c.r * 2.0)) {
+                case 0:
+                    for (int i = 0; i < 3; i++) { v = 1.0; break; }
+                    v += 10.0;
+                    break;
+                default:
+                    v = 5.0;
+                    break;
+            }
+            imageStore(output_image, pos, vec4(v, 0.0, 0.0, 1.0));
+        """)
+        a = np.asarray(img)
+        sel = (a[0] * 2.0).astype(np.int32)
+        want = np.where(sel == 0, 11.0, 5.0)
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
+    def test_do_once_while_true_in_masked_switch_case(self):
+        # The while(true){...break;} do-once idiom inside a per-pixel
+        # switch case: the break must terminate the loop after ONE round
+        # (the mis-bound version ran to the unroll limit).
+        out, img = run_shader("""
+            ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+            vec4 c = imageLoad(input_image, pos);
+            float v = 0.0;
+            switch (int(c.r * 2.0)) {
+                case 0: {
+                    int n = 0;
+                    while (true) { n += 1; break; }
+                    v = float(n);
+                    break;
+                }
+                default:
+                    v = 9.0;
+                    break;
+            }
+            imageStore(output_image, pos, vec4(v, 0.0, 0.0, 1.0));
+        """)
+        a = np.asarray(img)
+        sel = (a[0] * 2.0).astype(np.int32)
+        want = np.where(sel == 0, 1.0, 9.0)
+        np.testing.assert_allclose(np.asarray(out)[0], want, atol=1e-6)
+
 
 class TestReviewRegressions:
     def test_store_inside_switch_reflects(self):
@@ -1564,6 +1615,32 @@ void main() {
 }
 """, seed=2)
         np.testing.assert_allclose(out[0], 2.0 * self._trips(img), atol=1e-6)
+
+    def test_out_param_store(self):
+        # The shared-array write happens through an `out` parameter of a
+        # called function: the callee assigns a local param and the
+        # caller-side copy-back performs the store, so the write
+        # detection must treat the CALL as a shared write (advisor
+        # round-4 finding: shm_keys stayed empty and the trace crashed
+        # with UnexpectedTracerError).
+        out, img = self._run(self.HDR + """
+shared float mine[16];
+void setv(out float x, float v) {
+    x = v;
+}
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    uint lid = gl_LocalInvocationIndex;
+    int n = int(imageLoad(input_image, pos).r * 4.0) + 1;
+    int i = 0;
+    while (i < n) {
+        setv(mine[lid], float(i + 1));
+        i++;
+    }
+    imageStore(output_image, pos, vec4(mine[lid], 0.0, 0.0, 1.0));
+}
+""", seed=3)
+        np.testing.assert_allclose(out[0], self._trips(img), atol=1e-6)
 
     def test_mixed_with_atomic(self):
         # A plain store and an atomicAdd on DIFFERENT shared arrays in
