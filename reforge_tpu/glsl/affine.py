@@ -108,6 +108,58 @@ def _snap(v: float, *targets: float, tol: float = 1e-9) -> float:
     return float(v)
 
 
+def compose(a: ConvSynth, b: ConvSynth) -> Optional[ConvSynth]:
+    """The single ConvSynth computing ``b(a(x))``, or None.
+
+    The separable-pass chain idiom (``gaussian_h.comp -> gaussian_v.comp``)
+    ships the two 1-D passes as separate nodes; composed they are ONE
+    separable conv — kernel = convolution of the tap vectors — which
+    turns an extent-carrying conv pair into a single zero-extent stage
+    (the shape the 4K mc gate admits).  Edge-clamp borders compose
+    exactly: per-axis clamping is independent of the other pass, so
+    V(H(x))[y,x] = sum wh[i] ww[j] x[clamp(y+i), clamp(x+j)] in either
+    order.
+
+    Per channel the pair must be conv-then-conv, passthrough-then-
+    passthrough, or constant-then-anything; a mixed channel (e.g. A
+    passes a channel that B convolves) needs two distinct kernels and
+    cannot ride one stage.
+    """
+    sum_b = float(np.sum(b.wh) * np.sum(b.ww))
+    scale, passthrough, offset = [], [], []
+    any_conv = False
+    for c in range(4):
+        sa, pa, ba = a.scale[c], a.passthrough[c], a.offset[c]
+        sb, pb, bb = b.scale[c], b.passthrough[c], b.offset[c]
+        if sa == 0.0 and pa == 0.0:
+            # A emits the constant ba on this channel.
+            scale.append(0.0)
+            passthrough.append(0.0)
+            offset.append(sb * ba * sum_b + pb * ba + bb)
+        elif pa == 0.0 and pb == 0.0:
+            any_conv = True
+            scale.append(sa * sb)
+            passthrough.append(0.0)
+            offset.append(sb * ba * sum_b + bb)
+        elif sa == 0.0 and sb == 0.0:
+            scale.append(0.0)
+            passthrough.append(pa * pb)
+            offset.append(pb * ba + bb)
+        else:
+            return None
+    if not any_conv:
+        return None
+    wh = np.convolve(np.asarray(a.wh, np.float64), np.asarray(b.wh, np.float64))
+    ww = np.convolve(np.asarray(a.ww, np.float64), np.asarray(b.ww, np.float64))
+    return ConvSynth(
+        wh=tuple(float(v) for v in wh),
+        ww=tuple(float(v) for v in ww),
+        scale=tuple(scale),
+        passthrough=tuple(passthrough),
+        offset=tuple(offset),
+    )
+
+
 def _trim_taps(w: np.ndarray) -> np.ndarray:
     """Strip symmetric all-but-zero edge taps, keeping the center fixed."""
     w = np.asarray(w, np.float64)

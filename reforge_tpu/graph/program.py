@@ -435,6 +435,25 @@ class GraphProgram:
                         nodes.append(("stencil", node, got.radius))
                         n_heavy += 1
                         continue
+                    if (
+                        plan is None
+                        and self.width >= 1920
+                        and self._segments_ok  # top-level plan only
+                        and (spec.halo_for(node.params) or 0) >= 2
+                    ):
+                        # Mirror of the GSPMD kernel-cliff warning
+                        # (parallel/spatial.py): a wide-frame conv-idiom
+                        # user shader that cannot ride the megakernel
+                        # pays per-tap whole-image HBM reads on the
+                        # plain-XLA path.
+                        warnln(
+                            f"GLSL node '{node.name}' ({spec.name}) is a "
+                            f"conv-idiom shader (radius "
+                            f"{spec.halo_for(node.params)}) that could not "
+                            f"join the fused megakernel at {self.width}x"
+                            f"{self.height}; it will run per-node — expect "
+                            f"reduced throughput"
+                        )
                 if plan is not None:
                     if synth is not None:
                         synth_of[node.name] = synth
@@ -469,6 +488,65 @@ class GraphProgram:
                     nodes.append(("point", node, None))
                     continue
                 return None
+        # ---- compose chained synthesized 1-D convs -----------------------
+        # gaussian_h.comp -> gaussian_v.comp is ONE separable conv split
+        # into two nodes; composed (glsl/affine.compose) the pair becomes
+        # a single zero-extent stage — which the wide-frame gate below
+        # admits where the extent-carrying pair would have dropped the
+        # whole graph to per-node.  Iterates to fold longer chains.
+        if synth_of:
+            from ..glsl.affine import ConvSynth as _CSyn
+            from ..glsl.affine import compose as _compose_synth
+
+            changed = True
+            while changed:
+                changed = False
+                cons: dict[str, int] = {}
+                for _k, nd, _e in nodes:
+                    for res, _d in nd.inputs:
+                        cons[res] = cons.get(res, 0) + 1
+                for i, (kind_a, na, _plan_a) in enumerate(nodes):
+                    if kind_a != "conv":
+                        continue
+                    sa = synth_of.get(na.name)
+                    if not isinstance(sa, _CSyn):
+                        continue
+                    out_res = na.outputs[0][0]
+                    if out_res == FINAL_OUTPUT or cons.get(out_res, 0) != 1:
+                        continue
+                    for j, (kind_b, nb, _plan_b) in enumerate(nodes):
+                        if j == i or kind_b != "conv":
+                            continue
+                        sb = synth_of.get(nb.name)
+                        if not isinstance(sb, _CSyn):
+                            continue
+                        if len(nb.inputs) != 1 or nb.inputs[0][0] != out_res:
+                            continue
+                        comp = _compose_synth(sa, sb)
+                        if comp is None:
+                            continue
+                        cplan = (comp.wh, comp.ww)
+                        taps = len(comp.wh) + len(comp.ww)
+                        if not 4 <= taps <= 200 or (
+                            taps >= _ops.X3_MIN_TAPS and not _conv_mxu(cplan)
+                        ):
+                            continue
+                        merged = PipelineNode(
+                            name=f"{na.name}>{nb.name}",
+                            spec=nb.spec,
+                            inputs=list(na.inputs),
+                            outputs=list(nb.outputs),
+                            params=dict(nb.params),
+                        )
+                        synth_of[merged.name] = comp
+                        nodes[i] = ("conv", merged, cplan)
+                        del nodes[j]
+                        n_heavy -= 1
+                        changed = True
+                        break
+                    if changed:
+                        break
+
         if n_heavy == 0:
             return None  # pointwise-only: plain XLA fusion is already one pass
 

@@ -2930,13 +2930,24 @@ def mc_strip_tile_h(
         )
         return use < 60 * 1024 * 1024
 
+    # Among fitting tiles prefer the largest AT OR BELOW 128 rows:
+    # measured 4K rgba32f (gaussian+tonemap mc, round 5), tile 120 runs
+    # 1096 fps vs 144's 880 — beyond ~128 rows the strip DMAs stop
+    # overlapping the compute cleanly, and "largest that fits" was
+    # leaving 25% on the table for small-pool plans.  Larger tiles are
+    # used only when no <=128 tile satisfies the constraints (e.g.
+    # rh_in or min_tile above 128).
     best = None
     for tile_h in range(8, min(h // 2, 256) + 1, 8):
         if (h % tile_h or tile_h < rh_in or tile_h < min_tile
                 or not fits(tile_h)):
             continue
-        if best is None or tile_h > best:
+        if best is None:
             best = tile_h
+        elif tile_h <= 128:
+            best = tile_h if best > 128 else max(best, tile_h)
+        elif best > 128:
+            best = max(best, tile_h)
     return best
 
 

@@ -1123,3 +1123,182 @@ class TestSegmentFusion:
         prog2._strip_plan = None
         want = np.asarray(prog2._forward(img, t))
         np.testing.assert_array_equal(got, want)
+
+
+class TestGlslMegakernel:
+    """User .comp shaders in the mc megakernel: block-evaluated point
+    stages, probe-synthesized conv/stencil plans (glsl/affine.py), and
+    1-D conv-pair composition.  The reference runs user shaders in the
+    same hot loop as everything else (src/vulkan/command.rs:166-242);
+    these tests pin that parity for the TPU build.  Measured 4K rgba32f
+    (v5e): gaussian_h->gaussian_v->tonemap 1240 fps fused vs 387 plain
+    (BENCH.md GLSL graphs)."""
+
+    CASES = {
+        # conv synthesis + composition: the separable pair becomes ONE
+        # zero-extent conv stage (with alpha passthrough epilogue).
+        "pair_compose": (
+            "input -> gh -> gv -> tm -> output\n"
+            "gh: gaussian_h { sigma: 2.0 }\ngv: gaussian_v { sigma: 2.0 }\n"
+            "tm: tonemap { exposure: 1.1 }"
+        ),
+        # non-separable affine tap-sum -> stencil stage.
+        "stencil_synth": (
+            "input -> sh -> tm -> output\n"
+            "sh: sharpen { amount: 0.7 }\ntm: tonemap { exposure: 1.0 }"
+        ),
+        # GLSL conv + GLSL point mixing with nothing builtin.
+        "conv_point": (
+            "input -> gh -> sep -> output\n"
+            "gh: gaussian_h { sigma: 3.0 }\nsep: sepia {}"
+        ),
+        # GLSL pointwise with a builtin conv (block evaluation of the
+        # interpreter inside the kernel, incl. col/row offsets).
+        "glsl_point_builtin_conv": (
+            "input -> tm -> b -> output\n"
+            "tm: tonemap { exposure: 1.2 }\nb: blur { sigma: 2.0 }"
+        ),
+        # single 1-D GLSL conv, uncomposed (epilogue carries alpha).
+        "single_1d": (
+            "input -> gv -> tm -> output\n"
+            "gv: gaussian_v { sigma: 2.0 }\ntm: tonemap {}"
+        ),
+    }
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_glsl_mc_matches_per_node(self, name, monkeypatch):
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = self.CASES[name]
+        graph = build_graph(
+            parse_file(src, expects_input=True, shader_path="shaders")
+        )
+        prog = GraphProgram(graph, 128, 48)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc", name
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        sp = prog._strip_plan
+        prog._strip_plan = None
+        want = np.asarray(prog._forward(img, t))
+        prog._strip_plan = sp
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = prog._strip_fused_forward(img, t)
+        assert got is not None, name
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+
+    def test_pair_composes_to_single_stage(self):
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        graph = build_graph(
+            parse_file(
+                self.CASES["pair_compose"], expects_input=True,
+                shader_path="shaders",
+            )
+        )
+        prog = GraphProgram(graph, 128, 48)
+        stages = prog._strip_plan[1]["stages"]
+        kinds = [s.kind for s in stages]
+        assert kinds == ["conv", "point"], kinds
+        conv = stages[0]
+        # composed taps: 13 (v, from sigma 2) x 13 (h) after trimming
+        assert sum(1 for v in conv.wh if v != 0.0) == 13
+        assert sum(1 for v in conv.ww if v != 0.0) == 13
+
+    def test_composed_pair_fuses_at_4k_width(self):
+        """The uncomposed pair is an extent-carrying f32 conv chain
+        (gated at wide frames); composition makes it zero-extent, so the
+        whole graph stays mc at 4K — the reference's primary use mode
+        keeps the flagship path."""
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        graph = build_graph(
+            parse_file(
+                self.CASES["pair_compose"], expects_input=True,
+                shader_path="shaders",
+            )
+        )
+        prog = GraphProgram(graph, 3840, 64)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+
+    def test_compose_unit(self):
+        """compose(): kernels convolve, passthrough/offset channels mix."""
+        import numpy as np
+
+        from reforge_tpu.glsl.affine import ConvSynth, compose
+
+        a = ConvSynth(
+            wh=(1.0,), ww=(0.25, 0.5, 0.25), scale=(1.0, 1.0, 1.0, 0.0),
+            passthrough=(0.0, 0.0, 0.0, 1.0), offset=(0.0,) * 4,
+        )
+        b = ConvSynth(
+            wh=(0.5, 0.5), ww=(1.0,), scale=(1.0, 1.0, 1.0, 0.0),
+            passthrough=(0.0, 0.0, 0.0, 1.0), offset=(0.1, 0.0, 0.0, 0.2),
+        )
+        c = compose(a, b)
+        assert c is not None
+        np.testing.assert_allclose(c.wh, (0.5, 0.5))
+        np.testing.assert_allclose(c.ww, (0.25, 0.5, 0.25))
+        assert c.scale == (1.0, 1.0, 1.0, 0.0)
+        assert c.passthrough == (0.0, 0.0, 0.0, 1.0)
+        np.testing.assert_allclose(c.offset, (0.1, 0.0, 0.0, 0.2))
+        # mixed channel classes reject
+        bad = ConvSynth(
+            wh=(1.0,), ww=(0.5, 0.5), scale=(1.0, 1.0, 0.5, 0.0),
+            passthrough=(0.0, 0.0, 0.5, 1.0), offset=(0.0,) * 4,
+        )
+        assert compose(a, bad) is None
+
+    def test_conv_idiom_cliff_warns_at_wide_frames(self, tmp_path):
+        """A wide-frame conv-idiom shader that can't join the megakernel
+        warns (mirror of the GSPMD kernel cliff warning)."""
+        from reforge_tpu import utils
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        # min() of neighbor taps: static shifts (conv idiom, halo 2) but
+        # nonlinear -> synthesis rejects -> per-node at 4K width.
+        (tmp_path / "erode.comp").write_text(
+            """#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 hi = imageSize(input_image) - ivec2(1);
+    vec4 m = imageLoad(input_image, pos);
+    m = min(m, imageLoad(input_image, clamp(pos + ivec2(2, 0), ivec2(0), hi)));
+    m = min(m, imageLoad(input_image, clamp(pos - ivec2(2, 0), ivec2(0), hi)));
+    imageStore(output_image, pos, m);
+}
+"""
+        )
+        src = "input -> erode -> tm -> output\ntm: tonemap {}"
+        graph = build_graph(
+            parse_file(src, expects_input=True, shader_path=str(tmp_path))
+        )
+        # tonemap resolves to the builtin at this shader_path; erode is
+        # the file kernel under test.
+        utils.clear_warnings()
+        GraphProgram(graph, 3840, 64)
+        assert any(
+            "conv-idiom" in w and "erode" in w for w in utils.recent_warnings()
+        ), utils.recent_warnings()
