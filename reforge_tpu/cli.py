@@ -203,6 +203,13 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     headless = args.output_file is not None
     num_frames = 1 if headless else args.num_frames
+    from .io import is_video_path
+
+    # Single-image headless render: one frame, then exit.  Skips the
+    # fused/megakernel compile — a whole-graph Pallas compile only pays
+    # off across many frames (the reference renders its headless frame
+    # right after per-node shader compiles, src/main.rs:220-224).
+    one_shot = headless and not is_video_path(args.output_file)
 
     # Batch mode: a glob or directory input processes every matched image
     # through one data-parallel vmapped program (docs/sharding.md).
@@ -249,15 +256,20 @@ def main(argv: Optional[list[str]] = None) -> int:
         # Live loop: compile reloads on a background thread so the old
         # program keeps producing frames; headless runs compile inline.
         async_compile=not headless,
+        one_shot=one_shot,
     )
 
     try:
-        engine = Engine(info)
+        # One-shot engine construction pre-compiles the per-node programs
+        # (possibly slow on a cold cache): keep the user informed.
+        engine = (
+            _with_compile_status(lambda: Engine(info))
+            if one_shot
+            else Engine(info)
+        )
     except RuntimeError as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
-
-    from .io import is_video_path
 
     video_out = headless and is_video_path(args.output_file)
     # Animated export: a video OUTPUT from a still image (or a
@@ -266,11 +278,16 @@ def main(argv: Optional[list[str]] = None) -> int:
     animate = video_out and (
         decoder is None or not is_video_path(args.input_file)
     )
+    rgba = None
     if decoder is not None and (not video_out or animate):
         # Video transcode mode must not pre-consume the first frame.
         t0 = _time.perf_counter()
         rgba = decoder.decode(width, height)
-        engine.load_input(rgba)
+        if not one_shot:
+            # One-shot renders decode on device INSIDE the combined
+            # program (render_one_shot): uploading here would compile a
+            # separate decode executable for nothing.
+            engine.load_input(rgba)
         print(f"File Decode and resize: {utils.get_elapsed_ms(t0):.2f}ms")
 
     profiling = False
@@ -289,8 +306,10 @@ def main(argv: Optional[list[str]] = None) -> int:
                 return _run_animate(engine, args, width, height)
             if video_out:
                 return _run_video(engine, decoder, args, width, height)
-            out = engine.render_frame_blocking()
-            encode(args.output_file, engine.read_output(out))
+            out_u8 = _with_compile_status(
+                lambda: engine.render_one_shot(rgba)
+            )
+            encode(args.output_file, out_u8)
             return 0
         return _run_live_loop(engine, args)
     finally:
@@ -303,6 +322,38 @@ def main(argv: Optional[list[str]] = None) -> int:
                 print(f"Profiler trace written to {args.profile}", file=sys.stderr)
             except Exception as e:  # trace export failure must not eat the run
                 warnln(f"Profiler trace export failed: {e}")
+
+
+def _with_compile_status(fn):
+    """Run ``fn()`` printing a status line to stderr if it takes > 2 s
+    (first-frame XLA compiles can; silence reads as a hang).  The line
+    updates in place every few seconds and is cleared on completion."""
+    import threading
+
+    done = threading.Event()
+
+    def ticker():
+        if done.wait(2.0):
+            return
+        start = _time.perf_counter() - 2.0
+        while True:
+            sys.stderr.write(
+                f"\r\x1b[2KCompiling graph... "
+                f"({_time.perf_counter() - start:.0f}s)"
+            )
+            sys.stderr.flush()
+            if done.wait(3.0):
+                break
+        sys.stderr.write("\r\x1b[2K")
+        sys.stderr.flush()
+
+    th = threading.Thread(target=ticker, daemon=True)
+    th.start()
+    try:
+        return fn()
+    finally:
+        done.set()
+        th.join()
 
 
 def _expand_inputs(path: str) -> list[str]:

@@ -94,6 +94,13 @@ class RenderInfo:
     # Stage graph layers across N devices (pipeline parallelism); mutually
     # exclusive with shard.
     pipeline_stages: int = 0
+    # Single-frame headless render: skip megakernel planning and the fused
+    # whole-graph compile; execute through the per-node programs (small,
+    # persistently-cacheable XLA executables).  A fused/Pallas compile
+    # only amortizes over many frames — the reference's headless mode
+    # renders its one frame right after per-node shader compiles
+    # (src/main.rs:220-224), and so does this path.
+    one_shot: bool = False
 
 
 def _enable_persistent_cache() -> None:
@@ -152,6 +159,7 @@ class Engine:
         )
         self._last_kernel_mtimes = self._kernel_mtimes()
         self._watcher = self._make_watcher()
+        self._force_poll = False
 
     # ---- construction helpers ------------------------------------------
 
@@ -174,9 +182,20 @@ class Engine:
         if graph is None:
             return None
         width, height = self._target_size()
-        program = make_program(graph, width, height, self.info.fmt)
+        one_shot = (
+            self.info.one_shot
+            and not self.info.shard
+            and not self.info.pipeline_stages
+        )
+        program = make_program(
+            graph, width, height, self.info.fmt, plan_strips=not one_shot
+        )
         if program is None:
             return None
+        if one_shot:
+            # Fallback mode for direct render_frame calls; the CLI's
+            # one-shot path uses render_one_shot (one combined compile).
+            program._use_unfused = True
         if self.info.pipeline_stages:
             from .parallel import PipelineStagedProgram
 
@@ -257,8 +276,17 @@ class Engine:
         # Native inotify fast path: skip the per-file mtime stats entirely
         # on quiet frames (the mtime comparison below stays authoritative
         # when the watcher reports directory activity or is unavailable).
-        if self._watcher is not None and not self._watcher.poll():
+        # A swap recreates the watcher, so edits racing the swap can have
+        # their events dropped between the old instance's last poll and
+        # the new one's creation — _force_poll makes the first check
+        # after every swap consult mtimes unconditionally.
+        if (
+            self._watcher is not None
+            and not self._force_poll
+            and not self._watcher.poll()
+        ):
             return swapped
+        self._force_poll = False
         if self._config_changed():
             swapped = self._recreate_program() or swapped
         else:
@@ -461,6 +489,7 @@ class Engine:
         if getattr(self, "_watcher", None) is not None:
             self._watcher.close()
         self._watcher = self._make_watcher()
+        self._force_poll = True  # see trigger_reloads: no event loss on swap
 
     # ---- frame execution ------------------------------------------------
 
@@ -506,6 +535,38 @@ class Engine:
         out = self.render_frame(t)
         jax.block_until_ready(out)
         return out
+
+    def render_one_shot(
+        self, rgba_u8: Optional[np.ndarray], t: Optional[float] = None
+    ) -> np.ndarray:
+        """Render ONE frame as a single combined XLA program:
+        decode -> graph -> sRGB encode, straight from the host u8 image
+        to the host u8 result.
+
+        The point is compile COUNT: on tunneled devices each compile is a
+        long serialized RPC, so the per-node path pays sum-of-node
+        compiles cold (measured 2m16s for a 5-node graph) while this path
+        pays exactly one (and one persistent-cache entry warm).  The
+        reference's headless mode is the same shape: per-shader compiles,
+        one execute, encode, exit (src/main.rs:220-224).
+        """
+        if t is None:
+            t = self.time_since_start
+        program = self.program
+
+        def fn(u8, tt):
+            planar = decode_image_to_planar(u8)
+            out = program._forward(planar, tt)
+            return encode_planar_to_image(out)
+
+        if rgba_u8 is None:
+            # Generator-only graph: the input argument is DCE'd by XLA.
+            rgba_u8 = np.zeros(
+                (self.info.height, self.info.width, 4), np.uint8
+            )
+        return np.asarray(
+            jax.jit(fn)(jnp.asarray(rgba_u8), jnp.float32(t))
+        )
 
     def read_output(self, out: jnp.ndarray) -> np.ndarray:
         """Device linear (4,H,W) -> host sRGB (H,W,4) uint8 (render.rs:406-433)."""

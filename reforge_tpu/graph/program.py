@@ -105,6 +105,7 @@ class GraphProgram:
         fmt: str = "rgba32f",
         *,
         segments_ok: bool = True,
+        plan_strips: bool = True,
     ):
         self.graph = graph
         self.width = width
@@ -113,7 +114,12 @@ class GraphProgram:
         self.storage_dtype = self.STORAGE_DTYPES.get(fmt, jnp.float32)
         self._fused = jax.jit(self._forward)
         self._segments_ok = segments_ok
-        self._strip_plan = self._plan_strip_fusion()
+        # plan_strips=False: one-shot renders skip megakernel planning
+        # entirely — the Mosaic compile (minutes through a device tunnel)
+        # and the GLSL conv-synthesis probing only pay off across many
+        # frames; a single frame is fastest through the per-node programs
+        # (each a small, persistently-cacheable XLA executable).
+        self._strip_plan = self._plan_strip_fusion() if plan_strips else None
         self._coord_plane_stack = None  # lazy; see _strip_fused_forward
         self._node_fns: dict[str, Any] = {}
         self._seq_fns: dict[tuple, Any] = {}  # render_sequence jits
@@ -1377,6 +1383,40 @@ class GraphProgram:
         zeros = jnp.zeros((4, self.height, self.width), jnp.float32)
         jax.block_until_ready(self.run_unfused(zeros, 0.0))
 
+    def warm_unfused_parallel(self) -> None:
+        """Compile ALL per-node programs concurrently.
+
+        On tunneled devices each compile is a ~tens-of-seconds RPC; the
+        sequential first-call compiles of ``run_unfused`` would serialize
+        them, so a cold one-shot pays sum-of-compiles.  Dispatching every
+        node's program from its own thread (with zero inputs of the right
+        shapes) overlaps the RPCs: cold cost becomes ~max-of-compiles.
+        Node programs already cached are a no-op."""
+        import concurrent.futures as cf
+
+        t = jnp.float32(0.0)
+
+        def zeros_of(res):
+            size = self.graph.buffer_sizes.get(res)
+            if size is not None:
+                return jnp.zeros((size,), jnp.float32)
+            return jnp.zeros(
+                (4, self.height, self.width), self.storage_dtype
+            )
+
+        jobs = []
+        for layer in self.graph.layers:
+            for node in layer:
+                fn = self._node_fn(node)
+                needed = {res: zeros_of(res) for res, _ in node.inputs}
+                jobs.append((fn, needed))
+        if not jobs:
+            return
+        with cf.ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+            futures = [ex.submit(fn, needed, t) for fn, needed in jobs]
+            for fu in futures:
+                jax.block_until_ready(fu.result())
+
     def compile(self) -> None:
         """Eagerly AOT-compile the fused program for this graph's extent.
 
@@ -1502,7 +1542,8 @@ class GraphProgram:
 
 
 def make_program(
-    graph: BuiltGraph, width: int, height: int, fmt: str = "rgba32f"
+    graph: BuiltGraph, width: int, height: int, fmt: str = "rgba32f",
+    plan_strips: bool = True,
 ) -> Optional[GraphProgram]:
     """Build a GraphProgram and validate it by abstract evaluation.
 
@@ -1511,7 +1552,7 @@ def make_program(
     any compute, so a bad live edit is rejected while the previous program
     keeps rendering.
     """
-    program = GraphProgram(graph, width, height, fmt)
+    program = GraphProgram(graph, width, height, fmt, plan_strips=plan_strips)
     if program.compile_cached():
         # This exact graph signature compiled (hence validated) before —
         # a live re-edit back to a known-good state swaps with zero

@@ -567,3 +567,41 @@ class TestScaledReadback:
         cells = lin.reshape(4, 16, 2, 32, 2).mean(axis=(2, 4))
         want = np.asarray(eng.read_output(jnp.asarray(cells, jnp.float32)))
         np.testing.assert_allclose(small.astype(int), want.astype(int), atol=1)
+
+
+class TestOneShot:
+    """One-shot headless path: plan_strips off, single combined
+    decode->graph->encode compile (engine.render_one_shot).  Cold cost on
+    a tunneled chip fell from sum-of-node-compiles (2m16s measured) to
+    one compile (16s); warm runs hit the persistent cache (4.6s
+    end-to-end, BENCH.md one-shot table)."""
+
+    def test_render_one_shot_matches_frame_path(self, tmp_path):
+        eng, _ = make_engine(
+            tmp_path,
+            "input -> invert -> output",
+            one_shot=True,
+        )
+        # one-shot engines skip strip planning and run unfused
+        assert eng.program._strip_plan is None
+        assert eng.program._use_unfused
+        rgba = np.random.default_rng(3).integers(
+            0, 256, (16, 24, 4), dtype=np.uint8
+        )
+        got = eng.render_one_shot(rgba, t=0.25)
+        assert got.shape == (16, 24, 4) and got.dtype == np.uint8
+        # reference: the ordinary frame path on an identical engine
+        eng2, _ = make_engine(tmp_path, "input -> invert -> output")
+        eng2.load_input(rgba)
+        want = eng2.read_output(eng2.render_frame_blocking(0.25))
+        np.testing.assert_array_equal(got, want)
+
+    def test_render_one_shot_generator_only(self, tmp_path):
+        eng, _ = make_engine(
+            tmp_path,
+            "cb -> output\ncb: checkerboard { size: 4 }",
+            one_shot=True,
+        )
+        out = eng.render_one_shot(None, t=0.0)
+        assert out.shape == (16, 24, 4)
+        assert out[..., :3].std() > 0  # the pattern rendered
