@@ -448,17 +448,27 @@ def _run_batch(args, inputs: list[str]) -> int:
 
 class _FrameWriter:
     """Background readback+encode: the main thread queues device frames
-    while a daemon thread fetches and encodes them (the fetch is the slow
-    stage on tunneled devices).  After a failure the queue drains without
-    writing; the first error surfaces via ``finish``."""
+    while a daemon thread encodes them in order.  Device->host fetches
+    run in a small thread POOL ahead of the encoder: on tunneled devices
+    a single fetch stream crawls (~4 MB/s measured) while four
+    concurrent streams reach ~17 MB/s, and on local deployments the
+    overlap hides fetch latency behind the encoder.  After a failure the
+    queue drains without writing; the first error surfaces via
+    ``finish``."""
 
-    def __init__(self, engine: Engine, enc, maxsize: int):
+    def __init__(self, engine: Engine, enc, maxsize: int,
+                 fetch_workers: int = 4):
+        import concurrent.futures as cf
         import queue
         import threading
 
         self._engine = engine
         self._enc = enc
+        # Queue of fetch FUTURES (submitted at put time, so up to
+        # maxsize + fetch_workers frames are in flight): the encoder
+        # consumes them in submission order.
         self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self._pool = cf.ThreadPoolExecutor(max_workers=fetch_workers)
         self._errors: list = []
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -471,12 +481,12 @@ class _FrameWriter:
             if self._errors:
                 continue  # drain remaining items after a failure
             try:
-                self._enc.write(self._engine.read_output(item))
+                self._enc.write(item.result())
             except Exception as e:  # surfaced on the main thread
                 self._errors.append(e)
 
     def put(self, frame) -> None:
-        self._q.put(frame)
+        self._q.put(self._pool.submit(self._engine.read_output, frame))
 
     @property
     def failed(self) -> bool:
@@ -486,6 +496,7 @@ class _FrameWriter:
         """Join the writer; returns the first write error, if any."""
         self._q.put(None)
         self._thread.join()
+        self._pool.shutdown(wait=True)
         return self._errors[0] if self._errors else None
 
 

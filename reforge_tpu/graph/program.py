@@ -897,6 +897,17 @@ class GraphProgram:
                  if st.kind == "conv" and st.mxu),
                 default=0,
             ),
+            # A conv/stencil stage reading an INTERMEDIATE diverges at the
+            # true image border when the kernel runs on a halo-extended
+            # slab: the unsharded program clamps the intermediate at the
+            # edge, while compute-through evaluates it on replicated
+            # input — different values.  The halo executor switches to
+            # edge-aware slab variants when set (parallel/halo.py).
+            "edge_hazard": any(
+                st.kind in ("conv", "stencil")
+                and any(b >= 0 for b in st.in_bufs)
+                for st in stages
+            ),
         }
 
     def _plan_strip_segments(self):
@@ -1066,7 +1077,13 @@ class GraphProgram:
         from ..kernels import ops as _ops
         from ..kernels import pallas_ops
 
-        if self._strip_plan is None or not _ops._use_pallas():
+        if self._strip_plan is None or not (
+            _ops._use_pallas()
+            # CPU-mesh validation (multichip dryrun): the megakernels run
+            # in Pallas interpret mode so the sharded-megakernel
+            # composition is exercised without TPU hardware.
+            or _os.environ.get("REFORGE_PALLAS_INTERPRET") == "1"
+        ):
             return None
         if self._strip_plan[0] == "segments":
             return None  # hybrid plans execute via _segments_forward

@@ -1413,6 +1413,7 @@ def graph_strip_fused(
     (n_aux, h, w) f32 stack of precomputed coordinate planes streamed to
     the epilogue per strip (epilogue then takes a sixth ``aux_blocks``
     argument).  See _graph_strip_kernel."""
+    interpret = interpret or _os.environ.get("REFORGE_PALLAS_INTERPRET") == "1"
     c, h, w = x.shape
     whs = [np.asarray(wh, np.float32) for wh, _ in plans]
     wws = [np.asarray(ww, np.float32) for _, ww in plans]
@@ -2974,6 +2975,7 @@ def graph_strip_fused_mc(
     round-trip; defaults from the dtype).  The caller (the graph
     program's planner) guarantees the geometry gates checked by
     mc_strip_tile_h."""
+    interpret = interpret or _os.environ.get("REFORGE_PALLAS_INTERPRET") == "1"
     c, h, w = x.shape
     assert h % tile_h == 0 and h // tile_h >= 2 and tile_h >= rh_in
     assert w % 128 == 0 and rh_in % 8 == 0 and ew_in % 8 == 0

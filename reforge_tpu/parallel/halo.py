@@ -186,7 +186,10 @@ class HaloShardedProgram:
         through (None) on CPU meshes or when the program's strip gates
         say no — the per-node exchange path below is always correct."""
         prog = self.program
-        if not self._mesh_is_tpu or prog._strip_plan is None:
+        import os as _os
+
+        force_interp = _os.environ.get("REFORGE_PALLAS_INTERPRET") == "1"
+        if not (self._mesh_is_tpu or force_interp) or prog._strip_plan is None:
             return None
         if prog._strip_plan[0] == "segments":
             # Hybrid plans interleave fused segments with per-node nodes;
@@ -198,6 +201,15 @@ class HaloShardedProgram:
             # halo; one exchange of that many rows bounds every stage's
             # boundary error inside the cropped border.
             RH = prog._strip_plan[1]["input_halo"]
+            if prog._strip_plan[1].get("edge_hazard"):
+                # A conv/stencil of an INTERMEDIATE diverges at the true
+                # image border on a replica-extended slab (the unsharded
+                # kernel clamps the intermediate at the edge; computing
+                # through replicas yields different values).  Edge-aware
+                # slab variants keep the megakernel exact.
+                return self._strip_local_hazard(
+                    x_local, t, idx, RH
+                )
         else:
             _tag, conv_items, _ = prog._strip_plan
             RH = max((len(wh) - 1) // 2 for _, (wh, ww) in conv_items)
@@ -214,6 +226,75 @@ class HaloShardedProgram:
         if out_ext is None:
             return None
         return out_ext[:, RH:-RH, :]
+
+    def _strip_local_hazard(self, x_local: jnp.ndarray, t, idx, RH: int):
+        """Megakernel-per-shard for mc plans whose stages read
+        INTERMEDIATES with a halo (plan["edge_hazard"]).
+
+        The uniform replica-extended slab is exact for stages reading the
+        file input (replicated rows ARE the clamp semantics) but not for
+        convs of intermediates at the true image border.  Three slab
+        variants keep it exact everywhere: the first/last shard run the
+        kernel on a slab whose outer side ends at the TRUE image edge —
+        the kernel's own in-VMEM edge replication then clamps the
+        intermediates exactly like the unsharded program — and interior
+        shards compute through genuine neighbor data on both sides.
+        ``lax.switch`` selects the variant per device inside the single
+        SPMD program.  Falls through (None -> per-node exchange path)
+        when any variant's strip geometry fails the tile gates."""
+        from ..kernels import pallas_ops
+
+        prog = self.program
+        h_local, n = self.h_local, self.n
+        plan = prog._strip_plan[1]
+        if RH == 0 or RH >= h_local or n == 1:
+            # n == 1: the raw slab IS the whole image; run the kernel
+            # directly (both edges true).
+            if n == 1:
+                return prog._strip_fused_forward(x_local, t, row0_base=0)
+            return None
+
+        def tile_ok(hh: int) -> bool:
+            return pallas_ops.mc_strip_tile_h(
+                hh, prog.width, plan["rh_in"], plan["ew_in"],
+                max(plan["n_bufs"], 1),
+                itemsize=x_local.dtype.itemsize,
+                min_tile=2 * plan.get("eh_max", 0),
+                mxu_t_max=plan.get("mxu_t_max", 0),
+            ) is not None
+
+        R = next(
+            (
+                c for c in range(RH, min(RH + 33, h_local))
+                if tile_ok(h_local + 2 * c) and tile_ok(h_local + c)
+            ),
+            None,
+        )
+        if R is None:
+            return None
+        ext = halo_pad(x_local, R, n, idx, mode="edge")
+        row0 = idx * h_local
+
+        def top(_):
+            out = prog._strip_fused_forward(
+                ext[:, R:, :], t, row0_base=row0
+            )
+            return out[:, :h_local, :]
+
+        def mid(_):
+            out = prog._strip_fused_forward(ext, t, row0_base=row0 - R)
+            return out[:, R:-R, :]
+
+        def bot(_):
+            out = prog._strip_fused_forward(
+                ext[:, : h_local + R, :], t, row0_base=row0 - R
+            )
+            return out[:, R:, :]
+
+        # The tile gates were proven for both extended heights above, so
+        # none of the branches can return None.
+        sel = jnp.where(idx == 0, 0, jnp.where(idx == self.n - 1, 2, 1))
+        return jax.lax.switch(sel, [top, mid, bot], 0)
 
     def _local_forward_impl(self, file_input_local: jnp.ndarray, t: jnp.ndarray):
         prog = self.program

@@ -524,3 +524,43 @@ class TestStripLocalHalo:
         assert calls and all(calls), "strip-local path did not engage"
         want = np.asarray(prog(img, 0.25))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_strip_local_mc_edge_hazard_exact(self, mesh, monkeypatch):
+        """mc plans whose stages read INTERMEDIATES with a halo (conv of
+        conv, stencil of conv) are border-hazardous on replica-extended
+        slabs: the unsharded kernel clamps the intermediate at the true
+        image edge, compute-through does not.  The edge-aware slab
+        variants (halo.py _strip_local_hazard, lax.switch over
+        top/mid/bottom shards) must match the unsharded program EXACTLY
+        at the borders — this failed with a 0.22 max-abs border error
+        before round 5's fix (caught by the multichip dryrun probe)."""
+        import os
+
+        from reforge_tpu.kernels import pallas_ops
+
+        src = (
+            "input -> gs -> edge -> tone -> output\n"
+            "gs: gaussian { sigma: 2.0 }\nedge: sobel {}\ntone: tonemap {}\n"
+        )
+        # h_local=48: the hazard path's radius search lands on R=16
+        # (48+2R=80 and 48+R=64 both admit tile 16 >= rh_in).
+        prog = build(src, w=256, h=48 * 8)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        assert prog._strip_plan[1]["edge_hazard"]
+        img = rand_image(h=48 * 8, w=256)
+        want = np.asarray(prog(img, 0.0))
+
+        calls = []
+        orig = prog._strip_fused_forward
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            calls.append(out is not None)
+            return out
+
+        monkeypatch.setattr(prog, "_strip_fused_forward", spy)
+        monkeypatch.setenv("REFORGE_PALLAS_INTERPRET", "1")
+        sharded = HaloShardedProgram(prog, mesh)
+        got = np.asarray(sharded(sharded.shard_input(img), 0.0))
+        assert calls and all(calls), "hazard strip path did not engage"
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
