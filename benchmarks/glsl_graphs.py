@@ -72,18 +72,20 @@ def main() -> int:
     img = make_test_image(height, width)
 
     cases = [
-        ("glsl-chain", GLSL_CHAIN, None, False),
-        ("builtin-chain", BUILTIN_CHAIN, None, True),
-        ("glsl-sharpen", GLSL_SHARPEN, None, False),
-        ("glsl-plain", GLSL_CHAIN, {"REFORGE_GLSL_CONV_SYNTH": "0"}, False),
+        ("glsl-chain", GLSL_CHAIN, None, False, "rgba32f"),
+        ("glsl-chain-16f", GLSL_CHAIN, None, False, "rgba16f"),
+        ("builtin-chain", BUILTIN_CHAIN, None, True, "rgba32f"),
+        ("glsl-sharpen", GLSL_SHARPEN, None, False, "rgba32f"),
+        ("glsl-plain", GLSL_CHAIN, {"REFORGE_GLSL_CONV_SYNTH": "0"}, False,
+         "rgba32f"),
     ]
-    for name, src, env, builtins_only in cases:
+    for name, src, env, builtins_only, fmt in cases:
         saved = {}
         for k, v in (env or {}).items():
             saved[k] = os.environ.get(k)
             os.environ[k] = v
         try:
-            prog = build(src, width, height, builtins_only=builtins_only)
+            prog = build(src, width, height, fmt, builtins_only=builtins_only)
             plan = prog._strip_plan[0] if prog._strip_plan else "none"
             best = None
             for _ in range(3):

@@ -428,4 +428,9 @@ def translate_shader(
         source_path=path,
         doc=f"GLSL kernel translated from {path or name}",
     )
+    # Content identity for the conv-synthesis disk cache (glsl/affine.py):
+    # keyed by what was actually compiled, immune to mtime games.
+    import hashlib
+
+    spec.glsl_source_hash = hashlib.sha256(source.encode()).hexdigest()  # type: ignore[attr-defined]
     return spec

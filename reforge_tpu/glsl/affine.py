@@ -60,6 +60,11 @@ MAX_SYNTH_RADIUS = 64
 _SYNTH_CACHE: dict[tuple, Optional["ConvSynth"]] = {}
 _SYNTH_CACHE_MAX = 256
 
+# Probing costs ~5 s per (shader, params) — two XLA CPU compiles — so
+# results also persist on disk keyed by (source sha, params, versions):
+# a fresh process building a known graph pays file reads, not probes.
+_DISK_VERSION = 1
+
 
 @dataclasses.dataclass(frozen=True)
 class ConvSynth:
@@ -178,19 +183,95 @@ def synthesize_conv(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
     """
     if os.environ.get("REFORGE_GLSL_CONV_SYNTH", "1") == "0":
         return None
-    key = (id(spec), tuple(sorted(params.items())))
+    params_key = tuple(sorted(params.items()))
+    key = (id(spec), params_key)
     if key in _SYNTH_CACHE:
         return _SYNTH_CACHE[key]
     if len(_SYNTH_CACHE) >= _SYNTH_CACHE_MAX:
         _SYNTH_CACHE.clear()
-    got = None
-    try:
-        got = _synthesize(spec, params)
-    except Exception as e:  # probe failures are a planner miss, not an error
-        warnln(f"conv synthesis for '{spec.name}' failed: {e}")
-        got = None
+    got, hit = _disk_load(spec, params_key)
+    if not hit:
+        try:
+            got = _synthesize(spec, params)
+        except Exception as e:  # probe failure is a planner miss, not an error
+            warnln(f"conv synthesis for '{spec.name}' failed: {e}")
+            got = None
+        _disk_store(spec, params_key, got)
     _SYNTH_CACHE[key] = got
     return got
+
+
+def _disk_path(spec, params_key) -> Optional[str]:
+    import hashlib
+
+    src_hash = getattr(spec, "glsl_source_hash", None)
+    if src_hash is None:
+        return None
+    import jax
+
+    raw = repr((src_hash, params_key, _DISK_VERSION, jax.__version__))
+    name = hashlib.sha256(raw.encode()).hexdigest()
+    base = os.environ.get(
+        "REFORGE_SYNTH_CACHE",
+        os.path.expanduser("~/.cache/reforge_tpu/convsynth"),
+    )
+    return os.path.join(base, name + ".json")
+
+
+def _disk_load(spec, params_key) -> tuple[Any, bool]:
+    import json
+
+    path = _disk_path(spec, params_key)
+    if path is None or not os.path.exists(path):
+        return None, False
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if d is None:
+            return None, True  # cached rejection
+        if d["kind"] == "conv":
+            return ConvSynth(
+                wh=tuple(d["wh"]), ww=tuple(d["ww"]),
+                scale=tuple(d["scale"]),
+                passthrough=tuple(d["passthrough"]),
+                offset=tuple(d["offset"]),
+            ), True
+        return StencilSynth(
+            w=tuple(tuple(r) for r in d["w"]),
+            scale=tuple(d["scale"]),
+            passthrough=tuple(d["passthrough"]),
+            offset=tuple(d["offset"]),
+        ), True
+    except Exception:
+        return None, False  # unreadable entry: re-probe
+
+
+def _disk_store(spec, params_key, got) -> None:
+    import json
+
+    path = _disk_path(spec, params_key)
+    if path is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if got is None:
+            d = None
+        elif isinstance(got, ConvSynth):
+            d = dict(
+                kind="conv", wh=got.wh, ww=got.ww, scale=got.scale,
+                passthrough=got.passthrough, offset=got.offset,
+            )
+        else:
+            d = dict(
+                kind="stencil", w=got.w, scale=got.scale,
+                passthrough=got.passthrough, offset=got.offset,
+            )
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # the disk cache is an optimization; never fail planning
 
 
 def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:

@@ -1200,6 +1200,48 @@ class TestGlslMegakernel:
         assert got is not None, name
         np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
 
+    def test_glsl_chain_rgba16f_mxu(self, monkeypatch):
+        """The composed GLSL conv at bf16 storage rides the single-product
+        MXU band stage (fast mode), agreeing with per-node execution to
+        O(1 bf16 ulp) — the documented tier-arithmetic contract
+        (docs/architecture.md)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        graph = build_graph(
+            parse_file(
+                self.CASES["pair_compose"], expects_input=True,
+                shader_path="shaders",
+            )
+        )
+        prog = GraphProgram(graph, 128, 48, "rgba16f")
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        conv = prog._strip_plan[1]["stages"][0]
+        assert conv.mxu and conv.mxu_terms == 1 and conv.epilogue is not None
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.3)
+        sp = prog._strip_plan
+        prog._strip_plan = None
+        want = np.asarray(prog._forward(img, t), np.float32)
+        prog._strip_plan = sp
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = np.asarray(prog._strip_fused_forward(img, t), np.float32)
+        # one bf16 ulp at ~1.0 is 2^-8
+        np.testing.assert_allclose(got, want, atol=2 ** -7)
+
     def test_pair_composes_to_single_stage(self):
         from reforge_tpu.config import parse_file
         from reforge_tpu.graph import build_graph
