@@ -435,7 +435,13 @@ def _run_batch(args, inputs: list[str]) -> int:
     planar = jax.vmap(decode_image_to_planar)(batch_u8)
     planar, n = bp.pad_batch(planar)
     out = bp(bp.shard_input(planar), 0.0)
-    rgba = np.asarray(jax.vmap(encode_planar_to_image)(out[:n]))
+    enc_dev = jax.vmap(encode_planar_to_image)(out[:n])
+    # Per-image fetches across a small pool: a single device->host
+    # stream crawls on tunneled devices (~4 MB/s; four streams ~17).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        rgba = list(ex.map(lambda i: np.asarray(enc_dev[i]), range(n)))
 
     for i, path in enumerate(inputs):
         encode(_batch_output_path(args.output_file, path), rgba[i])

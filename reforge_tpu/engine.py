@@ -365,7 +365,10 @@ class Engine:
                     # render.rs:497-519), while the fused whole-graph
                     # compile continues below.
                     try:
-                        program.warm_unfused()
+                        # Parallel: edits touching several nodes compile
+                        # them concurrently (single-node edits hit the
+                        # per-node cache either way).
+                        program.warm_unfused_parallel()
                         program._use_unfused = True
                         publish(program)
                     except Exception as e:
