@@ -209,7 +209,15 @@ def main(argv: Optional[list[str]] = None) -> int:
     # fused/megakernel compile — a whole-graph Pallas compile only pays
     # off across many frames (the reference renders its headless frame
     # right after per-node shader compiles, src/main.rs:220-224).
-    one_shot = headless and not is_video_path(args.output_file)
+    # Sharded/pipelined renders keep the ordinary frame path: their
+    # executors (HaloShardedProgram/PipelineStagedProgram) ARE the
+    # program, and render_one_shot would bypass them.
+    one_shot = (
+        headless
+        and not is_video_path(args.output_file)
+        and not args.shard
+        and not args.pipeline
+    )
 
     # Batch mode: a glob or directory input processes every matched image
     # through one data-parallel vmapped program (docs/sharding.md).
@@ -306,9 +314,15 @@ def main(argv: Optional[list[str]] = None) -> int:
                 return _run_animate(engine, args, width, height)
             if video_out:
                 return _run_video(engine, decoder, args, width, height)
-            out_u8 = _with_compile_status(
-                lambda: engine.render_one_shot(rgba)
-            )
+            if one_shot:
+                out_u8 = _with_compile_status(
+                    lambda: engine.render_one_shot(rgba)
+                )
+            else:
+                # Sharded/pipelined single-frame render: the ordinary
+                # frame path dispatches through the parallel executor.
+                out = _with_compile_status(engine.render_frame_blocking)
+                out_u8 = engine.read_output(out)
             encode(args.output_file, out_u8)
             return 0
         return _run_live_loop(engine, args)

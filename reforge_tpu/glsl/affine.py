@@ -130,6 +130,16 @@ def compose(a: ConvSynth, b: ConvSynth) -> Optional[ConvSynth]:
     passes a channel that B convolves) needs two distinct kernels and
     cannot ride one stage.
     """
+    # Exactness requires that, PER AXIS, at most one factor carries taps:
+    # two vertical passes chained (gaussian_v -> gaussian_v) clamp the
+    # FIRST pass's output rows at the border, which a single conv with
+    # the convolved kernel does not reproduce (3-tap box twice on
+    # x=[3,0,0,..]: chained gives 5/3 at the edge, composed 2.0).  The
+    # h->v pair — the idiom this exists for — always passes.
+    if len(a.wh) > 1 and len(b.wh) > 1:
+        return None
+    if len(a.ww) > 1 and len(b.ww) > 1:
+        return None
     sum_b = float(np.sum(b.wh) * np.sum(b.ww))
     scale, passthrough, offset = [], [], []
     any_conv = False
@@ -184,7 +194,12 @@ def synthesize_conv(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
     if os.environ.get("REFORGE_GLSL_CONV_SYNTH", "1") == "0":
         return None
     params_key = tuple(sorted(params.items()))
-    key = (id(spec), params_key)
+    # Key by source CONTENT when available: an id() key could be reused
+    # by a new spec after the old one is GC'd mid-session (the loader
+    # replaces its cache entry on every source edit), silently serving
+    # the previous shader's plan.
+    ident = getattr(spec, "glsl_source_hash", None) or id(spec)
+    key = (ident, params_key)
     if key in _SYNTH_CACHE:
         return _SYNTH_CACHE[key]
     if len(_SYNTH_CACHE) >= _SYNTH_CACHE_MAX:

@@ -119,7 +119,14 @@ class GraphProgram:
         # and the GLSL conv-synthesis probing only pay off across many
         # frames; a single frame is fastest through the per-node programs
         # (each a small, persistently-cacheable XLA executable).
-        self._strip_plan = self._plan_strip_fusion() if plan_strips else None
+        #
+        # Planning is LAZY (the _strip_plan property): it can cost
+        # seconds (GLSL conv-synthesis probing), and the engine's async
+        # rebuild publishes the interim per-node program FIRST — planning
+        # runs when the fused path first traces, on the background
+        # compile, not ahead of the interim swap.
+        self._strip_planned = not plan_strips
+        self._strip_plan_cache = None
         self._coord_plane_stack = None  # lazy; see _strip_fused_forward
         self._node_fns: dict[str, Any] = {}
         self._seq_fns: dict[tuple, Any] = {}  # render_sequence jits
@@ -130,6 +137,18 @@ class GraphProgram:
         self._use_unfused = False
 
     # ---- tracing --------------------------------------------------------
+
+    @property
+    def _strip_plan(self):
+        if not self._strip_planned:
+            self._strip_planned = True
+            self._strip_plan_cache = self._plan_strip_fusion()
+        return self._strip_plan_cache
+
+    @_strip_plan.setter
+    def _strip_plan(self, value):
+        self._strip_planned = True
+        self._strip_plan_cache = value
 
     def _ctx(self, t) -> KernelContext:
         return KernelContext(width=self.width, height=self.height, time=t, fmt=self.fmt)
@@ -199,6 +218,21 @@ class GraphProgram:
             return strip
         if self._strip_plan is not None and self._strip_plan[0] == "segments":
             return self._segments_forward(resources, ctx, t)
+        return self._forward_layers(resources, ctx)
+
+    def _forward_nostrip(
+        self, file_input: jnp.ndarray, t: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Per-node trace only — make_program validates with this so
+        building a program never triggers strip planning (which can cost
+        seconds of GLSL conv-synthesis probing; see _strip_plan)."""
+        ctx = self._ctx(t)
+        resources: dict[str, Any] = {
+            FILE_INPUT: file_input.astype(self.storage_dtype)
+        }
+        return self._forward_layers(resources, ctx)
+
+    def _forward_layers(self, resources: dict, ctx: KernelContext):
         for layer in self.graph.layers:
             bundles, singles = self._bundle_groups(layer)
             for res, items in bundles:
@@ -1578,7 +1612,7 @@ def make_program(
     try:
         shape = jax.ShapeDtypeStruct((4, height, width), jnp.float32)
         t = jax.ShapeDtypeStruct((), jnp.float32)
-        jax.eval_shape(program._forward, shape, t)
+        jax.eval_shape(program._forward_nostrip, shape, t)
     except GraphTraceError as e:
         warnln(f"Graph build failed: {e}")
         return None

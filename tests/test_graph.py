@@ -1307,6 +1307,62 @@ class TestGlslMegakernel:
             passthrough=(0.0, 0.0, 0.5, 1.0), offset=(0.0,) * 4,
         )
         assert compose(a, bad) is None
+        # SAME-AXIS pairs reject: chained edge-clamped convs on one axis
+        # are not a single conv of the convolved kernel at borders
+        # (3-tap box twice on [3,0,0,...]: chained 5/3 vs composed 2.0).
+        v = ConvSynth(
+            wh=(0.25, 0.5, 0.25), ww=(1.0,), scale=(1.0,) * 4,
+            passthrough=(0.0,) * 4, offset=(0.0,) * 4,
+        )
+        assert compose(v, v) is None
+        hh = ConvSynth(
+            wh=(1.0,), ww=(0.25, 0.5, 0.25), scale=(1.0,) * 4,
+            passthrough=(0.0,) * 4, offset=(0.0,) * 4,
+        )
+        assert compose(hh, hh) is None
+        assert compose(hh, v) is not None  # complementary axes compose
+
+    def test_same_axis_glsl_pair_stays_unmerged_and_exact(self, monkeypatch):
+        """gaussian_v.comp -> gaussian_v.comp must NOT compose (border
+        semantics); the pair still fuses as two stages at narrow widths
+        and matches per-node execution."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        src = (
+            "input -> a -> b -> output\n"
+            "a: gaussian_v { sigma: 1.5 }\nb: gaussian_v { sigma: 1.5 }"
+        )
+        graph = build_graph(
+            parse_file(src, expects_input=True, shader_path="shaders")
+        )
+        prog = GraphProgram(graph, 128, 64)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        convs = [s for s in prog._strip_plan[1]["stages"] if s.kind == "conv"]
+        assert len(convs) == 2, "same-axis pair must not merge"
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.random((4, 64, 128), dtype=np.float32))
+        t = jnp.float32(0.0)
+        sp = prog._strip_plan
+        prog._strip_plan = None
+        want = np.asarray(prog._forward(img, t))
+        prog._strip_plan = sp
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = prog._strip_fused_forward(img, t)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
 
     def test_conv_idiom_cliff_warns_at_wide_frames(self, tmp_path):
         """A wide-frame conv-idiom shader that can't join the megakernel
@@ -1340,7 +1396,10 @@ void main() {
         # tonemap resolves to the builtin at this shader_path; erode is
         # the file kernel under test.
         utils.clear_warnings()
-        GraphProgram(graph, 3840, 64)
+        prog = GraphProgram(graph, 3840, 64)
+        # Planning is lazy (it runs when the fused path first traces, on
+        # the engine's background compile): touch the plan as that would.
+        _ = prog._strip_plan
         assert any(
             "conv-idiom" in w and "erode" in w for w in utils.recent_warnings()
         ), utils.recent_warnings()
