@@ -63,7 +63,9 @@ _SYNTH_CACHE_MAX = 256
 # Probing costs ~5 s per (shader, params) — two XLA CPU compiles — so
 # results also persist on disk keyed by (source sha, params, versions):
 # a fresh process building a known graph pays file reads, not probes.
-_DISK_VERSION = 1
+# v2: impulse-response windows are flipped to tap order (v1 entries for
+# asymmetric kernels were mirrored).
+_DISK_VERSION = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -350,10 +352,16 @@ def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
             for d in range(4):
                 if d != c and np.abs(resp[c][d]).max() > _DECOMP_ATOL:
                     return None
+        # The response of OUTPUT pixels to an impulse at the center is the
+        # tap kernel REVERSED (out[p] = sum_j w_j x[p+j], so the impulse
+        # at c contributes w_{c-p} at p): flip both axes to recover w
+        # itself.  Symmetric kernels (gaussians) hide this; asymmetric
+        # ones (directional blurs) would render mirrored without it —
+        # caught by the synthesis fuzz suite.
         wins = [
-            resp[c][c, cy - r : cy + r + 1, cx - r : cx + r + 1].astype(
-                np.float64
-            )
+            resp[c][c, cy - r : cy + r + 1, cx - r : cx + r + 1][
+                ::-1, ::-1
+            ].astype(np.float64)
             for c in range(4)
         ]
         # Support must live inside the window (guaranteed by the halo
@@ -368,7 +376,9 @@ def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
         # same window translated.
         imp_s = zero.at[0, cy + 1, cx + 2].set(1.0)
         rs = np.asarray(f_a(imp_s, t1)) - b_img
-        win_s = rs[0, cy + 1 - r : cy + 1 + r + 1, cx + 2 - r : cx + 2 + r + 1]
+        win_s = rs[
+            0, cy + 1 - r : cy + 1 + r + 1, cx + 2 - r : cx + 2 + r + 1
+        ][::-1, ::-1]
         if not np.allclose(win_s, wins[0], atol=_DECOMP_ATOL):
             return None
 

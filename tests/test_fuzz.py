@@ -615,3 +615,149 @@ def test_expr_shader_differential_fuzz(seed):
     )
     want = ScalarRef(src, {"input_image": base}).run()["output_image"]
     np.testing.assert_allclose(got, want, atol=5e-4, err_msg=src)
+
+
+# ---- GLSL conv-synthesis fuzz --------------------------------------------
+# Random affine tap-sum shaders must be RECOVERED by the probe synthesis
+# (glsl/affine.py) — and the recovered plan must reproduce the shader —
+# while random nonlinear/time/coordinate-dependent impostors must be
+# REJECTED (a false positive would silently render wrong frames on the
+# fused path).
+
+
+def _conv_shader_src(rng):
+    """A random separable tap-sum .comp source + its expected structure."""
+    ry = int(rng.integers(0, 4))
+    rx = int(rng.integers(0, 4))
+    if ry == 0 and rx == 0:
+        rx = 1 + int(rng.integers(0, 3))
+    wh = rng.uniform(-0.4, 1.0, 2 * ry + 1)
+    ww = rng.uniform(-0.4, 1.0, 2 * rx + 1)
+    # keep the kernel from degenerating to (near) a delta multiple
+    wh[0] += 0.5
+    ww[-1] += 0.5
+    scale = float(rng.choice([1.0, 0.5, 2.0]))
+    offset = float(rng.choice([0.0, 0.0, 0.25]))
+    taps = []
+    for dy in range(-ry, ry + 1):
+        for dx in range(-rx, rx + 1):
+            w = float(wh[dy + ry] * ww[dx + rx] * scale)
+            taps.append(
+                f"acc += {w!r} * imageLoad(input_image, clamp(pos + "
+                f"ivec2({dx}, {dy}), ivec2(0), hi)).rgb;"
+            )
+    body = "\n    ".join(taps)
+    src = f"""#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {{
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 hi = imageSize(input_image) - ivec2(1);
+    vec3 acc = vec3(0.0);
+    {body}
+    imageStore(output_image, pos,
+               vec4(acc + vec3({offset!r}), imageLoad(input_image, pos).a));
+}}
+"""
+    return src, (ry, rx)
+
+
+NONLINEAR_WRAPS = [
+    "acc = min(acc, vec3(0.7));",
+    "acc = abs(acc - vec3(0.5));",
+    "acc = acc * acc;",
+    "acc = clamp(acc * 3.0 - vec3(1.0), vec3(0.0), vec3(1.0));",
+]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_conv_synthesis_recovers_random_tap_sums(seed, tmp_path):
+    from reforge_tpu.glsl import translate_shader
+    from reforge_tpu.glsl.affine import ConvSynth, synthesize_conv
+    from reforge_tpu.kernels.base import KernelContext
+
+    rng = np.random.default_rng(1000 + seed)
+    src, (ry, rx) = _conv_shader_src(rng)
+    spec = translate_shader(src, f"fuzzconv{seed}", path=f"fz{seed}.comp")
+    params = spec.resolve_params({})
+    s = synthesize_conv(spec, params)
+    assert isinstance(s, ConvSynth), f"seed {seed}: synthesis failed"
+    # The recovered plan must reproduce the shader on a fresh random
+    # image (different from every probe), including borders.
+    h, w = 4 * max(ry, rx) + 21, 4 * max(ry, rx) + 27
+    img = jnp.asarray(rng.random((4, h, w), dtype=np.float32))
+    ctx = KernelContext(width=w, height=h, time=0.0)
+    want = np.asarray(spec(ctx, {"input_image": img}, params)["output_image"])
+    # model: s_c * sepconv_edge(x_c) + p_c * x_c + b_c
+    x = np.asarray(img, np.float64)
+    rh, rw = len(s.wh) // 2, len(s.ww) // 2
+    xp = np.pad(x, ((0, 0), (rh, rh), (0, 0)), mode="edge")
+    acc = np.zeros_like(x)
+    for i, wv in enumerate(s.wh):
+        acc += wv * xp[:, i : i + h, :]
+    accp = np.pad(acc, ((0, 0), (0, 0), (rw, rw)), mode="edge")
+    out = np.zeros_like(x)
+    for j, wv in enumerate(s.ww):
+        out += wv * accp[:, :, j : j + w]
+    got = (
+        np.asarray(s.scale)[:, None, None] * out
+        + np.asarray(s.passthrough)[:, None, None] * x
+        + np.asarray(s.offset)[:, None, None]
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_conv_synthesis_rejects_nonlinear(seed):
+    from reforge_tpu.glsl import translate_shader
+    from reforge_tpu.glsl.affine import synthesize_conv
+
+    rng = np.random.default_rng(2000 + seed)
+    src, _ = _conv_shader_src(rng)
+    wrap = NONLINEAR_WRAPS[seed % len(NONLINEAR_WRAPS)]
+    src = src.replace(
+        "imageStore(output_image",
+        wrap + "\n    imageStore(output_image",
+    )
+    spec = translate_shader(src, f"fuzznl{seed}", path=f"fznl{seed}.comp")
+    s = synthesize_conv(spec, spec.resolve_params({}))
+    assert s is None, f"seed {seed}: nonlinear shader wrongly synthesized"
+
+
+def test_fuzz_conv_synthesis_rejects_time_and_coord_dependence():
+    from reforge_tpu.glsl import translate_shader
+    from reforge_tpu.glsl.affine import synthesize_conv
+
+    time_dep = """#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+layout (binding = 2) uniform U { float _rf_time; };
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 hi = imageSize(input_image) - ivec2(1);
+    vec3 acc = 0.5 * imageLoad(input_image, pos).rgb
+        + (0.5 + 0.1 * _rf_time)
+          * imageLoad(input_image, clamp(pos + ivec2(1, 0), ivec2(0), hi)).rgb;
+    imageStore(output_image, pos, vec4(acc, 1.0));
+}
+"""
+    spec = translate_shader(time_dep, "tdep", path="tdep.comp")
+    assert synthesize_conv(spec, spec.resolve_params({})) is None
+
+    coord_dep = """#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 hi = imageSize(input_image) - ivec2(1);
+    float wy = float(pos.y) / float(hi.y);
+    vec3 acc = (1.0 - wy) * imageLoad(input_image, pos).rgb
+        + wy * imageLoad(input_image, clamp(pos + ivec2(0, 1), ivec2(0), hi)).rgb;
+    imageStore(output_image, pos, vec4(acc, 1.0));
+}
+"""
+    spec2 = translate_shader(coord_dep, "cdep", path="cdep.comp")
+    assert synthesize_conv(spec2, spec2.resolve_params({})) is None

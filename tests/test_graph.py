@@ -1242,6 +1242,61 @@ class TestGlslMegakernel:
         # one bf16 ulp at ~1.0 is 2^-8
         np.testing.assert_allclose(got, want, atol=2 ** -7)
 
+    ASYM_1D = """#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    ivec2 hi = imageSize(input_image) - ivec2(1);
+    vec3 acc = vec3(0.0);
+    acc += 0.6 * imageLoad(input_image, pos).rgb;
+    acc += 0.3 * imageLoad(input_image, clamp(pos + ivec2(1, 0), ivec2(0), hi)).rgb;
+    acc += 0.1 * imageLoad(input_image, clamp(pos + ivec2(2, 0), ivec2(0), hi)).rgb;
+    imageStore(output_image, pos, vec4(acc, imageLoad(input_image, pos).a));
+}
+"""
+
+    def test_asymmetric_glsl_conv_exact(self, tmp_path, monkeypatch):
+        """An ASYMMETRIC tap kernel (directional motion blur) must come
+        through synthesis un-mirrored: the impulse response is the
+        REVERSED tap vector, which symmetric gaussians masked (caught by
+        the synthesis fuzz suite; fixed by flipping the extracted
+        window)."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        (tmp_path / "mblur.comp").write_text(self.ASYM_1D)
+        src = "input -> mblur -> tm -> output\ntm: tonemap {}"
+        graph = build_graph(
+            parse_file(src, expects_input=True, shader_path=str(tmp_path))
+        )
+        prog = GraphProgram(graph, 128, 48)
+        assert prog._strip_plan is not None and prog._strip_plan[0] == "mc"
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.0)
+        sp = prog._strip_plan
+        prog._strip_plan = None
+        want = np.asarray(prog._forward(img, t))
+        prog._strip_plan = sp
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = prog._strip_fused_forward(img, t)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-6)
+
     def test_pair_composes_to_single_stage(self):
         from reforge_tpu.config import parse_file
         from reforge_tpu.graph import build_graph
