@@ -1052,10 +1052,20 @@ class GraphProgram:
             for j in range(n - 1, i - 1, -1):
                 if i == 0 and j == n - 1:
                     continue  # the whole graph: both tiers already said no
-                if j == i and order[i].spec.mc_stencil_fn is None:
+                if (
+                    j == i
+                    and order[i].spec.mc_stencil_fn is None
+                    and order[i].spec.source_path is None
+                ):
                     # single-node segments only pay for stencils (the mc
-                    # stencil stage beats the standalone kernel, 1.5x);
-                    # a lone conv/pointwise fuses to its per-node kernel.
+                    # stencil stage beats the standalone kernel, 1.5x) —
+                    # a lone BUILTIN conv/pointwise fuses to its per-node
+                    # Pallas kernel anyway.  GLSL nodes are exempt: their
+                    # per-node path is the interpreter's plain-XLA trace,
+                    # so a lone synthesized .comp conv gets its own
+                    # single-stage megakernel here (the child planner
+                    # decides; non-conv GLSL singles plan to None and
+                    # fall back per-node).
                     continue
                 io = segment_io(i, j)
                 if io is None:

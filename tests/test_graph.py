@@ -1458,3 +1458,31 @@ void main() {
         assert any(
             "conv-idiom" in w and "erode" in w for w in utils.recent_warnings()
         ), utils.recent_warnings()
+
+    def test_lone_glsl_conv_gets_single_node_segment(self, monkeypatch):
+        """A gated (same-axis, extent-carrying) GLSL conv becomes its own
+        single-node mc segment instead of falling to the interpreter's
+        per-node trace — measured 4K: 805 fps vs 399 plain (BENCH.md).
+        Builtin convs keep per-node (their standalone Pallas kernel)."""
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+
+        monkeypatch.setattr(kops, "MC_CONV_MAX_WIDTH", 1)  # gate at test size
+        src = (
+            "input -> a -> b -> tm -> output\n"
+            "a: gaussian_v { sigma: 2.0 }\nb: gaussian_v { sigma: 2.0 }\n"
+            "tm: tonemap {}"
+        )
+        graph = build_graph(
+            parse_file(src, expects_input=True, shader_path="shaders")
+        )
+        prog = GraphProgram(graph, 128, 64)
+        plan = prog._strip_plan
+        assert plan is not None and plan[0] == "segments"
+        kinds = [
+            (s[0], s[1].name if s[0] == "node" else [n.name for n in s[4]])
+            for s in plan[1]
+        ]
+        assert kinds == [("seg", ["a"]), ("seg", ["b", "tm"])], kinds
