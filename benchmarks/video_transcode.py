@@ -26,13 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-CLIP = "/tmp/rf_bench_clip_1080p.mp4"
+CLIP = "/tmp/rf_bench_clip_1080p.mp4"  # rebound per-run by main()
 FLAGSHIP_RF = "/tmp/rf_bench_flagship.rf"
 
 
 def make_clip(frames: int, width: int, height: int) -> None:
     from reforge_tpu.io.imagefile import VideoEncoder
 
+    # The filename is keyed on the parameters (main() below), so an
+    # existing file IS the requested clip.
     if os.path.exists(CLIP):
         return
     enc = VideoEncoder(CLIP, width, height, fps=30.0)
@@ -131,6 +133,8 @@ def main() -> int:
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
     height = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
+    global CLIP
+    CLIP = f"/tmp/rf_bench_clip_{frames}f_{width}x{height}.mp4"
     with open(FLAGSHIP_RF, "w") as f:
         f.write(FLAGSHIP_CONFIG)
     make_clip(frames, width, height)

@@ -340,26 +340,32 @@ def main(argv: Optional[list[str]] = None) -> int:
 
 def _with_compile_status(fn):
     """Run ``fn()`` printing a status line to stderr if it takes > 2 s
-    (first-frame XLA compiles can; silence reads as a hang).  The line
-    updates in place every few seconds and is cleared on completion."""
+    (first-frame XLA compiles can; silence reads as a hang).  On a TTY
+    the line updates in place; redirected stderr (logs, CI) gets plain
+    lines at a lower cadence instead of control bytes."""
     import threading
 
     done = threading.Event()
+    tty = sys.stderr.isatty()
 
     def ticker():
         if done.wait(2.0):
             return
         start = _time.perf_counter() - 2.0
         while True:
-            sys.stderr.write(
-                f"\r\x1b[2KCompiling graph... "
-                f"({_time.perf_counter() - start:.0f}s)"
-            )
+            elapsed = _time.perf_counter() - start
+            if tty:
+                sys.stderr.write(
+                    f"\r\x1b[2KCompiling graph... ({elapsed:.0f}s)"
+                )
+            else:
+                sys.stderr.write(f"Compiling graph... ({elapsed:.0f}s)\n")
             sys.stderr.flush()
-            if done.wait(3.0):
+            if done.wait(3.0 if tty else 15.0):
                 break
-        sys.stderr.write("\r\x1b[2K")
-        sys.stderr.flush()
+        if tty:
+            sys.stderr.write("\r\x1b[2K")
+            sys.stderr.flush()
 
     th = threading.Thread(target=ticker, daemon=True)
     th.start()
@@ -623,8 +629,10 @@ def _run_video(engine: Engine, decoder, args, width: int, height: int) -> int:
     count = 0
     # Decode, dispatch, and readback+encode run as a three-stage pipeline:
     # the main thread decodes frame i+2 and dispatches i+1 while the
-    # writer thread fetches frame i from the device and encodes it.  The
-    # bounded queue keeps at most 3 frames of device memory in flight.
+    # writer thread fetches frame i from the device (through the fetch
+    # pool) and encodes it.  In-flight frames are bounded by queue depth
+    # + fetch pool + the frame being encoded (~8 here) — the memory knob
+    # is maxsize plus _FrameWriter's fetch_workers.
     writer = _FrameWriter(engine, enc, maxsize=3)
 
     # Frame batching (--batch-frames K): K frames run as ONE vmapped

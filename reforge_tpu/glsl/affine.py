@@ -213,7 +213,12 @@ def synthesize_conv(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
         except Exception as e:  # probe failure is a planner miss, not an error
             warnln(f"conv synthesis for '{spec.name}' failed: {e}")
             got = None
-        _disk_store(spec, params_key, got)
+        else:
+            # Persist structural results only (a synth, or a structural
+            # rejection).  A raised probe error may be TRANSIENT (backend
+            # init, OOM on a loaded box); caching it as a rejection would
+            # silently disable synthesis for this shader forever.
+            _disk_store(spec, params_key, got)
     _SYNTH_CACHE[key] = got
     return got
 

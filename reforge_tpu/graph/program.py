@@ -1438,12 +1438,6 @@ class GraphProgram:
             raise GraphTraceError("no node wrote the final output")
         return out
 
-    def warm_unfused(self) -> None:
-        """Compile any per-node programs missing from the cache (run on the
-        background rebuild thread before the interim swap)."""
-        zeros = jnp.zeros((4, self.height, self.width), jnp.float32)
-        jax.block_until_ready(self.run_unfused(zeros, 0.0))
-
     def warm_unfused_parallel(self) -> None:
         """Compile ALL per-node programs concurrently.
 

@@ -36,6 +36,22 @@ def _clear_warnings():
     yield
 
 
+# Isolate the GLSL conv-synthesis disk cache: without this, entries under
+# ~/.cache written by earlier runs would mask synthesis REGRESSIONS (the
+# fuzz sources are deterministic, so their hashes are stable) and test
+# runs would pollute the user-level cache.
+_SYNTH_CACHE_DIR = None
+
+
+@pytest.fixture(autouse=True, scope="session")
+def _isolated_synth_cache(tmp_path_factory):
+    global _SYNTH_CACHE_DIR
+    _SYNTH_CACHE_DIR = str(tmp_path_factory.mktemp("convsynth"))
+    os.environ["REFORGE_SYNTH_CACHE"] = _SYNTH_CACHE_DIR
+    yield
+    os.environ.pop("REFORGE_SYNTH_CACHE", None)
+
+
 # ---- fast-by-default selection -------------------------------------------
 #
 # The full suite takes ~7.5 min on a 1-core box; the default run deselects
