@@ -77,6 +77,10 @@ class ConvSynth:
     scale: tuple[float, float, float, float]  # s_c: blur term per channel
     passthrough: tuple[float, float, float, float]  # p_c: center-input term
     offset: tuple[float, float, float, float]  # b_c: affine offset
+    # Image-border convention of the shader's taps: "edge" (clamp idiom)
+    # or "zero" (naive unclamped imageLoad, GL robust-access OOB zeros).
+    # The mc kernel pads whole-plan, so stages of one plan must agree.
+    border: str = "edge"
 
     @property
     def identity(self) -> bool:
@@ -101,6 +105,7 @@ class StencilSynth:
     scale: tuple[float, float, float, float]
     passthrough: tuple[float, float, float, float]
     offset: tuple[float, float, float, float]
+    border: str = "edge"  # see ConvSynth.border
 
     @property
     def radius(self) -> int:
@@ -132,6 +137,13 @@ def compose(a: ConvSynth, b: ConvSynth) -> Optional[ConvSynth]:
     passes a channel that B convolves) needs two distinct kernels and
     cannot ride one stage.
     """
+    if a.border != "edge" or b.border != "edge":
+        # Zero-border pairs do NOT compose: B's OOB reads of A's STORED
+        # output are zeros, while the composed kernel would convolve
+        # through A's virtual out-of-image values (which its taps reach
+        # back inside for).  Edge clamp has no such virtual values — the
+        # clamped index is always a stored pixel.
+        return None
     # Exactness requires that, PER AXIS, at most one factor carries taps:
     # two vertical passes chained (gaussian_v -> gaussian_v) clamp the
     # FIRST pass's output rows at the border, which a single conv with
@@ -174,6 +186,7 @@ def compose(a: ConvSynth, b: ConvSynth) -> Optional[ConvSynth]:
         scale=tuple(scale),
         passthrough=tuple(passthrough),
         offset=tuple(offset),
+        border=a.border,
     )
 
 
@@ -257,12 +270,14 @@ def _disk_load(spec, params_key) -> tuple[Any, bool]:
                 scale=tuple(d["scale"]),
                 passthrough=tuple(d["passthrough"]),
                 offset=tuple(d["offset"]),
+                border=d.get("border", "edge"),
             ), True
         return StencilSynth(
             w=tuple(tuple(r) for r in d["w"]),
             scale=tuple(d["scale"]),
             passthrough=tuple(d["passthrough"]),
             offset=tuple(d["offset"]),
+            border=d.get("border", "edge"),
         ), True
     except Exception:
         return None, False  # unreadable entry: re-probe
@@ -282,11 +297,13 @@ def _disk_store(spec, params_key, got) -> None:
             d = dict(
                 kind="conv", wh=got.wh, ww=got.ww, scale=got.scale,
                 passthrough=got.passthrough, offset=got.offset,
+                border=got.border,
             )
         else:
             d = dict(
                 kind="stencil", w=got.w, scale=got.scale,
                 passthrough=got.passthrough, offset=got.offset,
+                border=got.border,
             )
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
@@ -305,10 +322,8 @@ def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
     r = spec.halo_for(params)
     if r is None or not (1 <= r <= MAX_SYNTH_RADIUS):
         return None
-    if spec.border_for(params) != "edge":
-        # The mc conv stages edge-replicate their halos; a zero-border
-        # shader would need a different pad mode.  (Builtin convs carry
-        # the same restriction — program.py _conv_plan_for.)
+    border = spec.border_for(params)
+    if border not in ("edge", "zero"):
         return None
     if len(spec.images_in) != 1 or len(spec.images_out) != 1:
         return None
@@ -429,6 +444,7 @@ def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
                 scale=tuple(scale),
                 passthrough=tuple(passthrough),
                 offset=tuple(b),
+                border=border,
             )
         else:
             if r > 16:  # planner's stencil-radius cap
@@ -438,21 +454,26 @@ def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
                 scale=tuple(scale),
                 passthrough=tuple(passthrough),
                 offset=tuple(b),
+                border=border,
             )
 
         # Full-function verification: random images, two extents, two
         # times.  Model and shader are both affine in x, so agreement on
         # random x decides equality (up to f32 reassociation).
+        pad_mode = "edge" if border == "edge" else "constant"
+
         def model(x, h, w):
             if separable:
                 rh, rw = len(wh) // 2, len(ww) // 2
-                xp = jnp.pad(x, ((0, 0), (rh, rh), (0, 0)), mode="edge")
+                xp = jnp.pad(x, ((0, 0), (rh, rh), (0, 0)), mode=pad_mode)
                 acc = jnp.zeros_like(x)
                 for i, wv in enumerate(wh):
                     acc = acc + jnp.float32(wv) * jax.lax.dynamic_slice(
                         xp, (0, i, 0), (4, h, w)
                     )
-                accp = jnp.pad(acc, ((0, 0), (0, 0), (rw, rw)), mode="edge")
+                accp = jnp.pad(
+                    acc, ((0, 0), (0, 0), (rw, rw)), mode=pad_mode
+                )
                 out = jnp.zeros_like(x)
                 for j, wv in enumerate(ww):
                     out = out + jnp.float32(wv) * jax.lax.dynamic_slice(
@@ -460,7 +481,7 @@ def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
                     )
             else:
                 xp = jnp.pad(
-                    x, ((0, 0), (r, r), (r, r)), mode="edge"
+                    x, ((0, 0), (r, r), (r, r)), mode=pad_mode
                 )
                 out = jnp.zeros_like(x)
                 for dy in range(2 * r + 1):

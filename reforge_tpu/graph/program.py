@@ -918,6 +918,31 @@ class GraphProgram:
         eh_max = max(
             [st.eh for st in stages if st.kind == "conv"], default=0
         )
+        # ---- plan border mode --------------------------------------------
+        # The kernel pads whole-plan: every halo stage must share one
+        # border convention.  Builtins are always "edge"; synthesized
+        # GLSL stages carry theirs.  Zero-border plans additionally must
+        # not read INTERMEDIATES with a halo — the kernel's intermediate
+        # extents are edge-filled (and a point stage's out-of-image
+        # values would be fn(0) != 0), while GL robust access reads the
+        # stored image OOB as zeros.  Mixed/ineligible graphs fall to
+        # the segments tier, which isolates each conv with its own mode.
+        halo_borders = set()
+        for kind, node, _extra in nodes:
+            if kind not in ("conv", "stencil"):
+                continue
+            s = synth_of.get(node.name)
+            halo_borders.add(getattr(s, "border", "edge") if s else "edge")
+        hazard = any(
+            st.kind in ("conv", "stencil")
+            and any(bb >= 0 for bb in st.in_bufs)
+            for st in stages
+        )
+        mode = "edge"
+        if "zero" in halo_borders:
+            if halo_borders != {"zero"} or hazard:
+                return None
+            mode = "zero"
         return {
             "stages": stages,
             "n_bufs": n_pool,
@@ -937,11 +962,8 @@ class GraphProgram:
             # edge, while compute-through evaluates it on replicated
             # input — different values.  The halo executor switches to
             # edge-aware slab variants when set (parallel/halo.py).
-            "edge_hazard": any(
-                st.kind in ("conv", "stencil")
-                and any(b >= 0 for b in st.in_bufs)
-                for st in stages
-            ),
+            "edge_hazard": hazard,
+            "mode": mode,
         }
 
     def _plan_strip_segments(self):
@@ -1266,6 +1288,7 @@ class GraphProgram:
         return pallas_ops.graph_strip_fused_mc(
             file_input, t, plan["stages"], n_bufs,
             plan["rh_in"], plan["ew_in"], tile_h,
+            mode=plan.get("mode", "edge"),
             row0_base=row0_base, store1=plan["store1"],
             store1_id=(self.fmt == "rgba32f"),
         )

@@ -219,7 +219,11 @@ class HaloShardedProgram:
             # degenerate; the per-node path handles it.  (RH > h_local is
             # fine: halo_pad chains neighbor hops.)
             return None
-        ext = halo_pad(x_local, RH, self.n, idx, mode="edge")
+        pad_mode = (
+            prog._strip_plan[1].get("mode", "edge")
+            if prog._strip_plan[0] == "mc" else "edge"
+        )
+        ext = halo_pad(x_local, RH, self.n, idx, mode=pad_mode)
         out_ext = prog._strip_fused_forward(
             ext, t, row0_base=idx * self.h_local - RH
         )

@@ -1297,6 +1297,87 @@ void main() {
         assert got is not None
         np.testing.assert_allclose(np.asarray(got), want, atol=5e-6)
 
+    ZERO_1D = """#version 450
+layout (local_size_x = 16, local_size_y = 16) in;
+layout (binding = 0, rgba32f) uniform readonly image2D input_image;
+layout (binding = 1, rgba32f) uniform writeonly image2D output_image;
+void main() {
+    ivec2 pos = ivec2(gl_GlobalInvocationID.xy);
+    vec3 acc = vec3(0.0);
+    acc += 0.2 * imageLoad(input_image, pos + ivec2(-2, 0)).rgb;
+    acc += 0.2 * imageLoad(input_image, pos + ivec2(-1, 0)).rgb;
+    acc += 0.2 * imageLoad(input_image, pos).rgb;
+    acc += 0.25 * imageLoad(input_image, pos + ivec2(1, 0)).rgb;
+    acc += 0.15 * imageLoad(input_image, pos + ivec2(2, 0)).rgb;
+    imageStore(output_image, pos, vec4(acc, imageLoad(input_image, pos).a));
+}
+"""
+
+    def test_zero_border_glsl_conv_fuses(self, tmp_path, monkeypatch):
+        """A NAIVE (unclamped) tap-sum — GL robust OOB zeros — fuses as a
+        zero-mode mc plan, exact against the interpreter's zero-pad
+        shifts including borders."""
+        import functools
+
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+        from reforge_tpu.kernels import ops as kops
+        from reforge_tpu.kernels import pallas_ops
+
+        (tmp_path / "nblur.comp").write_text(self.ZERO_1D)
+        src = "input -> nblur -> tm -> output\ntm: tonemap {}"
+        graph = build_graph(
+            parse_file(src, expects_input=True, shader_path=str(tmp_path))
+        )
+        prog = GraphProgram(graph, 128, 48)
+        plan = prog._strip_plan
+        assert plan is not None and plan[0] == "mc"
+        assert plan[1]["mode"] == "zero"
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.random((4, 48, 128), dtype=np.float32))
+        t = jnp.float32(0.0)
+        sp = prog._strip_plan
+        prog._strip_plan = None
+        want = np.asarray(prog._forward(img, t))
+        prog._strip_plan = sp
+        monkeypatch.setattr(kops, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            pallas_ops,
+            "graph_strip_fused_mc",
+            functools.partial(pallas_ops.graph_strip_fused_mc, interpret=True),
+        )
+        got = prog._strip_fused_forward(img, t)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-6)
+
+    def test_mixed_borders_fall_to_segments(self, tmp_path):
+        """Zero-border GLSL conv + edge-border builtin conv cannot share
+        one plan (whole-plan padding); the segments tier isolates each:
+        the GLSL conv gets its own zero-mode child, the builtin keeps
+        per-node (its standalone kernel)."""
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        (tmp_path / "nblur.comp").write_text(self.ZERO_1D)
+        src = "input -> nblur -> gs -> output\ngs: gaussian { sigma: 2.0 }"
+        graph = build_graph(
+            parse_file(src, expects_input=True, shader_path=str(tmp_path))
+        )
+        prog = GraphProgram(graph, 128, 48)
+        plan = prog._strip_plan
+        assert plan is not None and plan[0] == "segments"
+        kinds = [
+            (s[0], s[1].name if s[0] == "node" else [n.name for n in s[4]])
+            for s in plan[1]
+        ]
+        assert kinds == [("seg", ["nblur"]), ("node", "gs")], kinds
+        child = plan[1][0][1]
+        assert child._strip_plan[1]["mode"] == "zero"
+
     def test_pair_composes_to_single_stage(self):
         from reforge_tpu.config import parse_file
         from reforge_tpu.graph import build_graph
