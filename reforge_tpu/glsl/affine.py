@@ -348,7 +348,12 @@ def _synthesize(spec, params: Mapping[str, Any]) -> Optional[ConvSynth]:
         # slower — hundreds of per-op mini-compiles).
         return jax.jit(f, device=cpu)
 
-    with jax.default_device(cpu):
+    # Planning is lazy and may first run INSIDE a jit/shard_map trace
+    # (the engine's background fused compile; the sharded executor's
+    # shard_map body).  ensure_compile_time_eval lets the probe calls
+    # execute concretely there instead of being staged into the outer
+    # trace (where fetching their results raises TracerArrayConversion).
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
         f_a = make_f(ha, wa)
         f_b = make_f(hb, wb)
         t1, t2 = jnp.float32(0.37), jnp.float32(1.91)

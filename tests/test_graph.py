@@ -1567,3 +1567,31 @@ void main() {
             for s in plan[1]
         ]
         assert kinds == [("seg", ["a"]), ("seg", ["b", "tm"])], kinds
+
+    def test_synthesis_survives_in_trace_planning(self):
+        """Planning is lazy and first runs inside the fused jit trace on
+        the engine's background compile; synthesis probes must execute
+        concretely there (ensure_compile_time_eval), not be staged into
+        the outer trace — this silently degraded GLSL convs to the plain
+        path before the fix (caught by the multichip dryrun's warnln)."""
+        import jax
+        import jax.numpy as jnp
+
+        from reforge_tpu.config import parse_file
+        from reforge_tpu.graph import build_graph
+        from reforge_tpu.graph.program import GraphProgram
+
+        graph = build_graph(
+            parse_file(
+                self.CASES["pair_compose"], expects_input=True,
+                shader_path="shaders",
+            )
+        )
+        prog = GraphProgram(graph, 128, 48)
+        assert not prog._strip_planned
+        shape = jax.ShapeDtypeStruct((4, 48, 128), jnp.float32)
+        t = jax.ShapeDtypeStruct((), jnp.float32)
+        prog._fused.lower(shape, t)  # triggers planning inside the trace
+        plan = prog._strip_plan_cache
+        assert plan is not None and plan[0] == "mc"
+        assert [s.kind for s in plan[1]["stages"]] == ["conv", "point"]
